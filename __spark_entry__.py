@@ -1,10 +1,17 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` smoke-runs the flagship query at sf0.001;
+``queries()`` exposes every implemented operator from SURVEY.md §2 as a
+(spark, sf_dir) -> DataFrame callable; ``oracle_sql()`` gives the
+DuckDB-equivalent SQL for each (omitted only for genuinely
+non-SQL-expressible ops → driver records a weaker rows-only check).
+
+Naming discipline: every computed column is aliased identically in the
+Spark code and the oracle SQL (the driver sorts columns by name before
+hashing). Timestamp parity: each query pins the Spark session timezone
+to UTC so epoch conversions agree with DuckDB's naive-UTC timestamps.
+Float parity: sums go through DECIMAL (exact, order-independent);
+averages/cosines round to 6 decimals on both sides.
 """
 
 from __future__ import annotations
@@ -12,27 +19,487 @@ from __future__ import annotations
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
+from iotstream.ext import dedup as xdedup
+from iotstream.ext import joins as xjoins
+from iotstream.ext import similarity as xsim
+from iotstream.ext import text as xtext
+from iotstream.ext.multimodal import attach_media, decode_media
+from iotstream.generator import _HUM, _TEMP, synthetic_sensor_events
+from iotstream.operators.filters import VALID_SQL, validity_filter
+from iotstream.operators.parse import parse_sensor_json, to_sensor_json
+from iotstream.operators.project import raw_archive_projection
+from iotstream.operators.throughput import throughput
+from iotstream.operators.windows import tumbling_agg
+from iotstream.schemas import load_table, table_path, use_utc
+from iotstream.sensorize import sensor_cte, sensorize
+
+DEFAULT_SF_DIR = "/root/testdata/sf0.001"
+
+# ---------------------------------------------------------------- helpers
+
+def _sensor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    use_utc(spark)
+    return sensorize(load_table(spark, sf_dir, "events"))
+
+
+def _valid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return validity_filter(_sensor(spark, sf_dir))
+
+
+def _flat(df: DataFrame) -> DataFrame:
+    return df.select(
+        "id",
+        "messageId",
+        "timestamp",
+        F.col("metrics.temperature").alias("temperature"),
+        F.col("metrics.humidity").alias("humidity"),
+    )
+
+
+def _windowed(df: DataFrame, aggs) -> DataFrame:
+    out = tumbling_agg(
+        df, "ts", ["id"], F.col("metrics.temperature"), "1 minute",
+        aggs=aggs, prefix="temperature",
+    )
+    if "avg" in aggs:
+        out = out.withColumn("avg_temperature", F.round("avg_temperature", 6))
+    return out
+
+
+_WINDOW_ORACLE = """
+WITH sensor AS ({cte})
+SELECT time_bucket(INTERVAL '1 minute', ts) AS window_start,
+       time_bucket(INTERVAL '1 minute', ts) + INTERVAL '1 minute' AS window_end,
+       id,
+       {aggs}
+FROM sensor
+WHERE {valid}
+GROUP BY 1, 2, 3
+"""
+
+_AGG_SQL = {
+    "max": "max(temperature) AS max_temperature",
+    "min": "min(temperature) AS min_temperature",
+    "avg": "round(avg(temperature), 6) AS avg_temperature",
+}
+
+
+def _window_oracle(*aggs: str) -> str:
+    return _WINDOW_ORACLE.format(
+        cte=sensor_cte(),
+        aggs=",\n       ".join(_AGG_SQL[a] for a in aggs),
+        valid=VALID_SQL,
+    )
+
+
+# ----------------------------------------------------------- core queries
+
+def q_flagship(spark, sf_dir):
+    """F1+F2+A1-A3: validity filter → per-sensor 1-min tumbling
+    MAX/MIN/AVG — the reference's whole analytics layer
+    (StreamProcessor.java:61-78 + README.md:87-92)."""
+    return _windowed(_valid(spark, sf_dir), ("max", "min", "avg"))
+
+
+def q_filter_validity(spark, sf_dir):
+    return _flat(_valid(spark, sf_dir))
+
+
+def q_window_max(spark, sf_dir):
+    return _windowed(_valid(spark, sf_dir), ("max",))
+
+
+def q_window_min(spark, sf_dir):
+    return _windowed(_valid(spark, sf_dir), ("min",))
+
+
+def q_window_avg(spark, sf_dir):
+    return _windowed(_valid(spark, sf_dir), ("avg",))
+
+
+def q_json_parse(spark, sf_dir):
+    use_utc(spark)
+    ev = load_table(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        F.from_json("props", "k BIGINT").getField("k").alias("k"),
+    )
+
+
+def q_json_roundtrip(spark, sf_dir):
+    payloads = to_sensor_json(_sensor(spark, sf_dir))
+    return _flat(parse_sensor_json(payloads))
+
+
+def q_clean_stream_json(spark, sf_dir):
+    return to_sensor_json(_valid(spark, sf_dir))
+
+
+def q_raw_archive_projection(spark, sf_dir):
+    return raw_archive_projection(_sensor(spark, sf_dir))
+
+
+def q_throughput_count(spark, sf_dir):
+    return throughput(_sensor(spark, sf_dir), "id")
+
+
+def q_streaming_window_agg(spark, sf_dir):
+    """The same flagship aggregate executed as a REAL streaming query:
+    file-stream source → watermark → update-mode windowed agg →
+    foreachBatch keyed upsert (the KSQL MAX_TABLE → Connect → Mongo
+    path); returns the final upserted state, which equals the batch
+    result under the unbounded correctness watermark."""
+    from iotstream.schemas import load_events_raw, normalize_ns_timestamp
+    from iotstream.sources import FileStreamSource
+    from iotstream.streaming import windowed_agg_final_state
+
+    use_utc(spark)
+    raw_schema = load_events_raw(spark, sf_dir).schema  # ts as raw nanos
+    stream = FileStreamSource(table_path(sf_dir, "events"), raw_schema).load(spark)
+    valid = validity_filter(sensorize(normalize_ns_timestamp(stream)))
+    return windowed_agg_final_state(
+        spark, valid, "ts", ["id"], F.col("metrics.temperature")
+    )
+
+
+def q_synthetic_sensor_stream(spark, sf_dir):
+    """S4 generator parity: the deterministic 1/9/90 quality mix
+    (mqttgen.py:36-45) from pure expressions, oracle-checked."""
+    use_utc(spark)
+    return synthetic_sensor_events(spark, 1000).select(
+        "loop",
+        "id",
+        "messageId",
+        "timestamp",
+        F.col("metrics.temperature").alias("temperature"),
+        F.col("metrics.humidity").alias("humidity"),
+    )
+
+
+# ------------------------------------------------------------ EXT queries
+
+def q_dedup_exact(spark, sf_dir):
+    return xdedup.dedup_exact(load_table(spark, sf_dir, "documents"))
+
+
+def q_word_counts(spark, sf_dir):
+    return xtext.word_counts(load_table(spark, sf_dir, "documents"))
+
+
+def q_token_stats(spark, sf_dir):
+    return xtext.token_stats(load_table(spark, sf_dir, "documents"))
+
+
+def q_quality_score(spark, sf_dir):
+    return xtext.quality_score(load_table(spark, sf_dir, "documents"))
+
+
+def q_lang_id(spark, sf_dir):
+    return xtext.lang_id(load_table(spark, sf_dir, "documents"))
+
+
+def q_doc_fingerprint(spark, sf_dir):
+    return xtext.doc_fingerprint(load_table(spark, sf_dir, "documents")).select(
+        "doc_id", "fingerprint"
+    )
+
+
+def q_neardup_jaccard(spark, sf_dir):
+    return xdedup.neardup_jaccard_exact(
+        load_table(spark, sf_dir, "documents"), threshold=0.5
+    )
+
+
+def q_neardup_minhash(spark, sf_dir):
+    return xdedup.neardup_minhash(
+        load_table(spark, sf_dir, "documents"), threshold=0.5
+    )
+
+
+def q_simhash(spark, sf_dir):
+    return xdedup.simhash64(load_table(spark, sf_dir, "documents"))
+
+
+def q_similarity_topk(spark, sf_dir):
+    return xsim.similarity_topk(
+        load_table(spark, sf_dir, "embeddings"), n_queries=10, k=5
+    ).withColumn("rank", F.col("rank").cast("long"))
+
+
+def q_similarity_topk_lsh(spark, sf_dir):
+    return xsim.similarity_topk_lsh(
+        load_table(spark, sf_dir, "embeddings"), n_queries=10, k=5
+    )
+
+
+def q_similarity_topk_ivf(spark, sf_dir):
+    return xsim.similarity_topk_ivf(
+        load_table(spark, sf_dir, "embeddings"), n_queries=10, k=5
+    )
+
+
+def q_neardup_embedding(spark, sf_dir):
+    return xsim.neardup_embedding(
+        load_table(spark, sf_dir, "embeddings"), threshold=0.4
+    )
+
+
+def q_multimodal_ingest(spark, sf_dir):
+    return attach_media(load_table(spark, sf_dir, "documents")).select(
+        "doc_id", "mime", "n_bytes", "sha256"
+    )
+
+
+def q_multimodal_decode(spark, sf_dir):
+    media = attach_media(load_table(spark, sf_dir, "documents"))
+    return decode_media(media, fake=True)
+
+
+def q_enrichment_join(spark, sf_dir):
+    return xjoins.enrichment_join(spark, sf_dir)
+
+
+def q_topk_per_group(spark, sf_dir):
+    return xjoins.topk_per_group(spark, sf_dir).withColumn(
+        "rn", F.col("rn").cast("long")
+    )
+
+
+def q_pricing_summary(spark, sf_dir):
+    return xjoins.pricing_summary(spark, sf_dir)
+
+
+def q_revenue_rollup(spark, sf_dir):
+    return xjoins.revenue_rollup(spark, sf_dir)
+
+
+# ------------------------------------------------------------- contract
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    return q_flagship(spark, DEFAULT_SF_DIR)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    return {
+        "flagship": q_flagship,
+        "filter_validity": q_filter_validity,
+        "window_max": q_window_max,
+        "window_min": q_window_min,
+        "window_avg": q_window_avg,
+        "json_parse": q_json_parse,
+        "json_roundtrip": q_json_roundtrip,
+        "clean_stream_json": q_clean_stream_json,
+        "raw_archive_projection": q_raw_archive_projection,
+        "throughput_count": q_throughput_count,
+        "streaming_window_agg": q_streaming_window_agg,
+        "synthetic_sensor_stream": q_synthetic_sensor_stream,
+        "dedup_exact": q_dedup_exact,
+        "word_counts": q_word_counts,
+        "token_stats": q_token_stats,
+        "quality_score": q_quality_score,
+        "lang_id": q_lang_id,
+        "doc_fingerprint": q_doc_fingerprint,
+        "neardup_jaccard": q_neardup_jaccard,
+        "neardup_minhash": q_neardup_minhash,
+        "simhash": q_simhash,
+        "similarity_topk": q_similarity_topk,
+        "similarity_topk_lsh": q_similarity_topk_lsh,
+        "similarity_topk_ivf": q_similarity_topk_ivf,
+        "neardup_embedding": q_neardup_embedding,
+        "multimodal_ingest": q_multimodal_ingest,
+        "multimodal_decode": q_multimodal_decode,
+        "enrichment_join": q_enrichment_join,
+        "topk_per_group": q_topk_per_group,
+        "pricing_summary": q_pricing_summary,
+        "revenue_rollup": q_revenue_rollup,
+    }
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+_SENSOR_FLAT = (
+    'SELECT id, "messageId", "timestamp", temperature, humidity FROM sensor'
+)
+
+_JACCARD_ORACLE = """
+WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+idx AS (SELECT doc_id, w, unnest(range(1, len(w) - 1)) AS i FROM t),
+sh AS (SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS g FROM idx),
+sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+  FROM sh a JOIN sh b ON a.g = b.g AND a.doc_id < b.doc_id
+  GROUP BY 1, 2),
+j AS (
+  SELECT doc_a, doc_b, CAST(i AS DOUBLE) / (sa.n + sb.n - i) AS jaccard
+  FROM inter
+  JOIN sz sa ON sa.doc_id = doc_a
+  JOIN sz sb ON sb.doc_id = doc_b)
+SELECT doc_a, doc_b, round(jaccard, 6) AS jaccard FROM j WHERE jaccard >= 0.5
+"""
+
+_COSINE = (
+    "list_dot_product(v, qv) / "
+    "(sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(qv, qv)))"
+)
+
+_TOPK_ORACLE = f"""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 10),
+s AS (SELECT query_id, vec_id, {_COSINE} AS cosine
+      FROM e, q WHERE vec_id <> query_id),
+r AS (SELECT query_id, vec_id, cosine,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY cosine DESC, vec_id) AS rank
+      FROM s)
+SELECT query_id, vec_id, round(cosine, 6) AS cosine, rank FROM r WHERE rank <= 5
+"""
+
+_NEARDUP_EMB_ORACLE = """
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+p AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+             list_dot_product(a.v, b.v) /
+             (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) AS cosine
+      FROM e a JOIN e b ON a.vec_id < b.vec_id)
+SELECT id_a, id_b, round(cosine, 6) AS cosine FROM p WHERE cosine >= 0.4
+"""
+
+_STOP_FILTER = "list_filter(w, t -> t IN ('the', 'a', 'of', 'and', 'to'))"
+
+_DEC = "CAST({x} AS DECIMAL(12,4))"
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    cte = sensor_cte()
+    span = (
+        "CAST(floor(epoch(max(ts))) AS BIGINT) - "
+        "CAST(floor(epoch(min(ts))) AS BIGINT)"
+    )
+    d = lambda x: _DEC.format(x=x)  # noqa: E731
+    disc = f"{d('l_extendedprice')} * ({d(1)} - {d('l_discount')})"
+    charge = f"{disc} * ({d(1)} + {d('l_tax')})"
+    return {
+        "flagship": _window_oracle("max", "min", "avg"),
+        "filter_validity": (
+            f"WITH sensor AS ({cte}) {_SENSOR_FLAT} WHERE {VALID_SQL}"
+        ),
+        "window_max": _window_oracle("max"),
+        "window_min": _window_oracle("min"),
+        "window_avg": _window_oracle("avg"),
+        "json_parse": (
+            "SELECT event_id, CAST(json_extract(props, '$.k') AS BIGINT) AS k "
+            "FROM events"
+        ),
+        "json_roundtrip": f"WITH sensor AS ({cte}) {_SENSOR_FLAT}",
+        "clean_stream_json": f"""
+            WITH sensor AS ({cte})
+            SELECT to_json(struct_pack(
+                id := id,
+                "messageId" := "messageId",
+                "timestamp" := "timestamp",
+                metrics := struct_pack(temperature := temperature,
+                                       humidity := humidity))) AS value
+            FROM sensor WHERE {VALID_SQL}""",
+        "raw_archive_projection": f"""
+            WITH sensor AS ({cte})
+            SELECT "messageId" AS "_messageId", id AS "sensorId",
+                   "timestamp", temperature, humidity
+            FROM sensor""",
+        "throughput_count": f"""
+            WITH sensor AS ({cte})
+            SELECT id, count(*) AS n_events, {span} AS span_seconds,
+                   round(CAST(count(*) AS DOUBLE) /
+                         CAST(greatest({span}, 1) AS DOUBLE), 6) AS msgs_per_sec
+            FROM sensor GROUP BY id""",
+        "streaming_window_agg": _window_oracle("max", "min", "avg"),
+        "synthetic_sensor_stream": f"""
+            WITH l AS (SELECT unnest(range(1, 1001)) AS loop),
+            s AS (SELECT loop,
+                   'sensor' || CAST(loop % 10 AS VARCHAR) || 'rcc-1' AS id,
+                   CAST(1704067200 + loop * 2 AS VARCHAR) AS ts_str,
+                   {_TEMP} AS temperature, {_HUM} AS humidity
+                  FROM l)
+            SELECT loop, id, id || CAST(loop AS VARCHAR) AS "messageId",
+                   ts_str AS "timestamp", temperature, humidity
+            FROM s""",
+        "dedup_exact": (
+            "SELECT text, min(doc_id) AS doc_id, count(*) AS n_copies "
+            "FROM documents GROUP BY text"
+        ),
+        "word_counts": (
+            "SELECT tok AS word, count(*) AS cnt FROM (SELECT "
+            "unnest(string_split(text, ' ')) AS tok FROM documents) GROUP BY tok"
+        ),
+        "token_stats": """
+            SELECT doc_id,
+                   CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+                   CAST(len(regexp_extract_all(text, '[a-z]+')) AS BIGINT) AS n_alpha_runs,
+                   n_chars,
+                   round(CAST(n_chars AS DOUBLE) / len(string_split(text, ' ')), 6)
+                       AS avg_token_len
+            FROM documents""",
+        "quality_score": f"""
+            WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
+            SELECT doc_id,
+                   CAST(len(w) AS BIGINT) AS n_tokens,
+                   CAST(len({_STOP_FILTER}) AS BIGINT) AS stop_hits,
+                   round(CAST(len({_STOP_FILTER}) AS DOUBLE) / len(w), 6) AS stop_ratio,
+                   round(least(CAST(len(w) AS DOUBLE) / 100.0, 1.0) *
+                         (1.0 - CAST(len({_STOP_FILTER}) AS DOUBLE) / len(w)), 6)
+                       AS quality
+            FROM t""",
+        "lang_id": """
+            SELECT doc_id, lang,
+                   CASE WHEN list_contains(string_split(text, ' '), 'the')
+                          OR list_contains(string_split(text, ' '), 'a')
+                        THEN 'en' ELSE 'unknown' END AS predicted_lang
+            FROM documents""",
+        "doc_fingerprint": "SELECT doc_id, md5(text) AS fingerprint FROM documents",
+        "neardup_jaccard": _JACCARD_ORACLE,
+        # neardup_minhash / simhash / similarity_topk_lsh / similarity_topk_ivf /
+        # multimodal_decode: engine-internal hash functions or Pandas-UDF
+        # plumbing — rows-only checks by design.
+        "similarity_topk": _TOPK_ORACLE,
+        "neardup_embedding": _NEARDUP_EMB_ORACLE,
+        "multimodal_ingest": """
+            SELECT doc_id,
+                   'application/x-fixture-' || source AS mime,
+                   CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS n_bytes,
+                   sha256(text) AS sha256
+            FROM documents""",
+        "enrichment_join": """
+            SELECT r_name, n_name, count(*) AS n_orders,
+                   CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+            FROM orders
+            JOIN customer ON o_custkey = c_custkey
+            JOIN nation ON c_nationkey = n_nationkey
+            JOIN region ON n_regionkey = r_regionkey
+            GROUP BY r_name, n_name""",
+        "topk_per_group": """
+            SELECT o_custkey, o_orderkey, o_totalprice, rn FROM (
+              SELECT o_custkey, o_orderkey, o_totalprice,
+                     row_number() OVER (PARTITION BY o_custkey
+                                        ORDER BY o_totalprice DESC, o_orderkey) AS rn
+              FROM orders)
+            WHERE rn <= 3""",
+        "pricing_summary": f"""
+            SELECT l_returnflag, l_linestatus,
+                   CAST(SUM({d('l_quantity')}) AS DOUBLE) AS sum_qty,
+                   CAST(SUM({d('l_extendedprice')}) AS DOUBLE) AS sum_base_price,
+                   CAST(SUM({disc}) AS DOUBLE) AS sum_disc_price,
+                   CAST(SUM({charge}) AS DOUBLE) AS sum_charge,
+                   round(CAST(SUM({d('l_quantity')}) AS DOUBLE) / count(*), 6) AS avg_qty,
+                   count(*) AS count_order
+            FROM lineitem
+            WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+            GROUP BY l_returnflag, l_linestatus""",
+        "revenue_rollup": """
+            SELECT r_name, n_name, count(*) AS n_orders,
+                   CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+            FROM orders
+            JOIN customer ON o_custkey = c_custkey
+            JOIN nation ON c_nationkey = n_nationkey
+            JOIN region ON n_regionkey = r_regionkey
+            GROUP BY ROLLUP(r_name, n_name)""",
+    }

@@ -1,0 +1,181 @@
+"""E1/E2 — exact and near-duplicate detection over ``documents``.
+
+Scale design (the 100 TB rule): candidate generation is NEVER all-pairs.
+- exact dedup: one hash shuffle on the dedup key (or its md5 to keep
+  shuffle rows narrow when texts are large).
+- near-dup: shingle → MinHash signature (narrow, per-row) → LSH band
+  buckets (shuffle on band hash; bucket sizes are bounded by data skew,
+  not corpus size) → exact Jaccard verify on candidates only.
+The exact all-pairs Jaccard in ``neardup_jaccard_exact`` exists as the
+*verification oracle path* and is capped by caller-supplied predicate.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+SHINGLE_WIDTH = 3
+
+
+def dedup_exact(docs: DataFrame, key: str = "text") -> DataFrame:
+    """E1 — exact dedup: canonical representative (min doc_id) + dup
+    count per distinct key. Equivalent to dropDuplicates([key]) but with
+    a deterministic surviving row, so results are oracle-comparable."""
+    return docs.groupBy(key).agg(
+        F.min("doc_id").alias("doc_id"),
+        F.count(F.lit(1)).alias("n_copies"),
+    )
+
+
+def with_shingles(docs: DataFrame, n: int = SHINGLE_WIDTH) -> DataFrame:
+    """Distinct word n-gram shingles per document. Word-level shingles
+    (not token sets — with a 31-word vocabulary token sets saturate and
+    every pair looks similar; n-grams restore discrimination)."""
+    # element_at is 1-based, matching the oracle's DuckDB list indexing.
+    lam = " ".join(
+        ["concat_ws(' ',"]
+        + [f"element_at(w, i + {k})," for k in range(n - 1)]
+        + [f"element_at(w, i + {n - 1}))"]
+    )
+    return docs.withColumn("w", F.split("text", " ")).withColumn(
+        "shingles",
+        F.expr(f"array_distinct(transform(sequence(1, size(w) - {n - 1}), i -> {lam}))"),
+    )
+
+
+def minhash_signature(docs_with_shingles: DataFrame, num_hashes: int = 32) -> DataFrame:
+    """MinHash signature: for seed s, min over shingles of
+    xxhash64(shingle, s). Pure expressions — no UDF, no shuffle."""
+    return docs_with_shingles.withColumn(
+        "signature",
+        F.expr(
+            f"transform(sequence(0, {num_hashes - 1}), "
+            "s -> array_min(transform(shingles, g -> xxhash64(g, s))))"
+        ),
+    )
+
+
+def lsh_candidate_pairs(signed: DataFrame, bands: int = 8) -> DataFrame:
+    """Band the signature and emit candidate pairs per matching band
+    bucket. Shuffle key = (band index, band hash): only documents that
+    collide in ≥1 band are ever paired — candidate count scales with
+    true near-dup density, not corpus size²."""
+    rows = F.expr("size(signature)")  # rows per band = num_hashes/bands
+    banded = signed.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                f"transform(sequence(0, {bands - 1}), "
+                f"b -> struct(b AS band, xxhash64(to_json(struct(slice("
+                f"signature, b * (size(signature) div {bands}) + 1, "
+                f"size(signature) div {bands})))) AS bucket))"
+            )
+        ).alias("bb"),
+    ).select("doc_id", "bb.band", "bb.bucket")
+    a = banded.alias("a")
+    b = banded.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+
+
+def _jaccard(pairs: DataFrame, shingled: DataFrame) -> DataFrame:
+    """Exact shingle-Jaccard for given candidate (doc_a, doc_b) pairs."""
+    sets_ = shingled.select("doc_id", "shingles")
+    return (
+        pairs.join(
+            sets_.select(
+                F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sh_a")
+            ),
+            "doc_a",
+        )
+        .join(
+            sets_.select(
+                F.col("doc_id").alias("doc_b"), F.col("shingles").alias("sh_b")
+            ),
+            "doc_b",
+        )
+        .select(
+            "doc_a",
+            "doc_b",
+            (
+                F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
+                / F.size(F.array_union("sh_a", "sh_b"))
+            ).alias("jaccard"),
+        )
+    )
+
+
+def neardup_minhash(
+    docs: DataFrame,
+    threshold: float = 0.5,
+    num_hashes: int = 32,
+    bands: int = 8,
+) -> DataFrame:
+    """E2 scale path: MinHash+LSH candidates → exact Jaccard verify.
+    With 32 hashes / 8 bands (r=4), collision prob at J=0.5 per band is
+    0.5⁴=6.25% → ≥1-of-8 bands ≈ 40%;  at J=0.9 ≈ 99.6% — tune
+    bands/hashes per corpus. Returns pairs with verified J ≥ threshold."""
+    shingled = with_shingles(docs)
+    cands = lsh_candidate_pairs(minhash_signature(shingled, num_hashes), bands)
+    j = _jaccard(cands, shingled)
+    return j.filter(F.col("jaccard") >= threshold).select(
+        "doc_a", "doc_b", F.round("jaccard", 6).alias("jaccard")
+    )
+
+
+def neardup_jaccard_exact(docs: DataFrame, threshold: float = 0.5) -> DataFrame:
+    """E2 verify/oracle path: exact shingle-Jaccard via inverted-index
+    join (explode shingles, join on shingle, count intersections).
+    Quadratic in per-shingle document frequency — correctness tool, not
+    the 100 TB path (that's ``neardup_minhash``)."""
+    shingled = with_shingles(docs)
+    tok = shingled.select("doc_id", F.explode("shingles").alias("g"))
+    sz = shingled.select("doc_id", F.size("shingles").alias("n"))
+    a, b = tok.alias("a"), tok.alias("b")
+    inter = (
+        a.join(b, (F.col("a.g") == F.col("b.g")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("i"))
+    )
+    return (
+        inter.join(sz.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na")), "doc_a")
+        .join(sz.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb")), "doc_b")
+        .withColumn(
+            "jaccard",
+            F.col("i").cast("double") / (F.col("na") + F.col("nb") - F.col("i")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", F.round("jaccard", 6).alias("jaccard"))
+    )
+
+
+def simhash64(docs: DataFrame) -> DataFrame:
+    """SimHash: sign-aggregate the bits of per-shingle 64-bit hashes.
+    Near-dups differ in few bits → group by hash or probe by Hamming
+    distance. Pure expressions; engine-internal (hash functions are not
+    cross-engine comparable)."""
+    shingled = with_shingles(docs)
+    bit_votes = F.expr(
+        "transform(sequence(0, 63), bit -> "
+        "size(filter(shingles, g -> ((xxhash64(g) >> bit) & 1) = 1)) * 2 "
+        "- size(shingles))"
+    )
+    return shingled.select(
+        "doc_id",
+        bit_votes.alias("votes"),
+    ).select(
+        "doc_id",
+        F.expr(
+            "aggregate(sequence(0, 63), 0L, "
+            "(acc, bit) -> acc + IF(element_at(votes, bit + 1) > 0, shiftleft(1L, bit), 0L))"
+        ).alias("simhash"),
+    )

@@ -1,0 +1,127 @@
+"""EXT — star-schema joins, analytic windows, and aggregates.
+
+The reference has no joins (SURVEY.md §2.4 — its pipeline is a linear
+map/filter chain), but the engine exposes Spark's full join surface;
+these functions are the demonstration queries over the TPC-H-ish
+fixtures, written the way they should run at 100 TB:
+
+- dimension tables are broadcast explicitly (region/nation/customer are
+  tiny next to orders/lineitem → zero shuffle on the fact side until
+  the final aggregation);
+- aggregates go through DECIMAL so sums are exact and engine-order
+  independent (oracle hash parity + no float drift at any scale);
+- top-k per group is a window row_number, which Spark executes with a
+  single shuffle on the partition key.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from iotstream.schemas import load_table
+
+
+def dec_sum(col: Column | str, alias: str) -> Column:
+    """Exact sum: cast to DECIMAL(18,4) first (fixture doubles carry ≤2
+    decimals → lossless), sum exactly, return as double. Bit-identical
+    across engines and partition orders."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.sum(c.cast("decimal(18,4)")).cast("double").alias(alias)
+
+
+def enrichment_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue per region/nation: orders ⋈ customer ⋈ nation ⋈ region.
+
+    customer/nation/region are broadcast — the only shuffle in the plan
+    is the final group-by. (At 100 TB, orders never moves for the join.)
+    """
+    return (
+        _orders_with_geo(spark, sf_dir)
+        .groupBy("r_name", "n_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            dec_sum("o_totalprice", "revenue"),
+        )
+    )
+
+
+def topk_per_group(spark: SparkSession, sf_dir: str, k: int = 3) -> DataFrame:
+    """Top-k orders per customer by total price — the row_number
+    analytic pattern (one shuffle on o_custkey)."""
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.desc("o_totalprice"), F.asc("o_orderkey")
+    )
+    return (
+        orders.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select("o_custkey", "o_orderkey", "o_totalprice", "rn")
+    )
+
+
+def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1-shaped pricing summary over lineitem: filter pushed to
+    the parquet scan, decimal-exact sums, avg derived from exact sum /
+    count. Single shuffle (4 groups), partial aggregation map-side."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") <= F.lit("1998-09-02")
+    )
+    # DECIMAL(12,4) inputs keep the 3-factor product within the 38-digit
+    # cap in BOTH engines (12,4 × 12,4 → 25,8; × 12,4 → 38,12) so every
+    # intermediate stays exact — no float drift at any row count.
+    d = lambda c: F.col(c).cast("decimal(12,4)")  # noqa: E731
+    one = F.lit(1).cast("decimal(12,4)")
+    disc_price = d("l_extendedprice") * (one - d("l_discount"))
+    charge = disc_price * (one + d("l_tax"))
+    n = F.count(F.lit(1))
+    sum_qty_d = F.sum(d("l_quantity"))
+    return (
+        li.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            sum_qty_d.cast("double").alias("sum_qty"),
+            dec_sum("l_extendedprice", "sum_base_price"),
+            F.sum(disc_price).cast("double").alias("sum_disc_price"),
+            F.sum(charge).cast("double").alias("sum_charge"),
+            F.round(sum_qty_d.cast("double") / n, 6).alias("avg_qty"),
+            n.alias("count_order"),
+        )
+        .select(
+            "l_returnflag",
+            "l_linestatus",
+            "sum_qty",
+            "sum_base_price",
+            "sum_disc_price",
+            "sum_charge",
+            "avg_qty",
+            "count_order",
+        )
+    )
+
+
+def _orders_with_geo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    dims = F.broadcast(
+        customer.join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .select("c_custkey", "n_name", "r_name")
+    )
+    return orders.join(dims, orders.o_custkey == dims.c_custkey)
+
+
+def revenue_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical totals (region → nation → grand total) via rollup —
+    the grouping-sets surface the reference lacks entirely. Sums stay
+    DECIMAL through the rollup so sub/grand totals are exact."""
+    return (
+        _orders_with_geo(spark, sf_dir)
+        .rollup("r_name", "n_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            dec_sum("o_totalprice", "revenue"),
+        )
+    )

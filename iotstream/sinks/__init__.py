@@ -1,0 +1,128 @@
+"""K1-K5 — sinks as foreachBatch writers.
+
+The reference's sinks are: per-record Mongo inserts for the raw archive
+(reference src/main/java/stream/mongodb/MongoDBRawData.java:36-53), a
+per-record KafkaProducer for the clean stream (StreamProcessor.java:110-131
+— a new producer per record, the classic anti-pattern), Kafka Connect
+Mongo sinks for passthrough and aggregates (README.md:59-70,96-107), and
+System.out tracing (K5). Here every sink is a batched write per
+micro-batch: Spark pools Kafka producers and parquet writers amortize
+across the batch — the per-record overhead disappears structurally.
+"""
+
+from __future__ import annotations
+
+import threading
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from iotstream.config import EngineConfig
+from iotstream.operators.project import raw_archive_projection
+
+
+def raw_archive_writer(path: str) -> Callable[[DataFrame, int], None]:
+    """K1 — append the flattened PRE-filter frame to the archive table.
+    (The reference archives every event before filtering,
+    StreamProcessor.java:58.)"""
+
+    def write(batch: DataFrame, epoch_id: int) -> None:
+        raw_archive_projection(batch).write.mode("append").parquet(path)
+
+    return write
+
+
+def clean_parquet_writer(path: str) -> Callable[[DataFrame, int], None]:
+    """K3 — passthrough clean-stream table (the Kafka-Connect
+    ``mongodb-connect`` collection equivalent, README.md:59-70)."""
+
+    def write(batch: DataFrame, epoch_id: int) -> None:
+        batch.write.mode("append").parquet(path)
+
+    return write
+
+
+def kafka_json_writer(df: DataFrame, conf: EngineConfig, checkpoint: str):
+    """K2 — clean stream → Kafka topic as JSON with null key (the
+    reference publishes with a null key → round-robin partitioning,
+    StreamProcessor.java:123-126). Config-only in this container (no
+    broker); returns the unstarted writer."""
+    from iotstream.operators.parse import to_sensor_json
+
+    return (
+        to_sensor_json(df)
+        .writeStream.format("kafka")
+        .option("kafka.bootstrap.servers", conf.kafka_bootstrap)
+        .option("topic", conf.kafka_topic)
+        .option("checkpointLocation", checkpoint)
+    )
+
+
+class UpsertSink:
+    """K4 — keyed upsert of a streaming aggregate's changelog.
+
+    KSQL's MAX_TABLE is a continuously-updated table: each window emits
+    updated rows which the Connect sink upserts into Mongo keyed by
+    (window, id) (README.md:87-107). In update output mode each
+    micro-batch delivers the changed rows; we upsert them into a keyed
+    store. This in-memory dict is the test/demo backend — at scale the
+    same callable body targets any upsert-capable store (Delta MERGE,
+    JDBC upsert, key-value store) one batch at a time.
+    """
+
+    def __init__(self, key_cols: list[str]):
+        self.key_cols = key_cols
+        self.state: dict[tuple, tuple] = {}
+        self._lock = threading.Lock()
+        self._schema = None
+
+    def writer(self) -> Callable[[DataFrame, int], None]:
+        def write(batch: DataFrame, epoch_id: int) -> None:
+            if self._schema is None:
+                self._schema = batch.schema
+            cols = batch.columns
+            key_idx = [cols.index(k) for k in self.key_cols]
+            rows = batch.collect()  # changed rows only (update mode)
+            with self._lock:
+                for r in rows:
+                    self.state[tuple(r[i] for i in key_idx)] = tuple(r)
+
+        return write
+
+    def to_df(self, spark) -> DataFrame:
+        if self._schema is None:
+            raise RuntimeError("sink never received a batch")
+        return spark.createDataFrame(list(self.state.values()), self._schema)
+
+
+def console_writer(df: DataFrame, truncate: bool = False):
+    """K5 — debug tracing (the reference's System.out.println at
+    HiveMQSource.java:97 / StreamProcessor.java:97,128)."""
+    return df.writeStream.format("console").option("truncate", str(truncate).lower())
+
+
+def dual_sink_writer(
+    raw_path: str, clean_path: str, keep: F.Column | None = None
+) -> Callable[[DataFrame, int], None]:
+    """F6→K1/K2 — the reference's dual-sink topology in ONE foreachBatch.
+
+    The raw archive observes PRE-filter data, the clean sink POST-filter
+    data (StreamProcessor.java:58 vs :81). Doing both writes inside one
+    foreachBatch keeps a single source offset log — the stream is read
+    once, not re-read per sink (SURVEY.md §7.4 risk 2). ``persist`` makes
+    the two passes share the scan within the batch.
+    """
+    from iotstream.operators.filters import is_valid
+
+    pred = keep if keep is not None else is_valid()
+
+    def write(batch: DataFrame, epoch_id: int) -> None:
+        batch.persist()
+        try:
+            raw_archive_projection(batch).write.mode("append").parquet(raw_path)
+            batch.filter(pred).write.mode("append").parquet(clean_path)
+        finally:
+            batch.unpersist()
+
+    return write

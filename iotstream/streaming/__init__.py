@@ -1,0 +1,80 @@
+"""Streaming execution policy (SURVEY.md §2.8 T1-T7).
+
+- T1: tumbling windows via ``F.window`` (operators.windows).
+- T2: event-time domain — payload timestamps, not broker ROWTIME
+  (documented deviation; deterministic + testable).
+- T3: watermarks bound state; the reference has no late-data policy
+  (KSQL 0.6 retains windows indefinitely), so correctness runs use an
+  effectively-unbounded watermark and production runs a finite one.
+- T4: every query gets a ``checkpointLocation`` → restartable,
+  exactly-once into file sinks (strictly stronger than the reference's
+  unchckpointed fire-and-forget, StreamProcessor.java:126).
+- T5: streaming aggregation state lives in the state store.
+- T6: pacing via triggers (availableNow in tests, processingTime in
+  production) instead of the reference's 100 ms sleep poll
+  (HiveMQSource.java:86-93).
+- T7: restart-from-checkpoint replaces swallow-and-continue error
+  handling (MongoDBRawData.java:46-52).
+"""
+
+from __future__ import annotations
+
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from iotstream.operators.windows import tumbling_agg
+from iotstream.sinks import UpsertSink
+
+#: Correctness-mode watermark: large enough that no fixture row is ever
+#: late-dropped, so the streaming result equals the batch result exactly.
+UNBOUNDED_WATERMARK = "3650 days"
+
+
+def run_available_now(writer, checkpoint: str | None = None):
+    """Start a writeStream with availableNow trigger and block until all
+    available input is processed. Returns the finished query."""
+    if checkpoint is None:
+        checkpoint = tempfile.mkdtemp(prefix="iotstream-ckpt-")
+    q = (
+        writer.option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return q
+
+
+def windowed_agg_final_state(
+    spark: SparkSession,
+    stream: DataFrame,
+    ts_col: str,
+    keys: list[str],
+    value,
+    width: str = "1 minute",
+    watermark: str = UNBOUNDED_WATERMARK,
+    round_avg: int | None = 6,
+) -> DataFrame:
+    """Run the A1-A3 windowed aggregate as a REAL streaming query
+    (update mode + keyed upsert, exactly the KSQL MAX_TABLE → Connect →
+    Mongo path, README.md:87-107) and return the final upserted state.
+
+    With the unbounded correctness watermark the final state equals the
+    batch aggregate bit-for-bit — the batch-stream equivalence that
+    Structured Streaming's design guarantees.
+    """
+    agg = tumbling_agg(
+        stream.withWatermark(ts_col, watermark),
+        ts_col,
+        keys,
+        value,
+        width=width,
+        prefix="temperature",
+    )
+    if round_avg is not None:
+        agg = agg.withColumn("avg_temperature", F.round("avg_temperature", round_avg))
+    sink = UpsertSink(key_cols=["window_start", *keys])
+    writer = agg.writeStream.outputMode("update").foreachBatch(sink.writer())
+    run_available_now(writer)
+    return sink.to_df(spark)
