@@ -207,9 +207,12 @@ def q_doc_fingerprint(spark, sf_dir):
 
 
 def q_neardup_jaccard(spark, sf_dir):
-    return xdedup.neardup_jaccard_exact(
-        load_table(spark, sf_dir, "documents"), threshold=0.5
-    )
+    """Exact-verify path, capped to doc_id < 2000: the inverted-index
+    pair join is quadratic in per-shingle doc frequency — fine as a
+    correctness oracle, never the scale path (that's neardup_minhash).
+    The cap is a no-op at the sf0.01 correctness scale (500 docs)."""
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 2000)
+    return xdedup.neardup_jaccard_exact(docs, threshold=0.5)
 
 
 def q_neardup_minhash(spark, sf_dir):
@@ -323,7 +326,8 @@ _SENSOR_FLAT = (
 )
 
 _JACCARD_ORACLE = """
-WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents
+           WHERE doc_id < 2000),
 idx AS (SELECT doc_id, w, unnest(range(1, len(w) - 1)) AS i FROM t),
 sh AS (SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS g FROM idx),
 sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),

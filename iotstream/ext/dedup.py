@@ -46,14 +46,23 @@ def with_shingles(docs: DataFrame, n: int = SHINGLE_WIDTH) -> DataFrame:
 
 def minhash_signature(docs_with_shingles: DataFrame, num_hashes: int = 32) -> DataFrame:
     """MinHash signature: for seed s, min over shingles of
-    xxhash64(shingle, s). Pure expressions — no UDF, no shuffle."""
-    return docs_with_shingles.withColumn(
-        "signature",
-        F.expr(
-            f"transform(sequence(0, {num_hashes - 1}), "
-            "s -> array_min(transform(shingles, g -> xxhash64(g, s))))"
-        ),
+    xxhash64(shingle, s).
+
+    Implementation note: NOT nested higher-order functions — Spark
+    evaluates HOF lambdas interpreted (outside whole-stage codegen), ~an
+    order of magnitude slower. Explode shingles → ``num_hashes`` plain
+    min() aggregates (hash + agg fully codegen'd) → reassemble array.
+    One shuffle on doc_id with map-side partial mins.
+    """
+    ex = docs_with_shingles.select("doc_id", F.explode("shingles").alias("g"))
+    mins = [
+        F.min(F.xxhash64("g", F.lit(s))).alias(f"mh{s}") for s in range(num_hashes)
+    ]
+    per_doc = ex.groupBy("doc_id").agg(*mins)
+    sig = per_doc.select(
+        "doc_id", F.array(*[f"mh{s}" for s in range(num_hashes)]).alias("signature")
     )
+    return docs_with_shingles.join(sig, "doc_id")
 
 
 def lsh_candidate_pairs(signed: DataFrame, bands: int = 8) -> DataFrame:
@@ -163,19 +172,16 @@ def simhash64(docs: DataFrame) -> DataFrame:
     Near-dups differ in few bits → group by hash or probe by Hamming
     distance. Pure expressions; engine-internal (hash functions are not
     cross-engine comparable)."""
-    shingled = with_shingles(docs)
-    bit_votes = F.expr(
-        "transform(sequence(0, 63), bit -> "
-        "size(filter(shingles, g -> ((xxhash64(g) >> bit) & 1) = 1)) * 2 "
-        "- size(shingles))"
+    # Explode + 64 plain sign-vote aggregates: stays inside whole-stage
+    # codegen (nested HOF lambdas are interpreted and ~10× slower).
+    ex = with_shingles(docs).select("doc_id", F.explode("shingles").alias("g")).select(
+        "doc_id", F.xxhash64("g").alias("h")
     )
-    return shingled.select(
-        "doc_id",
-        bit_votes.alias("votes"),
-    ).select(
-        "doc_id",
-        F.expr(
-            "aggregate(sequence(0, 63), 0L, "
-            "(acc, bit) -> acc + IF(element_at(votes, bit + 1) > 0, shiftleft(1L, bit), 0L))"
-        ).alias("simhash"),
-    )
+    votes = [
+        F.sum(F.expr(f"IF(((h >> {b}) & 1) = 1, 1, -1)")).alias(f"v{b}")
+        for b in range(64)
+    ]
+    per_doc = ex.groupBy("doc_id").agg(*votes)
+    # sign bit (63) added last keeps every partial sum in bigint range.
+    combine = " + ".join(f"IF(v{b} > 0, shiftleft(1L, {b}), 0L)" for b in range(64))
+    return per_doc.select("doc_id", F.expr(combine).alias("simhash"))

@@ -1,0 +1,60 @@
+"""E1/E2 — exact dedup and MinHash-LSH near-dup quality."""
+
+from __future__ import annotations
+
+from pyspark.sql import Row
+
+from iotstream.ext.dedup import (
+    dedup_exact,
+    neardup_jaccard_exact,
+    neardup_minhash,
+    simhash64,
+)
+from iotstream.schemas import load_table
+from tests.conftest import SF_DIR
+
+
+def test_dedup_exact_counts_duplicates(spark):
+    df = spark.createDataFrame(
+        [
+            Row(doc_id=1, text="a b c"),
+            Row(doc_id=2, text="a b c"),
+            Row(doc_id=3, text="x y z"),
+        ]
+    )
+    out = {r.text: (r.doc_id, r.n_copies) for r in dedup_exact(df).collect()}
+    assert out == {"a b c": (1, 2), "x y z": (3, 1)}
+
+
+def test_minhash_recall_vs_exact(spark):
+    docs = load_table(spark, SF_DIR, "documents")
+    exact = {
+        (r.doc_a, r.doc_b) for r in neardup_jaccard_exact(docs, 0.5).collect()
+    }
+    lsh = {(r.doc_a, r.doc_b) for r in neardup_minhash(docs, 0.5).collect()}
+    assert lsh.issubset(exact)  # verify step guarantees no false positives
+    assert exact, "fixture should contain planted near-dup pairs"
+    recall = len(lsh & exact) / len(exact)
+    assert recall >= 0.8, f"LSH recall {recall:.2f} too low"
+
+
+def test_simhash_separates_neardups_from_random_pairs(spark):
+    """SimHash is noisy on short docs (few shingles → few votes per
+    bit), so assert the *distribution* property that makes it usable:
+    near-dup pairs sit measurably closer in Hamming space than random
+    pairs (random expectation = 32 bits)."""
+    docs = load_table(spark, SF_DIR, "documents")
+    pairs = neardup_jaccard_exact(docs, 0.8).collect()
+    sh = {r.doc_id: r.simhash for r in simhash64(docs).collect()}
+    assert pairs
+
+    def ham(a, b):
+        return bin(sh[a] ^ sh[b]).count("1")
+
+    near = [ham(p.doc_a, p.doc_b) for p in pairs]
+    ids = sorted(sh)
+    random_pairs = [(ids[i], ids[(i * 7 + 13) % len(ids)]) for i in range(200)]
+    rand = [ham(a, b) for a, b in random_pairs if a != b]
+    avg_near = sum(near) / len(near)
+    avg_rand = sum(rand) / len(rand)
+    assert avg_near < avg_rand - 4, (avg_near, avg_rand)

@@ -1,0 +1,48 @@
+"""E3 — similarity search: exact correctness + ANN recall."""
+
+from __future__ import annotations
+
+from iotstream.ext.similarity import (
+    similarity_topk,
+    similarity_topk_ivf,
+    similarity_topk_lsh,
+)
+from iotstream.schemas import load_table
+from tests.conftest import SF_DIR
+
+
+def _topk_sets(rows):
+    out = {}
+    for r in rows:
+        out.setdefault(r.query_id, set()).add(r.vec_id)
+    return out
+
+
+def test_exact_topk_shape_and_order(spark):
+    emb = load_table(spark, SF_DIR, "embeddings")
+    rows = similarity_topk(emb, n_queries=5, k=5).collect()
+    assert len(rows) == 25
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r.query_id, []).append(r)
+    for q, rs in by_q.items():
+        rs.sort(key=lambda r: r.rank)
+        assert [r.rank for r in rs] == [1, 2, 3, 4, 5]
+        sims = [r.cosine for r in rs]
+        assert sims == sorted(sims, reverse=True)
+        assert all(-1.0 <= s <= 1.0 for s in sims)
+        assert all(r.vec_id != q for r in rs)
+
+
+def test_ann_recall_vs_exact(spark):
+    emb = load_table(spark, SF_DIR, "embeddings")
+    exact = _topk_sets(similarity_topk(emb, 10, 5).collect())
+    for ann_rows, label, floor in (
+        (similarity_topk_lsh(emb, 10, 5, nbits=4).collect(), "lsh", 0.05),
+        (similarity_topk_ivf(emb, 10, 5, nlist=4, nprobe=2).collect(), "ivf", 0.3),
+    ):
+        ann = _topk_sets(ann_rows)
+        hits = sum(len(ann.get(q, set()) & s) for q, s in exact.items())
+        total = sum(len(s) for s in exact.values())
+        recall = hits / total
+        assert recall >= floor, f"{label} recall {recall:.2f} below {floor}"

@@ -1,0 +1,61 @@
+"""E4/E5 — text analysis and multimodal column plumbing."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from iotstream.ext.multimodal import attach_media, decode_media, sample_frames
+from iotstream.ext.text import quality_score, token_stats, word_counts
+from iotstream.schemas import load_table
+from tests.conftest import SF_DIR
+
+
+def test_word_counts_sum_to_total_tokens(spark):
+    docs = load_table(spark, SF_DIR, "documents")
+    total_tokens = docs.select(
+        F.sum(F.size(F.split("text", " "))).alias("n")
+    ).first()["n"]
+    counted = word_counts(docs).agg(F.sum("cnt")).first()[0]
+    assert counted == total_tokens
+
+
+def test_token_stats_consistent_with_n_chars(spark):
+    docs = load_table(spark, SF_DIR, "documents")
+    bad = token_stats(docs).filter(
+        (F.col("n_tokens") <= 0) | (F.col("avg_token_len") <= 0)
+    )
+    assert bad.count() == 0
+
+
+def test_quality_score_bounded(spark):
+    docs = load_table(spark, SF_DIR, "documents")
+    qs = quality_score(docs)
+    assert qs.filter((F.col("quality") < 0) | (F.col("quality") > 1)).count() == 0
+
+
+def test_media_metadata_matches_payload(spark):
+    docs = load_table(spark, SF_DIR, "documents")
+    media = attach_media(docs)
+    # ascii fixture text → byte length equals n_chars
+    joined = media.join(docs, "doc_id").filter(
+        F.col("n_bytes") != F.col("n_chars")
+    )
+    assert joined.count() == 0
+    assert media.filter(F.length("sha256") != 64).count() == 0
+
+
+def test_decode_fake_plumbing(spark):
+    docs = load_table(spark, SF_DIR, "documents").limit(50)
+    decoded = decode_media(attach_media(docs), fake=True)
+    rows = decoded.collect()
+    assert len(rows) == 50
+    assert all(1 <= r.width <= 640 and 1 <= r.height <= 480 for r in rows)
+    frames = sample_frames(decoded, every_nth=4)
+    assert frames.count() > 0
+
+
+def test_decode_real_path_is_explicit_stub(spark):
+    docs = load_table(spark, SF_DIR, "documents").limit(5)
+    with pytest.raises(Exception, match="NotImplementedError|not available"):
+        decode_media(attach_media(docs), fake=False).collect()
