@@ -178,6 +178,57 @@ def q_synthetic_sensor_stream(spark, sf_dir):
     )
 
 
+def q_stateful_quality_monitor(spark, sf_dir):
+    """T5 EXT: arbitrary per-key state via applyInPandasWithState — a
+    per-sensor quality monitor (totals + longest consecutive-invalid
+    run). Runs as a real streaming query; final upserted state is
+    oracle-checked against a gaps-and-islands SQL formulation."""
+    from iotstream.schemas import load_events_raw, normalize_ns_timestamp
+    from iotstream.sources import FileStreamSource
+    from iotstream.streaming.stateful import run_quality_monitor_final
+
+    use_utc(spark)
+    raw_schema = load_events_raw(spark, sf_dir).schema
+    stream = FileStreamSource(table_path(sf_dir, "events"), raw_schema).load(spark)
+    sensor = sensorize(normalize_ns_timestamp(stream))
+    return run_quality_monitor_final(spark, sensor)
+
+
+def q_sessionize(spark, sf_dir):
+    """Gap-based sessionization (30-min inactivity) via lag + running
+    sum — the batch twin of the streaming session_window operator."""
+    from iotstream.ext.sessions import sessionize_batch
+
+    use_utc(spark)
+    return sessionize_batch(load_table(spark, sf_dir, "events"))
+
+
+def q_distinct_users(spark, sf_dir):
+    use_utc(spark)
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("n_users"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+
+
+def q_high_value_purchasers(spark, sf_dir):
+    """Set-operation surface: EXCEPT over distinct projections."""
+    use_utc(spark)
+    ev = load_table(spark, sf_dir, "events")
+    buyers = (
+        ev.filter((F.col("event_type") == "purchase") & (F.col("value") > 320))
+        .select("user_id")
+        .distinct()
+    )
+    erring = (
+        ev.filter((F.col("event_type") == "error") & (F.col("value") > 320))
+        .select("user_id")
+        .distinct()
+    )
+    return buyers.subtract(erring)
+
+
 # ------------------------------------------------------------ EXT queries
 
 def q_dedup_exact(spark, sf_dir):
@@ -298,6 +349,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "raw_archive_projection": q_raw_archive_projection,
         "throughput_count": q_throughput_count,
         "streaming_window_agg": q_streaming_window_agg,
+        "stateful_quality_monitor": q_stateful_quality_monitor,
+        "sessionize": q_sessionize,
+        "distinct_users": q_distinct_users,
+        "high_value_purchasers": q_high_value_purchasers,
         "synthetic_sensor_stream": q_synthetic_sensor_stream,
         "dedup_exact": q_dedup_exact,
         "word_counts": q_word_counts,
@@ -417,6 +472,59 @@ def oracle_sql() -> dict[str, str]:
                          CAST(greatest({span}, 1) AS DOUBLE), 6) AS msgs_per_sec
             FROM sensor GROUP BY id""",
         "streaming_window_agg": _window_oracle("max", "min", "avg"),
+        "stateful_quality_monitor": f"""
+            WITH sensor AS ({cte}),
+            flagged AS (
+              SELECT id, ts,
+                     CASE WHEN NOT ({VALID_SQL}) THEN 1 ELSE 0 END AS inv,
+                     row_number() OVER (PARTITION BY id ORDER BY ts) AS rn
+              FROM sensor),
+            islands AS (
+              SELECT id, inv,
+                     rn - row_number() OVER (PARTITION BY id, inv ORDER BY ts) AS grp
+              FROM flagged),
+            runs AS (
+              SELECT id, count(*) AS run_len
+              FROM islands WHERE inv = 1 GROUP BY id, grp),
+            max_runs AS (SELECT id, max(run_len) AS max_run FROM runs GROUP BY id),
+            totals AS (
+              SELECT id, count(*) AS n_total,
+                     CAST(sum(inv) AS BIGINT) AS n_invalid
+              FROM flagged GROUP BY id)
+            SELECT t.id, t.n_total, t.n_invalid,
+                   coalesce(m.max_run, 0) AS max_invalid_run
+            FROM totals t LEFT JOIN max_runs m ON t.id = m.id""",
+        "sessionize": """
+            WITH base AS (
+              SELECT user_id, event_id, ts,
+                     CAST(floor(epoch(ts)) AS BIGINT) AS ep
+              FROM events),
+            lagged AS (
+              SELECT user_id, event_id, ts,
+                     CASE WHEN lag(ep) OVER w IS NULL
+                            OR ep - lag(ep) OVER w > 1800
+                          THEN 1 ELSE 0 END AS new_sess
+              FROM base
+              WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+            ids AS (
+              SELECT user_id, ts,
+                     CAST(sum(new_sess) OVER (PARTITION BY user_id
+                          ORDER BY ts, event_id
+                          ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+              FROM lagged)
+            SELECT user_id, session_id, count(*) AS n_events,
+                   min(ts) AS session_start, max(ts) AS session_end
+            FROM ids GROUP BY user_id, session_id""",
+        "distinct_users": """
+            SELECT event_type, count(DISTINCT user_id) AS n_users,
+                   count(*) AS n_events
+            FROM events GROUP BY event_type""",
+        "high_value_purchasers": """
+            SELECT DISTINCT user_id FROM events
+            WHERE event_type = 'purchase' AND value > 320
+            EXCEPT
+            SELECT DISTINCT user_id FROM events
+            WHERE event_type = 'error' AND value > 320""",
         "synthetic_sensor_stream": f"""
             WITH l AS (SELECT unnest(range(1, 1001)) AS loop),
             s AS (SELECT loop,

@@ -1,0 +1,63 @@
+"""Sessionization — gap-based session windows over the events stream.
+
+Two equivalent implementations:
+- ``sessionize_batch``: lag + running-sum session ids (plain window
+  functions; ANSI-SQL-expressible, so oracle-checkable);
+- ``session_window_stream``: Spark's native ``session_window`` for
+  streaming (state-store backed, watermark-bounded) — the form that
+  runs incrementally at scale.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+GAP_SECONDS = 1800  # 30 minutes
+
+
+def sessionize_batch(events: DataFrame, gap_seconds: int = GAP_SECONDS) -> DataFrame:
+    """Per-user sessions: a new session starts when the gap from the
+    previous event exceeds ``gap_seconds``. Integer epoch arithmetic
+    keeps the computation bit-identical to the SQL oracle."""
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    epoch = F.unix_timestamp("ts")
+    new_sess = F.when(
+        F.lag(epoch).over(w).isNull()
+        | ((epoch - F.lag(epoch).over(w)) > gap_seconds),
+        F.lit(1),
+    ).otherwise(F.lit(0))
+    with_ids = events.select("user_id", "event_id", "ts").withColumn(
+        "session_id",
+        F.sum(new_sess).over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    return with_ids.groupBy("user_id", "session_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.min("ts").alias("session_start"),
+        F.max("ts").alias("session_end"),
+    )
+
+
+def session_window_stream(
+    sensor_stream: DataFrame,
+    key: str = "id",
+    gap: str = "30 minutes",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Streaming-native sessions via session_window: state merges
+    adjacent windows within the gap; the watermark finalizes sessions
+    once no in-gap event can still arrive."""
+    return (
+        sensor_stream.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap).alias("w"), key)
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            key,
+            "n_events",
+        )
+    )

@@ -1,0 +1,102 @@
+"""T5 custom state + sessionization operators."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from iotstream.ext.sessions import session_window_stream, sessionize_batch
+from iotstream.generator import synthetic_sensor_events
+from iotstream.schemas import load_table
+from iotstream.streaming.stateful import run_quality_monitor_final
+from tests.conftest import SF_DIR
+
+
+def test_quality_monitor_totals_match_batch(spark, tmp_path):
+    """Final stateful totals == batch counts; the longest invalid run in
+    the generator mix is 1 (every 10th row is invalid, never adjacent
+    at 2s spacing)."""
+    gen = synthetic_sensor_events(spark, 1000)
+    path = str(tmp_path / "gen")
+    gen.coalesce(2).write.mode("overwrite").parquet(path)
+
+    from iotstream.sources import FileStreamSource
+
+    stream = FileStreamSource(path, gen.schema, max_files_per_trigger=1).load(spark)
+    final = run_quality_monitor_final(spark, stream)
+    rows = {r.id: r for r in final.collect()}
+
+    batch = gen.groupBy("id").agg(
+        F.count(F.lit(1)).alias("n_total"),
+        F.sum(
+            F.when(
+                ((F.col("metrics.temperature") == 0) & (F.col("metrics.humidity") == 0))
+                | (
+                    (F.col("metrics.temperature") >= 50)
+                    & (F.col("metrics.humidity") >= 100)
+                ),
+                1,
+            ).otherwise(0)
+        ).alias("n_invalid"),
+    )
+    for b in batch.collect():
+        assert rows[b.id].n_total == b.n_total
+        assert rows[b.id].n_invalid == b.n_invalid
+    # generator quirk: id = loop % 10, and invalid loops are exactly the
+    # multiples of 10 — so EVERY reading of sensor0 is invalid (one
+    # unbroken run) and no other sensor ever sees one.
+    bad_sensor = "sensor0rcc-1"
+    assert rows[bad_sensor].n_invalid == rows[bad_sensor].n_total == 100
+    assert rows[bad_sensor].max_invalid_run == 100
+    for sid, r in rows.items():
+        if sid != bad_sensor:
+            assert r.n_invalid == 0 and r.max_invalid_run == 0
+
+
+def test_sessionize_batch_invariants(spark):
+    ev = load_table(spark, SF_DIR, "events")
+    sess = sessionize_batch(ev)
+    # sessions per user are 1..n contiguous, events conserved
+    total = sess.agg(F.sum("n_events")).first()[0]
+    assert total == ev.count()
+    per_user = sess.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_sessions"), F.max("session_id").alias("max_id")
+    )
+    assert per_user.filter(F.col("n_sessions") != F.col("max_id")).count() == 0
+    assert sess.filter(F.col("session_end") < F.col("session_start")).count() == 0
+
+
+def test_session_window_stream_matches_batch_session_count(spark, tmp_path):
+    """Streaming session_window over a drained file stream produces the
+    same (user, session) partitioning as the batch lag/cumsum method."""
+    from iotstream.schemas import load_events_raw, normalize_ns_timestamp, table_path
+    from iotstream.sources import FileStreamSource
+    from iotstream.sinks import UpsertSink
+    from iotstream.streaming import run_available_now
+    from iotstream.sensorize import sensorize
+
+    raw_schema = load_events_raw(spark, SF_DIR).schema
+    stream = FileStreamSource(table_path(SF_DIR, "events"), raw_schema).load(spark)
+    sensor = sensorize(normalize_ns_timestamp(stream))
+    sess = session_window_stream(sensor, key="id", gap="30 minutes",
+                                 watermark="3650 days")
+    sink = UpsertSink(key_cols=["session_start", "id"])
+    # session windows support append (finalized-only) or complete;
+    # complete re-emits full state each batch → final batch = all sessions
+    run_available_now(
+        sess.writeStream.outputMode("complete").foreachBatch(sink.writer())
+    )
+    stream_sessions = sink.to_df(spark)
+
+    batch = sessionize_batch(
+        sensorize(load_table(spark, SF_DIR, "events")).select(
+            F.col("id").alias("user_id"),
+            F.col("ts"),
+            F.monotonically_increasing_id().alias("event_id"),
+        )
+    )
+    # same number of sessions and same total event count per key set
+    assert stream_sessions.count() == batch.count()
+    assert (
+        stream_sessions.agg(F.sum("n_events")).first()[0]
+        == batch.agg(F.sum("n_events")).first()[0]
+    )
