@@ -47,12 +47,29 @@ def _sensor_columns(loop: Column, n_sensors: int, ts: Column) -> list[Column]:
     ]
 
 
+# C4 parity: the reference draws metrics with random.randint(lo, hi)
+# (mqttgen.py:41-45). randomized=True reproduces that with rand()
+# expressions; the default stays deterministic so tests can assert the
+# exact 1/9/90 split.
+_TEMP_RAND = (
+    "CASE WHEN loop % 100 = 0 THEN CAST(0 AS BIGINT) "
+    "WHEN loop % 10 = 0 THEN CAST(floor(rand() * 31 + 50) AS BIGINT) "
+    "ELSE CAST(floor(rand() * 41 + 10) AS BIGINT) END"
+)
+_HUM_RAND = (
+    "CASE WHEN loop % 100 = 0 THEN CAST(0 AS BIGINT) "
+    "WHEN loop % 10 = 0 THEN CAST(floor(rand() * 31 + 100) AS BIGINT) "
+    "ELSE CAST(floor(rand() * 31 + 50) AS BIGINT) END"
+)
+
+
 def synthetic_sensor_events(
     spark: SparkSession,
     n: int,
     n_sensors: int = 10,
     start: str = "2024-01-01 00:00:00",
     seconds_between: int = 2,
+    randomized: bool = False,
 ) -> DataFrame:
     """Batch fixture: n sensor events, loop counter starting at 1
     (mqttgen.py starts its loop at 1 — the %100/%10 branches never fire
@@ -62,7 +79,13 @@ def synthetic_sensor_events(
     ts = F.timestamp_seconds(
         F.unix_timestamp(F.lit(start)) + F.col("loop") * seconds_between
     )
-    return base.select(F.col("loop"), *_sensor_columns(F.col("loop"), n_sensors, ts))
+    cols = _sensor_columns(F.col("loop"), n_sensors, ts)
+    if randomized:
+        cols[3] = F.struct(
+            F.expr(_TEMP_RAND).alias("temperature"),
+            F.expr(_HUM_RAND).alias("humidity"),
+        ).alias("metrics")
+    return base.select(F.col("loop"), *cols)
 
 
 def sensor_payload_json(loop: Column, n_sensors: int, ts: Column) -> Column:

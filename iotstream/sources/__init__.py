@@ -105,9 +105,11 @@ class RateSensorSource(Source):
             spark.readStream.format("rate")
             .option("rowsPerSecond", self.rows_per_second)
             .load()
+            # generator expressions reference the loop counter by name
+            .select(F.col("value").alias("loop"), F.col("timestamp"))
         )
         return rate.select(
             sensor_payload_json(
-                loop=F.col("value"), n_sensors=self.n_sensors, ts=F.col("timestamp")
+                loop=F.col("loop"), n_sensors=self.n_sensors, ts=F.col("timestamp")
             ).alias("value")
         )
