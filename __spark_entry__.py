@@ -164,6 +164,15 @@ def q_streaming_window_agg(spark, sf_dir):
     )
 
 
+def q_ksql_max_table(spark, sf_dir):
+    """Entry-point-2 parity: the KSQL MAX_TABLE statement run as pure
+    Spark SQL over a registered stream view (README.md:76-92)."""
+    from iotstream.sql import create_stream_view, max_table
+
+    create_stream_view(_sensor(spark, sf_dir))
+    return max_table(spark)
+
+
 def q_synthetic_sensor_stream(spark, sf_dir):
     """S4 generator parity: the deterministic 1/9/90 quality mix
     (mqttgen.py:36-45) from pure expressions, oracle-checked."""
@@ -353,6 +362,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sessionize": q_sessionize,
         "distinct_users": q_distinct_users,
         "high_value_purchasers": q_high_value_purchasers,
+        "ksql_max_table": q_ksql_max_table,
         "synthetic_sensor_stream": q_synthetic_sensor_stream,
         "dedup_exact": q_dedup_exact,
         "word_counts": q_word_counts,
@@ -515,6 +525,7 @@ def oracle_sql() -> dict[str, str]:
             SELECT user_id, session_id, count(*) AS n_events,
                    min(ts) AS session_start, max(ts) AS session_end
             FROM ids GROUP BY user_id, session_id""",
+        "ksql_max_table": _window_oracle("max"),
         "distinct_users": """
             SELECT event_type, count(DISTINCT user_id) AS n_users,
                    count(*) AS n_events

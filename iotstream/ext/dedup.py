@@ -147,11 +147,25 @@ def neardup_jaccard_exact(docs: DataFrame, threshold: float = 0.5) -> DataFrame:
     Quadratic in per-shingle document frequency — correctness tool, not
     the 100 TB path (that's ``neardup_minhash``)."""
     shingled = with_shingles(docs)
-    tok = shingled.select("doc_id", F.explode("shingles").alias("g"))
+    tok = shingled.select(
+        "doc_id", F.size("shingles").alias("n"), F.explode("shingles").alias("g")
+    )
     sz = shingled.select("doc_id", F.size("shingles").alias("n"))
     a, b = tok.alias("a"), tok.alias("b")
+    # Lossless size-ratio prune: J(a,b) <= min(na,nb)/max(na,nb), so a
+    # pair can only reach J >= t when the smaller set is at least t of
+    # the larger — drop the rest before the pair-count aggregation.
+    ratio_ok = (
+        (F.col("a.n") >= F.lit(threshold) * F.col("b.n"))
+        & (F.col("b.n") >= F.lit(threshold) * F.col("a.n"))
+    )
     inter = (
-        a.join(b, (F.col("a.g") == F.col("b.g")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        a.join(
+            b,
+            (F.col("a.g") == F.col("b.g"))
+            & (F.col("a.doc_id") < F.col("b.doc_id"))
+            & ratio_ok,
+        )
         .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .agg(F.count(F.lit(1)).alias("i"))
     )
