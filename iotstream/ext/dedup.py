@@ -18,6 +18,16 @@ from pyspark.sql import functions as F
 SHINGLE_WIDTH = 3
 
 
+def fan_out(df: DataFrame) -> DataFrame:
+    """Small single-file fixture scans arrive as ONE partition, which
+    serializes every CPU-bound derivation downstream onto one core.
+    Round-robin repartition to the session's parallelism first — the
+    shuffle is tiny next to the shingle/hash work it parallelizes. (At
+    real scale the scan already has thousands of splits and this is a
+    no-op choice, governed by spark.sql.files.maxPartitionBytes.)"""
+    return df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+
+
 def dedup_exact(docs: DataFrame, key: str = "text") -> DataFrame:
     """E1 — exact dedup: canonical representative (min doc_id) + dup
     count per distinct key. Equivalent to dropDuplicates([key]) but with
@@ -133,7 +143,7 @@ def neardup_minhash(
     With 32 hashes / 8 bands (r=4), collision prob at J=0.5 per band is
     0.5⁴=6.25% → ≥1-of-8 bands ≈ 40%;  at J=0.9 ≈ 99.6% — tune
     bands/hashes per corpus. Returns pairs with verified J ≥ threshold."""
-    shingled = with_shingles(docs)
+    shingled = with_shingles(fan_out(docs))
     cands = lsh_candidate_pairs(minhash_signature(shingled, num_hashes), bands)
     j = _jaccard(cands, shingled)
     return j.filter(F.col("jaccard") >= threshold).select(
@@ -146,7 +156,7 @@ def neardup_jaccard_exact(docs: DataFrame, threshold: float = 0.5) -> DataFrame:
     join (explode shingles, join on shingle, count intersections).
     Quadratic in per-shingle document frequency — correctness tool, not
     the 100 TB path (that's ``neardup_minhash``)."""
-    shingled = with_shingles(docs)
+    shingled = with_shingles(fan_out(docs))
     tok = shingled.select(
         "doc_id", F.size("shingles").alias("n"), F.explode("shingles").alias("g")
     )
@@ -188,8 +198,10 @@ def simhash64(docs: DataFrame) -> DataFrame:
     cross-engine comparable)."""
     # Explode + 64 plain sign-vote aggregates: stays inside whole-stage
     # codegen (nested HOF lambdas are interpreted and ~10× slower).
-    ex = with_shingles(docs).select("doc_id", F.explode("shingles").alias("g")).select(
-        "doc_id", F.xxhash64("g").alias("h")
+    ex = (
+        with_shingles(fan_out(docs))
+        .select("doc_id", F.explode("shingles").alias("g"))
+        .select("doc_id", F.xxhash64("g").alias("h"))
     )
     votes = [
         F.sum(F.expr(f"IF(((h >> {b}) & 1) = 1, 1, -1)")).alias(f"v{b}")

@@ -46,6 +46,26 @@ def run_available_now(writer, checkpoint: str | None = None):
     return q
 
 
+class scoped_shuffle_partitions:
+    """Temporarily right-size ``spark.sql.shuffle.partitions`` — the
+    number of state-store partitions a streaming query creates. A
+    driver session left at the 200 default pays 200 state tasks per
+    micro-batch on test-scale data; production sizes this to the
+    cluster. Restores the previous value on exit."""
+
+    def __init__(self, spark, n: int):
+        self.spark, self.n = spark, n
+
+    def __enter__(self):
+        self.prev = self.spark.conf.get("spark.sql.shuffle.partitions")
+        self.spark.conf.set("spark.sql.shuffle.partitions", str(self.n))
+        return self
+
+    def __exit__(self, *exc):
+        self.spark.conf.set("spark.sql.shuffle.partitions", self.prev)
+        return False
+
+
 def windowed_agg_final_state(
     spark: SparkSession,
     stream: DataFrame,
