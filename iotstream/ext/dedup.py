@@ -39,9 +39,13 @@ def dedup_exact(docs: DataFrame, key: str = "text") -> DataFrame:
 
 
 def with_shingles(docs: DataFrame, n: int = SHINGLE_WIDTH) -> DataFrame:
-    """Distinct word n-gram shingles per document. Word-level shingles
-    (not token sets — with a 31-word vocabulary token sets saturate and
-    every pair looks similar; n-grams restore discrimination)."""
+    """Distinct word n-gram shingles per document, as an ARRAY column.
+    Word-level shingles (not token sets — with a 31-word vocabulary
+    token sets saturate and every pair looks similar; n-grams restore
+    discrimination). Use only where the per-doc array is genuinely
+    needed (pairwise verify); for per-shingle pipelines use
+    ``exploded_shingles`` — exploding this array re-evaluates the
+    interpreted HOF lambda per generated row (quadratic per doc)."""
     # element_at is 1-based, matching the oracle's DuckDB list indexing.
     lam = " ".join(
         ["concat_ws(' ',"]
@@ -54,25 +58,49 @@ def with_shingles(docs: DataFrame, n: int = SHINGLE_WIDTH) -> DataFrame:
     )
 
 
-def minhash_signature(docs_with_shingles: DataFrame, num_hashes: int = 32) -> DataFrame:
-    """MinHash signature: for seed s, min over shingles of
-    xxhash64(shingle, s).
+def exploded_shingles(
+    docs: DataFrame, n: int = SHINGLE_WIDTH, dedup: bool = True
+) -> DataFrame:
+    """One (doc_id, g) row per word n-gram shingle. Explodes an index
+    SEQUENCE first and builds each shingle string once per output row —
+    measured ~6× faster than explode(transform(...)), whose interpreted
+    lambda chain is re-evaluated per generated row. ``dedup=True``
+    distincts per-doc shingles (one narrow shuffle; map-side partial
+    aggregation absorbs in-doc repeats since a doc's rows are
+    co-partitioned on its scan split). Pass ``dedup=False`` for
+    consumers invariant to duplicates (e.g. min() in MinHash) to skip
+    that shuffle entirely."""
+    parts = ", ".join(f"element_at(w, i + {k})" for k in range(n))
+    ex = (
+        docs.withColumn("w", F.split("text", " "))
+        .filter(F.expr(f"size(w) >= {n}"))
+        .select(
+            "doc_id",
+            "w",
+            F.explode(F.expr(f"sequence(1, size(w) - {n - 1})")).alias("i"),
+        )
+        .select("doc_id", F.expr(f"concat_ws(' ', {parts})").alias("g"))
+    )
+    return ex.distinct() if dedup else ex
+
+
+def minhash_signature(exploded: DataFrame, num_hashes: int = 32) -> DataFrame:
+    """MinHash signature from (doc_id, g) shingle rows: for seed s, min
+    over shingles of xxhash64(shingle, s).
 
     Implementation note: NOT nested higher-order functions — Spark
     evaluates HOF lambdas interpreted (outside whole-stage codegen), ~an
-    order of magnitude slower. Explode shingles → ``num_hashes`` plain
-    min() aggregates (hash + agg fully codegen'd) → reassemble array.
-    One shuffle on doc_id with map-side partial mins.
-    """
-    ex = docs_with_shingles.select("doc_id", F.explode("shingles").alias("g"))
+    order of magnitude slower. ``num_hashes`` plain min() aggregates
+    (hash + agg fully codegen'd) → reassemble array. One shuffle on
+    doc_id with map-side partial mins; duplicate shingles don't change
+    a min, so the input needs no per-doc dedup."""
     mins = [
         F.min(F.xxhash64("g", F.lit(s))).alias(f"mh{s}") for s in range(num_hashes)
     ]
-    per_doc = ex.groupBy("doc_id").agg(*mins)
-    sig = per_doc.select(
+    per_doc = exploded.groupBy("doc_id").agg(*mins)
+    return per_doc.select(
         "doc_id", F.array(*[f"mh{s}" for s in range(num_hashes)]).alias("signature")
     )
-    return docs_with_shingles.join(sig, "doc_id")
 
 
 def lsh_candidate_pairs(signed: DataFrame, bands: int = 8) -> DataFrame:
@@ -143,9 +171,10 @@ def neardup_minhash(
     With 32 hashes / 8 bands (r=4), collision prob at J=0.5 per band is
     0.5⁴=6.25% → ≥1-of-8 bands ≈ 40%;  at J=0.9 ≈ 99.6% — tune
     bands/hashes per corpus. Returns pairs with verified J ≥ threshold."""
-    shingled = with_shingles(fan_out(docs))
-    cands = lsh_candidate_pairs(minhash_signature(shingled, num_hashes), bands)
-    j = _jaccard(cands, shingled)
+    fanned = fan_out(docs)
+    ex = exploded_shingles(fanned, dedup=False)  # min() ignores repeats
+    cands = lsh_candidate_pairs(minhash_signature(ex, num_hashes), bands)
+    j = _jaccard(cands, with_shingles(fanned))
     return j.filter(F.col("jaccard") >= threshold).select(
         "doc_a", "doc_b", F.round("jaccard", 6).alias("jaccard")
     )
@@ -156,11 +185,9 @@ def neardup_jaccard_exact(docs: DataFrame, threshold: float = 0.5) -> DataFrame:
     join (explode shingles, join on shingle, count intersections).
     Quadratic in per-shingle document frequency — correctness tool, not
     the 100 TB path (that's ``neardup_minhash``)."""
-    shingled = with_shingles(fan_out(docs))
-    tok = shingled.select(
-        "doc_id", F.size("shingles").alias("n"), F.explode("shingles").alias("g")
-    )
-    sz = shingled.select("doc_id", F.size("shingles").alias("n"))
+    ex = exploded_shingles(fan_out(docs))  # distinct (doc_id, g)
+    sz = ex.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    tok = ex.join(sz, "doc_id").select("doc_id", "n", "g")
     a, b = tok.alias("a"), tok.alias("b")
     # Lossless size-ratio prune: J(a,b) <= min(na,nb)/max(na,nb), so a
     # pair can only reach J >= t when the smaller set is at least t of
@@ -196,12 +223,12 @@ def simhash64(docs: DataFrame) -> DataFrame:
     Near-dups differ in few bits → group by hash or probe by Hamming
     distance. Pure expressions; engine-internal (hash functions are not
     cross-engine comparable)."""
-    # Explode + 64 plain sign-vote aggregates: stays inside whole-stage
-    # codegen (nested HOF lambdas are interpreted and ~10× slower).
-    ex = (
-        with_shingles(fan_out(docs))
-        .select("doc_id", F.explode("shingles").alias("g"))
-        .select("doc_id", F.xxhash64("g").alias("h"))
+    # Index-explode + 64 plain sign-vote aggregates: stays inside
+    # whole-stage codegen (nested HOF lambdas are interpreted and ~10×
+    # slower, and exploding a transform() array re-evaluates the lambda
+    # per generated row).
+    ex = exploded_shingles(fan_out(docs)).select(
+        "doc_id", F.xxhash64("g").alias("h")
     )
     votes = [
         F.sum(F.expr(f"IF(((h >> {b}) & 1) = 1, 1, -1)")).alias(f"v{b}")
