@@ -167,6 +167,16 @@ def similarity_topk_lsh(
     )
 
 
+# L2 distance of row vector `v` to each entry of the broadcast centroid
+# array `cs`, then lexicographic array_min over (d, list_id) structs.
+_ARGMIN_CELL = (
+    "array_min(transform(cs, c -> struct("
+    "aggregate(zip_with(v, c.centroid, (x, cc) -> (x - cc) * (x - cc)), "
+    "CAST(0.0 AS DOUBLE), (s, x) -> s + x) AS d, "
+    "c.list_id AS list_id))).list_id"
+)
+
+
 def ivf_centroids(
     emb: DataFrame, nlist: int = 8, iters: int = 2
 ) -> tuple[DataFrame, DataFrame]:
@@ -185,17 +195,17 @@ def ivf_centroids(
             .agg(F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("pm"))
             .select("list_id", F.expr("transform(pm, p -> p.m)").alias("centroid"))
         )
-        dist = F.aggregate(
-            F.zip_with("v", "centroid", lambda x, c: (x - c) * (x - c)),
-            F.lit(0.0),
-            lambda s, x: s + x,
+        # Nearest-centroid assignment entirely MAP-SIDE: all nlist
+        # centroids ride in as one broadcast row, argmin = array_min
+        # over (distance, list_id) structs (lexicographic = same
+        # tie-break as ORDER BY d, list_id). No shuffle, no window —
+        # the N×nlist expansion never materializes off-core.
+        cents_row = cents.agg(
+            F.collect_list(F.struct("list_id", "centroid")).alias("cs")
         )
-        w = Window.partitionBy("vec_id").orderBy(F.asc("d"), F.asc("list_id"))
         assigned = (
-            e.crossJoin(F.broadcast(cents))
-            .withColumn("d", dist)
-            .withColumn("rn", F.row_number().over(w))
-            .filter(F.col("rn") == 1)
+            e.crossJoin(F.broadcast(cents_row))
+            .withColumn("list_id", F.expr(_ARGMIN_CELL))
             .select("vec_id", "v", "list_id")
         )
     cents = (
@@ -218,18 +228,18 @@ def similarity_topk_ivf(
     q = assigned.filter(F.col("vec_id") < n_queries).select(
         F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
     )
-    qdist = F.aggregate(
-        F.zip_with("qv", "centroid", lambda x, c: (x - c) * (x - c)),
-        F.lit(0.0),
-        lambda s, x: s + x,
+    # nprobe nearest cells per query, map-side: sort the broadcast
+    # centroid array by (distance, list_id), slice, explode.
+    cents_row = cents.agg(F.collect_list(F.struct("list_id", "centroid")).alias("cs"))
+    probe_cells = (
+        "transform(slice(array_sort(transform(cs, c -> struct("
+        "aggregate(zip_with(qv, c.centroid, (x, cc) -> (x - cc) * (x - cc)), "
+        "CAST(0.0 AS DOUBLE), (s, x) -> s + x) AS d, "
+        f"c.list_id AS list_id))), 1, {nprobe}), p -> p.list_id)"
     )
-    wq = Window.partitionBy("query_id").orderBy(F.asc("d"), F.asc("list_id"))
     probes = (
-        q.crossJoin(F.broadcast(cents))
-        .withColumn("d", qdist)
-        .withColumn("rn", F.row_number().over(wq))
-        .filter(F.col("rn") <= nprobe)
-        .select("query_id", "qv", "list_id")
+        q.crossJoin(F.broadcast(cents_row))
+        .select("query_id", "qv", F.explode(F.expr(probe_cells)).alias("list_id"))
     )
     sims = (
         assigned.join(F.broadcast(probes), "list_id")
