@@ -335,6 +335,29 @@ def q_multimodal_decode(spark, sf_dir):
     return decode_media(media, fake=True)
 
 
+def q_asof_join(spark, sf_dir):
+    """As-of join: most recent purchase at-or-before each click, per
+    user — union + ordered window (one shuffle, no range probing);
+    oracle is DuckDB's native ASOF JOIN."""
+    from iotstream.ext.temporal import asof_last_purchase
+
+    use_utc(spark)
+    return asof_last_purchase(load_table(spark, sf_dir, "events"))
+
+
+def q_interval_join(spark, sf_dir):
+    """Interval join: same-user events within 30 min after each error —
+    time-bin blocked equi-join (never a per-key cross product)."""
+    from iotstream.ext.temporal import interval_follow
+
+    use_utc(spark)
+    return interval_follow(load_table(spark, sf_dir, "events"))
+
+
+def q_shipping_priority(spark, sf_dir):
+    return xjoins.shipping_priority(spark, sf_dir)
+
+
 def q_enrichment_join(spark, sf_dir):
     return xjoins.enrichment_join(spark, sf_dir)
 
@@ -395,6 +418,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "neardup_embedding": q_neardup_embedding,
         "multimodal_ingest": q_multimodal_ingest,
         "multimodal_decode": q_multimodal_decode,
+        "asof_join": q_asof_join,
+        "interval_join": q_interval_join,
+        "shipping_priority": q_shipping_priority,
         "enrichment_join": q_enrichment_join,
         "topk_per_group": q_topk_per_group,
         "pricing_summary": q_pricing_summary,
@@ -610,6 +636,35 @@ def oracle_sql() -> dict[str, str]:
                    CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS n_bytes,
                    sha256(text) AS sha256
             FROM documents""",
+        "asof_join": """
+            SELECT c.event_id, c.ts, c.user_id, c.value,
+                   p.event_id AS purchase_event_id,
+                   p.ts AS purchase_ts,
+                   p.value AS purchase_value
+            FROM (SELECT * FROM events WHERE event_type = 'click') c
+            ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+            ON c.user_id = p.user_id AND c.ts >= p.ts""",
+        "interval_join": """
+            SELECT e.event_id, e.user_id, count(*) AS n_follow,
+                   CAST(SUM(CAST(f.value AS DECIMAL(12,4))) AS DOUBLE) AS follow_value
+            FROM events e JOIN events f
+              ON e.user_id = f.user_id
+             AND f.ts > e.ts AND f.ts <= e.ts + INTERVAL 30 MINUTE
+            WHERE e.event_type = 'error'
+            GROUP BY e.event_id, e.user_id""",
+        "shipping_priority": """
+            SELECT o_orderkey, o_orderdate,
+                   CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,4)) *
+                            (CAST(1 AS DECIMAL(12,4)) - CAST(l_discount AS DECIMAL(12,4))))
+                        AS DOUBLE) AS revenue
+            FROM lineitem
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            WHERE c_mktsegment = 'BUILDING'
+              AND o_orderdate < TIMESTAMP '1998-01-01'
+              AND l_shipdate > TIMESTAMP '1998-01-01'
+            GROUP BY o_orderkey, o_orderdate
+            ORDER BY revenue DESC, o_orderkey LIMIT 10""",
         "enrichment_join": """
             SELECT r_name, n_name, count(*) AS n_orders,
                    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS revenue

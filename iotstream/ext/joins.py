@@ -100,6 +100,47 @@ def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def shipping_priority(
+    spark: SparkSession,
+    sf_dir: str,
+    segment: str = "BUILDING",
+    cutoff: str = "1998-01-01",
+    k: int = 10,
+) -> DataFrame:
+    """TPC-H Q3-shaped: top-k unshipped orders by revenue for one market
+    segment. Scale shape: both date filters and the segment filter push
+    to the parquet scans (orders/lineitem shrink before any join), the
+    filtered customer keys broadcast, and lineitem⋈orders is the only
+    shuffle pair — AQE converts it to a broadcast join when the filtered
+    orders side is small enough at runtime. Final top-k is
+    TakeOrderedAndProject (per-partition k, single-reduce merge)."""
+    cust = (
+        load_table(spark, sf_dir, "customer")
+        .filter(F.col("c_mktsegment") == segment)
+        .select("c_custkey")
+    )
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit(cutoff)
+    )
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit(cutoff)
+    )
+    d = lambda c: F.col(c).cast("decimal(12,4)")  # noqa: E731
+    one = F.lit(1).cast("decimal(12,4)")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy("o_orderkey", "o_orderdate")
+        .agg(
+            F.sum(d("l_extendedprice") * (one - d("l_discount")))
+            .cast("double")
+            .alias("revenue")
+        )
+        .orderBy(F.desc("revenue"), F.asc("o_orderkey"))
+        .limit(k)
+    )
+
+
 def _orders_with_geo(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, sf_dir, "orders")
     customer = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")

@@ -1,0 +1,103 @@
+"""EXT — temporal joins the reference cannot express at all.
+
+Two operators a training-data / IoT analytics pipeline needs constantly:
+
+- **as-of join** (``asof_last_purchase``): attach to each left row the
+  most recent right row at-or-before its timestamp, per key. Spark has
+  no ASOF JOIN; the scalable formulation is NOT a join at all but a
+  union + ordered window: tag both sides, sort within key by time, and
+  carry the last-seen right row forward with ``last(..., ignorenulls)``.
+  ONE shuffle on the key, zero join explosion, no range probing —
+  survives any corpus size because each key's timeline is processed
+  linearly.
+
+- **interval join** (``interval_follow``): pair each anchor row with
+  every row of the same key inside a following time window. A naive
+  range join is O(n²) per key; the scale path buckets time into
+  window-sized bins, equi-joins on (key, bin) with the anchor exploded
+  to the two bins its window can reach, then applies the exact range
+  predicate. Candidate count scales with true temporal density, not
+  row-count² — the same blocking idea as LSH banding in ``dedup``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def asof_last_purchase(events: DataFrame) -> DataFrame:
+    """For every click, the most recent purchase by the same user
+    at-or-before the click (inclusive, like DuckDB ``ASOF JOIN ...
+    ON c.ts >= p.ts``). Clicks with no prior purchase keep NULLs
+    (left-outer semantics)."""
+    ev = events.select("event_id", "ts", "user_id", "event_type", "value")
+    both = ev.filter(F.col("event_type").isin("click", "purchase")).withColumn(
+        "is_left", (F.col("event_type") == "click").cast("int")
+    )
+    # At equal ts the purchase sorts first (is_left asc) → inclusive >=.
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.asc("ts"), F.asc("is_left"), F.asc("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    purchase = F.when(
+        F.col("is_left") == 0,
+        F.struct(
+            F.col("event_id").alias("purchase_event_id"),
+            F.col("ts").alias("purchase_ts"),
+            F.col("value").alias("purchase_value"),
+        ),
+    )
+    return (
+        both.withColumn("p", F.last(purchase, ignorenulls=True).over(w))
+        .filter(F.col("is_left") == 1)
+        .select(
+            "event_id",
+            "ts",
+            "user_id",
+            "value",
+            F.col("p.purchase_event_id").alias("purchase_event_id"),
+            F.col("p.purchase_ts").alias("purchase_ts"),
+            F.col("p.purchase_value").alias("purchase_value"),
+        )
+    )
+
+
+def interval_follow(
+    events: DataFrame, anchor_type: str = "error", window_seconds: int = 1800
+) -> DataFrame:
+    """Per anchor event: count + exact sum of the same user's events in
+    the (anchor.ts, anchor.ts + window] interval. Bucketed equi-join —
+    the anchor side explodes to the two window-sized time bins its
+    interval can touch, so the shuffle key is (user_id, bin) and no
+    per-key cross product ever forms. Anchors with no followers are
+    dropped (inner-join semantics, matching the SQL twin)."""
+    ws = F.lit(window_seconds)
+    ep = lambda c: F.unix_timestamp(F.col(c))  # noqa: E731  (second precision)
+    follow = events.select(
+        "user_id",
+        F.col("ts").alias("f_ts"),
+        F.col("value").alias("f_value"),
+    ).withColumn("bin", F.floor(ep("f_ts") / ws))
+    anchors = (
+        events.filter(F.col("event_type") == anchor_type)
+        .select("event_id", "user_id", F.col("ts").alias("a_ts"))
+        .withColumn(
+            "bin",
+            F.explode(
+                F.array(F.floor(ep("a_ts") / ws), F.floor(ep("a_ts") / ws) + 1)
+            ),
+        )
+    )
+    pairs = anchors.join(follow, ["user_id", "bin"]).filter(
+        (F.col("f_ts") > F.col("a_ts"))
+        & (F.col("f_ts") <= F.col("a_ts") + F.make_dt_interval(secs=ws))
+    )
+    return pairs.groupBy("event_id", "user_id").agg(
+        F.count(F.lit(1)).alias("n_follow"),
+        F.sum(F.col("f_value").cast("decimal(12,4)"))
+        .cast("double")
+        .alias("follow_value"),
+    )

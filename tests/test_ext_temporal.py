@@ -1,0 +1,66 @@
+"""As-of and interval join semantics on hand-built timelines."""
+
+import datetime as dt
+
+from pyspark.sql import functions as F
+
+from iotstream.ext.temporal import asof_last_purchase, interval_follow
+
+T0 = dt.datetime(2024, 1, 1, 12, 0, 0)
+
+
+def _ev(spark, rows):
+    return spark.createDataFrame(
+        [(i, T0 + dt.timedelta(seconds=s), u, t, float(v)) for i, s, u, t, v in rows],
+        "event_id long, ts timestamp, user_id long, event_type string, value double",
+    )
+
+
+def test_asof_picks_latest_prior_purchase_inclusive(spark):
+    ev = _ev(
+        spark,
+        [
+            (1, 0, 7, "purchase", 10.0),
+            (2, 60, 7, "purchase", 20.0),
+            (3, 60, 7, "click", 1.0),   # equal ts → inclusive match (id 2)
+            (4, 90, 7, "click", 1.0),   # latest prior is id 2, not id 1
+            (5, 30, 8, "click", 1.0),   # user 8 has no purchase → NULLs
+        ],
+    )
+    out = {r.event_id: r for r in asof_last_purchase(ev).collect()}
+    assert out[3].purchase_event_id == 2
+    assert out[4].purchase_event_id == 2
+    assert out[5].purchase_event_id is None
+    assert set(out) == {3, 4, 5}  # purchases are not left rows
+
+
+def test_interval_follow_boundaries_and_bin_crossing(spark):
+    w = 1800
+    ev = _ev(
+        spark,
+        [
+            (1, 0, 7, "error", 0.0),
+            (2, 0, 7, "click", 5.0),        # f_ts == a_ts → excluded
+            (3, w, 7, "click", 7.0),        # f_ts == a_ts + w → included
+            (4, w + 1, 7, "click", 9.0),    # just past the window → excluded
+            (5, 10, 9, "click", 3.0),       # other user → excluded
+            # anchor late in its bin: follower lands in the NEXT time bin
+            (6, w - 5, 9, "error", 0.0),
+            (7, w + 5, 9, "click", 4.0),
+        ],
+    )
+    out = {r.event_id: r for r in interval_follow(ev, window_seconds=w).collect()}
+    assert out[1].n_follow == 1 and out[1].follow_value == 7.0
+    assert out[6].n_follow == 1 and out[6].follow_value == 4.0
+    # follower counts include other anchors' rows only per the predicate
+    assert set(out) == {1, 6}
+
+
+def test_interval_follow_counts_any_event_type(spark):
+    ev = _ev(
+        spark,
+        [(1, 0, 7, "error", 0.0), (2, 5, 7, "error", 2.0), (3, 9, 7, "view", 4.0)],
+    )
+    out = {r.event_id: r for r in interval_follow(ev, window_seconds=60).collect()}
+    assert out[1].n_follow == 2 and out[1].follow_value == 6.0
+    assert out[2].n_follow == 1 and out[2].follow_value == 4.0
