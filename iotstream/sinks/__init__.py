@@ -96,6 +96,44 @@ class UpsertSink:
         return spark.createDataFrame(list(self.state.values()), self._schema)
 
 
+class ParquetUpsertSink:
+    """K4 at scale — the same keyed-upsert contract as ``UpsertSink``
+    but fully distributed: each micro-batch APPENDS its changed rows
+    (update mode) to a parquet log stamped with the epoch, and the
+    merged view dedups per key keeping the highest epoch — exactly a
+    changelog-table compaction (Delta MERGE / RocksDB last-write-wins),
+    with no rows ever collected to the driver."""
+
+    def __init__(self, key_cols: list[str], path: str | None = None):
+        import tempfile
+
+        self.key_cols = key_cols
+        self.path = path or tempfile.mkdtemp(prefix="iotstream-upsert-")
+        self._got_batch = False
+
+    def writer(self) -> Callable[[DataFrame, int], None]:
+        def write(batch: DataFrame, epoch_id: int) -> None:
+            self._got_batch = True
+            batch.withColumn("__epoch", F.lit(epoch_id)).write.mode(
+                "append"
+            ).parquet(self.path)
+
+        return write
+
+    def to_df(self, spark) -> DataFrame:
+        from pyspark.sql.window import Window
+
+        if not self._got_batch:
+            raise RuntimeError("sink never received a batch")
+        log = spark.read.parquet(self.path)
+        w = Window.partitionBy(*self.key_cols).orderBy(F.desc("__epoch"))
+        return (
+            log.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .drop("__rn", "__epoch")
+        )
+
+
 def console_writer(df: DataFrame, truncate: bool = False):
     """K5 — debug tracing (the reference's System.out.println at
     HiveMQSource.java:97 / StreamProcessor.java:97,128)."""

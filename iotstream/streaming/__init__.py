@@ -25,7 +25,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from iotstream.operators.windows import tumbling_agg
-from iotstream.sinks import UpsertSink
+from iotstream.sinks import ParquetUpsertSink
 
 #: Correctness-mode watermark: large enough that no fixture row is ever
 #: late-dropped, so the streaming result equals the batch result exactly.
@@ -94,7 +94,7 @@ def windowed_agg_final_state(
     )
     if round_avg is not None:
         agg = agg.withColumn("avg_temperature", F.round("avg_temperature", round_avg))
-    sink = UpsertSink(key_cols=["window_start", *keys])
+    sink = ParquetUpsertSink(key_cols=["window_start", *keys])
     writer = agg.writeStream.outputMode("update").foreachBatch(sink.writer())
     run_available_now(writer)
     return sink.to_df(spark)

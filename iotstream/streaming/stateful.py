@@ -106,10 +106,10 @@ def run_quality_monitor_final(
 ) -> DataFrame:
     """Drain the stream (availableNow) through the monitor and return
     the final per-sensor state via keyed upsert."""
-    from iotstream.sinks import UpsertSink
+    from iotstream.sinks import ParquetUpsertSink
     from iotstream.streaming import run_available_now
 
-    sink = UpsertSink(key_cols=["id"])
+    sink = ParquetUpsertSink(key_cols=["id"])
     writer = (
         quality_monitor(sensor_stream)
         .writeStream.outputMode("update")
