@@ -335,6 +335,53 @@ def q_multimodal_decode(spark, sf_dir):
     return decode_media(media, fake=True)
 
 
+def q_salted_join(spark, sf_dir):
+    """Skew-safe join: events fact salted over 8 buckets against a
+    user dimension — result provably identical to the plain join (the
+    oracle IS the plain join). At scale, only `hot_keys` get salted."""
+    from iotstream.ext.skew import salted_join
+
+    use_utc(spark)
+    ev = load_table(spark, sf_dir, "events")
+    dim = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("user_id"), "c_mktsegment"
+    )
+    return (
+        salted_join(ev, dim, "user_id", buckets=8)
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(12,4)"))
+            .cast("double")
+            .alias("total_value"),
+        )
+    )
+
+
+def q_streaming_dedup(spark, sf_dir):
+    """Streaming exact dedup: dropDuplicates on the event key inside a
+    real micro-batch stream (state-store backed), drained availableNow;
+    oracle is batch DISTINCT. The streaming twin of E1."""
+    from iotstream.schemas import load_events_raw, normalize_ns_timestamp
+    from iotstream.sinks import ParquetUpsertSink
+    from iotstream.sources import FileStreamSource
+    from iotstream.streaming import run_available_now, scoped_shuffle_partitions
+
+    use_utc(spark)
+    raw_schema = load_events_raw(spark, sf_dir).schema
+    stream = FileStreamSource(table_path(sf_dir, "events"), raw_schema).load(spark)
+    deduped = (
+        normalize_ns_timestamp(stream)
+        .select("event_id", "user_id", "event_type", "value")
+        .dropDuplicates(["event_id"])
+    )
+    sink = ParquetUpsertSink(key_cols=["event_id"])
+    with scoped_shuffle_partitions(spark, 16):
+        writer = deduped.writeStream.outputMode("append").foreachBatch(sink.writer())
+        run_available_now(writer)
+    return sink.to_df(spark)
+
+
 def q_asof_join(spark, sf_dir):
     """As-of join: most recent purchase at-or-before each click, per
     user — union + ordered window (one shuffle, no range probing);
@@ -418,6 +465,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "neardup_embedding": q_neardup_embedding,
         "multimodal_ingest": q_multimodal_ingest,
         "multimodal_decode": q_multimodal_decode,
+        "salted_join": q_salted_join,
+        "streaming_dedup": q_streaming_dedup,
         "asof_join": q_asof_join,
         "interval_join": q_interval_join,
         "shipping_priority": q_shipping_priority,
@@ -636,6 +685,14 @@ def oracle_sql() -> dict[str, str]:
                    CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS n_bytes,
                    sha256(text) AS sha256
             FROM documents""",
+        "salted_join": """
+            SELECT c_mktsegment, count(*) AS n_events,
+                   CAST(SUM(CAST(value AS DECIMAL(12,4))) AS DOUBLE) AS total_value
+            FROM events JOIN customer ON user_id = c_custkey
+            GROUP BY c_mktsegment""",
+        "streaming_dedup": """
+            SELECT DISTINCT ON (event_id) event_id, user_id, event_type, value
+            FROM events ORDER BY event_id""",
         "asof_join": """
             SELECT c.event_id, c.ts, c.user_id, c.value,
                    p.event_id AS purchase_event_id,
