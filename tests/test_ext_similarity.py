@@ -46,3 +46,14 @@ def test_ann_recall_vs_exact(spark):
         total = sum(len(s) for s in exact.values())
         recall = hits / total
         assert recall >= floor, f"{label} recall {recall:.2f} below {floor}"
+
+
+def test_blas_topk_equals_expression_topk(spark):
+    """The mapInPandas BLAS path and the pure-expression path must
+    produce identical (query_id, vec_id, cosine, rank) rows."""
+    from iotstream.ext.similarity import similarity_topk_expr
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    blas = {tuple(r) for r in similarity_topk(emb, 10, 5).collect()}
+    expr = {tuple(r) for r in similarity_topk_expr(emb, 10, 5).collect()}
+    assert blas == expr
