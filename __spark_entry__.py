@@ -324,6 +324,15 @@ def q_neardup_embedding(spark, sf_dir):
     )
 
 
+def q_neardup_embedding_lsh(spark, sf_dir):
+    """Scale path for embedding near-dup: multi-table hyperplane LSH
+    blocking + per-bucket BLAS verify (never all-pairs). Deterministic
+    (hash-derived hyperplanes); recall vs exact asserted in pytest."""
+    return xsim.neardup_embedding_lsh(
+        load_table(spark, sf_dir, "embeddings"), threshold=0.4
+    )
+
+
 def q_multimodal_ingest(spark, sf_dir):
     return attach_media(load_table(spark, sf_dir, "documents")).select(
         "doc_id", "mime", "n_bytes", "sha256"
@@ -463,6 +472,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "similarity_topk_lsh": q_similarity_topk_lsh,
         "similarity_topk_ivf": q_similarity_topk_ivf,
         "neardup_embedding": q_neardup_embedding,
+        "neardup_embedding_lsh": q_neardup_embedding_lsh,
         "multimodal_ingest": q_multimodal_ingest,
         "multimodal_decode": q_multimodal_decode,
         "salted_join": q_salted_join,

@@ -173,6 +173,61 @@ def neardup_embedding(emb: DataFrame, threshold: float = 0.4) -> DataFrame:
     )
 
 
+def neardup_embedding_lsh(
+    emb: DataFrame,
+    threshold: float = 0.4,
+    nbits: int = 4,
+    tables: int = 16,
+) -> DataFrame:
+    """E2/E3 scale path for embedding near-dup: NEVER all-pairs.
+    ``tables`` independent hyperplane-LSH tables of ``nbits`` bits
+    each; vectors land in one bucket per table, candidate pairs form
+    only WITHIN a (table, bucket) group, each group verified by one
+    BLAS matmul in ``applyInPandas``. Collision prob per table is
+    (1-θ/π)^nbits, across tables 1-(1-p)^L — at cosine 0.45 with
+    (4 bits, 16 tables) recall ≈ 0.95 (pytest asserts vs the exact
+    kernel). Work scales with Σ bucket², bounded by data density —
+    the exact kernel's N² never appears at any corpus size."""
+    import numpy as np
+    import pandas as pd
+
+    e = emb.select("vec_id", as_double_vec("embedding", "v"))
+    # bucket of table t: sign bits of nbits pseudo-random hyperplane
+    # projections; hyperplane component (t, b, j) derives from
+    # xxhash64(t*131+b, j) — deterministic, no RNG state to ship.
+    bucket = (
+        f"aggregate(sequence(0, {nbits - 1}), 0L, (acc, b) -> acc + "
+        "IF(aggregate(zip_with(v, sequence(0, size(v) - 1), (x, j) -> "
+        "x * (CAST(pmod(xxhash64(t * 131 + b, j), 2000003) AS DOUBLE) "
+        "/ 1000001.0 - 1.0)), CAST(0.0 AS DOUBLE), (s, x) -> s + x) > 0, "
+        "shiftleft(1L, b), 0L))"
+    )
+    tabbed = e.select(
+        "vec_id", "v", F.explode(F.expr(f"sequence(0, {tables - 1})")).alias("t")
+    ).withColumn("bucket", F.expr(bucket))
+
+    def block(pdf: pd.DataFrame) -> pd.DataFrame:
+        ids = pdf["vec_id"].to_numpy()
+        mat = np.stack(pdf["v"].to_numpy()).astype("float64")
+        nrm = np.sqrt((mat * mat).sum(axis=1))
+        cos = (mat @ mat.T) / np.outer(nrm, nrm)
+        ia, ib = np.nonzero((cos >= threshold) & (ids[:, None] < ids[None, :]))
+        return pd.DataFrame(
+            {
+                "id_a": ids[ia],
+                "id_b": ids[ib],
+                "cosine": np.round(cos[ia, ib], 6),
+            }
+        )
+
+    pairs = tabbed.groupBy("t", "bucket").applyInPandas(
+        block, schema="id_a bigint, id_b bigint, cosine double"
+    )
+    # same pair found in several tables → one row (identical rounded
+    # cosine, so distinct on all three columns collapses exactly)
+    return pairs.distinct()
+
+
 def lsh_buckets(emb: DataFrame, nbits: int = 8) -> DataFrame:
     """Random-hyperplane LSH: bucket = sign bits of ``nbits`` pseudo-
     random hyperplane projections. Hyperplane component (b, j) derives

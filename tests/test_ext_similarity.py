@@ -57,3 +57,15 @@ def test_blas_topk_equals_expression_topk(spark):
     blas = {tuple(r) for r in similarity_topk(emb, 10, 5).collect()}
     expr = {tuple(r) for r in similarity_topk_expr(emb, 10, 5).collect()}
     assert blas == expr
+
+
+def test_lsh_blocked_neardup_recall(spark):
+    """The bucketed scale path must recover ≥90% of the exact kernel's
+    pairs with no false positives (every emitted pair is BLAS-verified)."""
+    from iotstream.ext.similarity import neardup_embedding, neardup_embedding_lsh
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    exact = {(r.id_a, r.id_b) for r in neardup_embedding(emb, 0.4).collect()}
+    lsh = {(r.id_a, r.id_b) for r in neardup_embedding_lsh(emb, 0.4).collect()}
+    assert lsh <= exact          # precision 1.0 by construction
+    assert len(lsh & exact) / len(exact) >= 0.9
