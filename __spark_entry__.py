@@ -424,6 +424,10 @@ def q_topk_per_group(spark, sf_dir):
     )
 
 
+def q_revenue_forecast(spark, sf_dir):
+    return xjoins.revenue_forecast(spark, sf_dir)
+
+
 def q_pricing_summary(spark, sf_dir):
     return xjoins.pricing_summary(spark, sf_dir)
 
@@ -482,6 +486,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "shipping_priority": q_shipping_priority,
         "enrichment_join": q_enrichment_join,
         "topk_per_group": q_topk_per_group,
+        "revenue_forecast": q_revenue_forecast,
         "pricing_summary": q_pricing_summary,
         "revenue_rollup": q_revenue_rollup,
     }
@@ -747,6 +752,15 @@ def oracle_sql() -> dict[str, str]:
                                         ORDER BY o_totalprice DESC, o_orderkey) AS rn
               FROM orders)
             WHERE rn <= 3""",
+        "revenue_forecast": """
+            SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,4)) *
+                            CAST(l_discount AS DECIMAL(12,4))) AS DOUBLE) AS revenue,
+                   count(*) AS n_items
+            FROM lineitem
+            WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+              AND l_shipdate < TIMESTAMP '1997-01-01'
+              AND l_discount BETWEEN 0.03 AND 0.05
+              AND l_quantity < 24""",
         "pricing_summary": f"""
             SELECT l_returnflag, l_linestatus,
                    CAST(SUM({d('l_quantity')}) AS DOUBLE) AS sum_qty,
