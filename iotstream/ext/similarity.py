@@ -315,6 +315,7 @@ def ivf_centroids(
     run ``iters`` Lloyd refinements, entirely as DataFrame ops
     (posexplode → per-dimension mean → regroup). Returns
     (centroids(list_id, centroid double[]), assigned(vec_id, v, list_id))."""
+    spark = emb.sparkSession
     e = emb.select("vec_id", as_double_vec("embedding", "v"))
     assigned = e.withColumn("list_id", F.pmod(F.col("vec_id"), F.lit(nlist)))
     for _ in range(iters):
@@ -326,6 +327,11 @@ def ivf_centroids(
             .agg(F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("pm"))
             .select("list_id", F.expr("transform(pm, p -> p.m)").alias("centroid"))
         )
+        # Materialize the centroids (nlist×dim doubles — driver-sized by
+        # definition, like any k-means quantizer's codebook). Without
+        # this each Lloyd iteration's lineage re-derives ALL previous
+        # iterations: plan cost grows exponentially with `iters`.
+        cents = spark.createDataFrame(cents.collect(), cents.schema)
         # Nearest-centroid assignment entirely MAP-SIDE: all nlist
         # centroids ride in as one broadcast row, argmin = array_min
         # over (distance, list_id) structs (lexicographic = same
@@ -356,6 +362,9 @@ def similarity_topk_ivf(
     """ANN via IVF: assign corpus to nlist coarse cells, probe the
     nprobe cells nearest each query, exact cosine within probed cells."""
     cents, assigned = ivf_centroids(emb, nlist)
+    # assigned feeds probes, the candidate join, AND the final centroid
+    # pass — persist so the interpreted argmin assignment runs once.
+    assigned = assigned.persist()
     q = assigned.filter(F.col("vec_id") < n_queries).select(
         F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
     )
