@@ -81,6 +81,41 @@ def main() -> int:
         "queries": timings,
         "sf": sf,
     }
+
+    # End-to-end streaming ingest throughput: the reference's full
+    # topology (JSON payload stream → parse → pre-filter raw archive +
+    # post-filter clean sink) drained as a real micro-batch stream.
+    # The reference's generator self-reports 0.5 msg/s/thread
+    # (BASELINE.md); this records the engine-side number at bench scale.
+    try:
+        import shutil
+        import tempfile
+
+        from iotstream.config import EngineConfig
+        from iotstream.operators.parse import to_sensor_json
+        from iotstream.pipeline import run_sensor_pipeline_stream
+        from iotstream.schemas import load_table, use_utc
+        from iotstream.sensorize import sensorize
+
+        use_utc(spark)
+        events = sensorize(load_table(spark, sf_dir, "events"))
+        n = events.count()
+        tmp = tempfile.mkdtemp(prefix="iotstream-bench-ingest-")
+        payloads = f"{tmp}/payloads"
+        to_sensor_json(events).write.mode("overwrite").text(payloads)
+        conf = EngineConfig(
+            raw_archive_path=f"{tmp}/raw", clean_path=f"{tmp}/clean"
+        )
+        stream = spark.readStream.schema("value string").text(payloads)
+        t0 = time.perf_counter()
+        run_sensor_pipeline_stream(spark, stream, conf, f"{tmp}/ckpt")
+        out["streaming_ingest_events_per_sec"] = round(
+            n / (time.perf_counter() - t0)
+        )
+        shutil.rmtree(tmp, ignore_errors=True)
+    except Exception as e:  # noqa: BLE001
+        print(f"bench ingest error: {type(e).__name__}: {e}", file=sys.stderr)
+
     print(json.dumps(out))
     return 0 if len(ok) == len(timings) else 1
 
