@@ -11,6 +11,8 @@ DataFrame API, so everything here works over batch or streaming frames.
 
 from __future__ import annotations
 
+import re
+
 from pyspark.sql import DataFrame, SparkSession
 
 from iotstream.operators.filters import VALID_SQL
@@ -40,3 +42,61 @@ def create_stream_view(sensor_events: DataFrame, name: str = "json") -> None:
 def max_table(spark: SparkSession) -> DataFrame:
     """``CREATE TABLE MAX_TABLE AS SELECT …`` equivalent."""
     return spark.sql(MAX_TABLE_SQL)
+
+
+# ------------------------------------------------------- KSQL translator
+
+_CREATE_RE = re.compile(r"^\s*CREATE\s+TABLE\s+(\w+)\s+AS\s+", re.I | re.S)
+_WINDOW_RE = re.compile(
+    r"\bWINDOW\s+TUMBLING\s*\(\s*SIZE\s+(\d+)\s+"
+    r"(MILLISECONDS?|SECONDS?|MINUTES?|HOURS?|DAYS?)\s*\)",
+    re.I,
+)
+
+
+def ksql_to_spark_sql(stmt: str) -> tuple[str | None, str]:
+    """Translate the reference's KSQL dialect subset (exactly the
+    statement shapes in README.md:76-107) to Spark SQL:
+
+    - ``CREATE TABLE <name> AS <select>`` → (<name>, <select>) — caller
+      registers the result under <name> (KSQL's continuously-updated
+      table becomes a view over the same plan);
+    - ``a->b`` struct dereference → ``a.b``;
+    - ``WINDOW TUMBLING (SIZE n <unit>)`` → ``window(ts, 'n <unit>')``
+      in SELECT + GROUP BY, surfacing window_start/window_end the way
+      KSQL exposes WINDOWSTART/WINDOWEND. Windows on payload event time
+      ``ts``, not ROWTIME — the engine's documented T2 deviation.
+
+    A dialect bridge for the reference's published statements, not a
+    general KSQL parser.
+    """
+    stmt = stmt.strip().rstrip(";")
+    name = None
+    m = _CREATE_RE.match(stmt)
+    if m:
+        name = m.group(1)
+        stmt = stmt[m.end():]
+    stmt = re.sub(r"\s*->\s*", ".", stmt)
+    wm = _WINDOW_RE.search(stmt)
+    if wm:
+        width = f"{int(wm.group(1))} {wm.group(2).lower()}"
+        win = f"window(ts, '{width}')"
+        stmt = _WINDOW_RE.sub("", stmt)
+        stmt = re.sub(
+            r"^\s*SELECT\s+",
+            f"SELECT {win}.start AS window_start, {win}.end AS window_end, ",
+            stmt,
+            flags=re.I,
+        )
+        stmt = re.sub(r"\bGROUP\s+BY\s+", f"GROUP BY {win}, ", stmt, flags=re.I)
+    return name, stmt
+
+
+def run_ksql(spark: SparkSession, stmt: str) -> DataFrame:
+    """Run one reference-dialect KSQL statement against the registered
+    stream views; CREATE TABLE AS also registers the result view."""
+    name, sql = ksql_to_spark_sql(stmt)
+    df = spark.sql(sql)
+    if name:
+        df.createOrReplaceTempView(name)
+    return df

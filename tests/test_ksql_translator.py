@@ -1,0 +1,49 @@
+"""The reference's VERBATIM KSQL statement (README.md:87-92) runs
+through the dialect translator and matches the DataFrame-API flagship."""
+
+from pyspark.sql import functions as F
+
+from iotstream.operators.filters import validity_filter
+from iotstream.operators.windows import tumbling_agg
+from iotstream.schemas import load_table, use_utc
+from iotstream.sensorize import sensorize
+from iotstream.sql import create_stream_view, ksql_to_spark_sql, run_ksql
+from tests.conftest import SF_DIR
+
+# reference README.md:87-92, character for character
+REFERENCE_STMT = """CREATE TABLE MAX_TABLE AS
+SELECT ID AS MAX_ID,
+MAX(metrics->temperature) AS MAX_TEMPERATURE
+FROM json
+WINDOW TUMBLING (SIZE 1 MINUTES)
+GROUP BY ID;"""
+
+
+def test_reference_statement_translates_and_matches_flagship(spark):
+    use_utc(spark)
+    # KSQL reads topic event1 = the POST-filter clean stream
+    clean = validity_filter(sensorize(load_table(spark, SF_DIR, "events")))
+    create_stream_view(clean, "json")
+    out = run_ksql(spark, REFERENCE_STMT)
+
+    expect = tumbling_agg(
+        clean, "ts", ["id"], F.col("metrics.temperature"), "1 minute",
+        aggs=("max",), prefix="temperature",
+    )
+    got = {
+        (r.window_start, r.MAX_ID): r.MAX_TEMPERATURE for r in out.collect()
+    }
+    want = {
+        (r.window_start, r.id): r.max_temperature for r in expect.collect()
+    }
+    assert got == want
+    # CREATE TABLE AS registered the view under the KSQL table name
+    assert spark.table("MAX_TABLE").count() == len(want)
+
+
+def test_translator_shapes():
+    name, sql = ksql_to_spark_sql(REFERENCE_STMT)
+    assert name == "MAX_TABLE"
+    assert "->" not in sql and "WINDOW TUMBLING" not in sql.upper()
+    assert "window(ts, '1 minutes')" in sql
+    assert sql.count("window(ts, '1 minutes')") == 3  # start, end, group
