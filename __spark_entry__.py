@@ -281,6 +281,46 @@ def q_doc_fingerprint(spark, sf_dir):
     )
 
 
+def q_dataset_split(spark, sf_dir):
+    """Deterministic train/val/test assignment via an engine-portable
+    multiplicative hash — stable under corpus growth (no reshuffling
+    of existing docs), auditable from any engine."""
+    from iotstream.ext.curation import dataset_split
+
+    return dataset_split(load_table(spark, sf_dir, "documents"))
+
+
+def q_stratified_sample(spark, sf_dir):
+    from iotstream.ext.curation import stratified_sample
+
+    return stratified_sample(load_table(spark, sf_dir, "documents"))
+
+
+def q_doc_chunks(spark, sf_dir):
+    """Context-window packing: overlapping fixed-size char chunks
+    (120/stride 90) via one explode pass — no shuffle."""
+    from iotstream.ext.curation import doc_chunks
+
+    return doc_chunks(load_table(spark, sf_dir, "documents"))
+
+
+def q_vocab_build(spark, sf_dir):
+    return xtext.vocab_build(load_table(spark, sf_dir, "documents"))
+
+
+def q_ngram_counts(spark, sf_dir):
+    return xtext.ngram_counts(load_table(spark, sf_dir, "documents"))
+
+
+def q_length_percentiles(spark, sf_dir):
+    return xtext.length_percentiles(load_table(spark, sf_dir, "documents"))
+
+
+def q_scrub_numbers(spark, sf_dir):
+    use_utc(spark)
+    return xtext.scrub_numbers(load_table(spark, sf_dir, "events"))
+
+
 def q_neardup_jaccard(spark, sf_dir):
     """Exact-verify path, capped to doc_id < 2000: the inverted-index
     pair join is quadratic in per-shingle doc frequency — fine as a
@@ -469,6 +509,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_score": q_quality_score,
         "lang_id": q_lang_id,
         "doc_fingerprint": q_doc_fingerprint,
+        "dataset_split": q_dataset_split,
+        "stratified_sample": q_stratified_sample,
+        "doc_chunks": q_doc_chunks,
+        "vocab_build": q_vocab_build,
+        "ngram_counts": q_ngram_counts,
+        "length_percentiles": q_length_percentiles,
+        "scrub_numbers": q_scrub_numbers,
         "neardup_jaccard": q_neardup_jaccard,
         "neardup_minhash": q_neardup_minhash,
         "simhash": q_simhash,
@@ -688,6 +735,57 @@ def oracle_sql() -> dict[str, str]:
                         THEN 'en' ELSE 'unknown' END AS predicted_lang
             FROM documents""",
         "doc_fingerprint": "SELECT doc_id, md5(text) AS fingerprint FROM documents",
+        "dataset_split": """
+            WITH b AS (SELECT doc_id, lang,
+                              ((doc_id % 1000003) * 2654435761) % 1000 AS bucket
+                       FROM documents)
+            SELECT doc_id, lang, bucket,
+                   CASE WHEN bucket < 900 THEN 'train'
+                        WHEN bucket < 950 THEN 'validation'
+                        ELSE 'test' END AS split
+            FROM b""",
+        "stratified_sample": """
+            SELECT doc_id, lang, source, n_chars,
+                   ((doc_id % 1000003) * 2654435761) % 1000 AS bucket
+            FROM documents
+            WHERE ((doc_id % 1000003) * 2654435761) % 1000 < 100""",
+        "doc_chunks": """
+            WITH i AS (SELECT doc_id, text,
+                              unnest(range(0, (n_chars - 1) // 90 + 1)) AS chunk_id
+                       FROM documents)
+            SELECT doc_id, chunk_id,
+                   substring(text, CAST(chunk_id * 90 + 1 AS INT), 120) AS chunk_text,
+                   CAST(length(substring(text, CAST(chunk_id * 90 + 1 AS INT), 120))
+                        AS BIGINT) AS chunk_len
+            FROM i""",
+        "vocab_build": """
+            WITH wc AS (SELECT tok AS word, count(*) AS cnt
+                        FROM (SELECT unnest(string_split(text, ' ')) AS tok
+                              FROM documents)
+                        GROUP BY tok)
+            SELECT word, cnt,
+                   CAST(row_number() OVER (ORDER BY cnt DESC, word) AS BIGINT)
+                       AS token_id
+            FROM wc WHERE cnt >= 5""",
+        "ngram_counts": """
+            WITH t AS (SELECT string_split(text, ' ') AS w FROM documents
+                       WHERE len(string_split(text, ' ')) >= 2),
+            idx AS (SELECT w, unnest(range(1, len(w))) AS i FROM t),
+            g AS (SELECT w[i] || ' ' || w[i+1] AS ngram FROM idx)
+            SELECT ngram, count(*) AS cnt FROM g
+            GROUP BY ngram HAVING count(*) >= 5""",
+        "length_percentiles": """
+            SELECT lang, count(*) AS n_docs,
+                   round(quantile_cont(n_chars, 0.5), 6) AS p50_chars,
+                   round(quantile_cont(n_chars, 0.9), 6) AS p90_chars,
+                   round(quantile_cont(n_chars, 0.99), 6) AS p99_chars,
+                   round(avg(n_chars), 6) AS avg_chars
+            FROM documents GROUP BY lang""",
+        "scrub_numbers": (
+            "SELECT event_id, "
+            "regexp_replace(props, '[0-9]+', '<NUM>', 'g') AS scrubbed "
+            "FROM events"
+        ),
         "neardup_jaccard": _JACCARD_ORACLE,
         # neardup_minhash / simhash / similarity_topk_lsh / similarity_topk_ivf /
         # multimodal_decode: engine-internal hash functions or Pandas-UDF

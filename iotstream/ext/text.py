@@ -88,6 +88,74 @@ def lang_id(docs: DataFrame) -> DataFrame:
     )
 
 
+def vocab_build(
+    docs: DataFrame, col: str = "text", min_count: int = 5
+) -> DataFrame:
+    """Frequency-ranked vocabulary with a min-count floor (the
+    tokenizer-training precursor). Ties broken lexically so ids are
+    deterministic. The ranking window is a single partition — correct
+    here because the input is the *vocabulary* (post-aggregation,
+    dictionary-sized), never the corpus; at 100 TB the corpus-sized
+    work is the word_counts shuffle feeding it, which partial-aggregates
+    map-side."""
+    wc = word_counts(docs, col).filter(F.col("cnt") >= min_count)
+    from pyspark.sql import Window
+
+    rank = F.row_number().over(
+        Window.orderBy(F.desc("cnt"), F.asc("word"))
+    )
+    return wc.select("word", "cnt", rank.cast("long").alias("token_id"))
+
+
+def ngram_counts(
+    docs: DataFrame, n: int = 2, col: str = "text", min_count: int = 5
+) -> DataFrame:
+    """Global word-n-gram frequencies (explode an index sequence and
+    join adjacent tokens — the same kernel as the dedup shingles:
+    `element_at` over a pre-split array instead of re-evaluating a
+    HOF lambda per generated row). One shuffle, map-side partial agg."""
+    toks = tokens(col)
+    base = docs.select(toks.alias("w")).filter(F.size("w") >= n)
+    i = F.explode(F.sequence(F.lit(1), F.size("w") - (n - 1))).alias("i")
+    gram = F.concat_ws(
+        " ", *[F.element_at("w", F.col("i") + j) for j in range(n)]
+    )
+    return (
+        base.select("w", i)
+        .select(gram.alias("ngram"))
+        .groupBy("ngram")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .filter(F.col("cnt") >= min_count)
+    )
+
+
+def length_percentiles(docs: DataFrame) -> DataFrame:
+    """Per-language length distribution (p50/p90/p99, mean, count) —
+    the corpus-profiling pass that picks chunking and filter
+    thresholds. `percentile` is exact with linear interpolation
+    (matches DuckDB `quantile_cont`); for 100 TB profiling swap in
+    `percentile_approx`, which is a t-digest mergeable sketch."""
+    pct = lambda p: F.round(F.percentile("n_chars", F.lit(p)), 6)  # noqa: E731
+    return docs.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        pct(0.5).alias("p50_chars"),
+        pct(0.9).alias("p90_chars"),
+        pct(0.99).alias("p99_chars"),
+        F.round(F.avg("n_chars"), 6).alias("avg_chars"),
+    )
+
+
+def scrub_numbers(df: DataFrame, col: str = "props") -> DataFrame:
+    """PII-style masking: replace every digit run with a placeholder
+    token (the shape of phone/SSN/account-number scrubbing; the regex
+    is the deployment-specific part, the pipeline shape is this).
+    Narrow codegen map — no shuffle, pushes nothing, scales linearly."""
+    return df.select(
+        "event_id",
+        F.regexp_replace(F.col(col), "[0-9]+", "<NUM>").alias("scrubbed"),
+    )
+
+
 def doc_fingerprint(docs: DataFrame) -> DataFrame:
     """Content fingerprints: md5 of the exact text (cross-engine
     checkable) plus a 64-bit xxhash64 for engine-internal dedup keys."""
