@@ -431,6 +431,93 @@ def q_streaming_dedup(spark, sf_dir):
     return sink.to_df(spark)
 
 
+def q_streaming_enrich(spark, sf_dir):
+    """Stream×static broadcast enrichment join (dim never shuffles the
+    stream) → running per-segment totals; final upserted state equals
+    the batch join+agg (the oracle)."""
+    from iotstream.schemas import load_events_raw, normalize_ns_timestamp
+    from iotstream.sources import FileStreamSource
+    from iotstream.streaming import scoped_shuffle_partitions
+    from iotstream.streaming.joins import enrich_against_dim_final
+
+    use_utc(spark)
+    raw_schema = load_events_raw(spark, sf_dir).schema
+    stream = normalize_ns_timestamp(
+        FileStreamSource(table_path(sf_dir, "events"), raw_schema).load(spark)
+    ).select("user_id", "value")
+    dim = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("user_id"), "c_mktsegment"
+    )
+    with scoped_shuffle_partitions(spark, 16):
+        return enrich_against_dim_final(
+            spark, stream, dim, "user_id", "c_mktsegment"
+        )
+
+
+def q_streaming_interval_join(spark, sf_dir):
+    """Stream-stream watermarked interval join (state-store backed):
+    per-user events within 30 min after each error, as pairs; drained
+    append-mode — inner-join matches emit eagerly, so the finite run
+    is complete. Oracle is the batch pair join."""
+    from iotstream.schemas import load_events_raw, normalize_ns_timestamp
+    from iotstream.sources import FileStreamSource
+    from iotstream.streaming import scoped_shuffle_partitions
+    from iotstream.streaming.joins import interval_join_pairs
+
+    use_utc(spark)
+    raw_schema = load_events_raw(spark, sf_dir).schema
+
+    def _stream():
+        return normalize_ns_timestamp(
+            FileStreamSource(table_path(sf_dir, "events"), raw_schema).load(spark)
+        )
+
+    left = (
+        _stream()
+        .filter(F.col("event_type") == "error")
+        .select(
+            F.col("event_id").alias("error_event_id"),
+            "user_id",
+            F.col("ts").alias("e_ts"),
+        )
+    )
+    right = _stream().select(
+        F.col("event_id").alias("follow_event_id"),
+        F.col("user_id"),
+        F.col("ts").alias("r_ts"),
+        F.col("value").alias("follow_value"),
+    )
+    with scoped_shuffle_partitions(spark, 16):
+        pairs = interval_join_pairs(
+            spark, left, right, "user_id", left_ts="e_ts", right_ts="r_ts"
+        )
+    return pairs.select(
+        "error_event_id", "follow_event_id", "user_id", "follow_value"
+    )
+
+
+def q_cube_docs(spark, sf_dir):
+    """Multi-dimensional aggregate: CUBE(lang, source) — all four
+    grouping-set combinations in one pass (partial-agg map-side)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.cube("lang", "source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.round(F.avg("n_chars"), 6).alias("avg_chars"),
+    )
+
+
+def q_hll_distinct(spark, sf_dir):
+    """Sketch surface: approx_count_distinct (HyperLogLog++) per
+    event_type — the mergeable-sketch path for 100 TB cardinality
+    (exact countDistinct is `distinct_users`). Rows-only check;
+    pytest asserts <5% error vs exact."""
+    use_utc(spark)
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id").alias("approx_users")
+    )
+
+
 def q_asof_join(spark, sf_dir):
     """As-of join: most recent purchase at-or-before each click, per
     user — union + ordered window (one shuffle, no range probing);
@@ -528,6 +615,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_decode": q_multimodal_decode,
         "salted_join": q_salted_join,
         "streaming_dedup": q_streaming_dedup,
+        "streaming_enrich": q_streaming_enrich,
+        "streaming_interval_join": q_streaming_interval_join,
+        "cube_docs": q_cube_docs,
+        "hll_distinct": q_hll_distinct,
         "asof_join": q_asof_join,
         "interval_join": q_interval_join,
         "shipping_priority": q_shipping_priority,
@@ -806,6 +897,25 @@ def oracle_sql() -> dict[str, str]:
         "streaming_dedup": """
             SELECT DISTINCT ON (event_id) event_id, user_id, event_type, value
             FROM events ORDER BY event_id""",
+        "streaming_enrich": """
+            SELECT c_mktsegment, count(*) AS n_events,
+                   CAST(SUM(CAST(value AS DECIMAL(12,4))) AS DOUBLE) AS total_value
+            FROM events JOIN customer ON user_id = c_custkey
+            GROUP BY c_mktsegment""",
+        "streaming_interval_join": """
+            SELECT e.event_id AS error_event_id,
+                   f.event_id AS follow_event_id,
+                   e.user_id, f.value AS follow_value
+            FROM events e JOIN events f
+              ON e.user_id = f.user_id
+             AND f.ts > e.ts AND f.ts <= e.ts + INTERVAL 30 MINUTE
+            WHERE e.event_type = 'error'""",
+        "cube_docs": """
+            SELECT lang, source, count(*) AS n_docs,
+                   round(avg(n_chars), 6) AS avg_chars
+            FROM documents GROUP BY CUBE(lang, source)""",
+        # hll_distinct: approx sketch — rows-only by design (pytest
+        # asserts <5% error vs exact countDistinct).
         "asof_join": """
             SELECT c.event_id, c.ts, c.user_id, c.value,
                    p.event_id AS purchase_event_id,

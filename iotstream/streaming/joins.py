@@ -1,0 +1,86 @@
+"""Streaming joins — stream×static enrichment and stream×stream
+interval joins (Structured Streaming state-store joins).
+
+The reference has no joins at all (SURVEY.md §2.4); these are the EXT
+capabilities a production stream actually needs: enrich events against
+a dimension table without restarting the query, and correlate two
+event streams within a time bound.
+
+Scale notes (100 TB / 1000 executors):
+- The static side of an enrichment join is broadcast — each micro-batch
+  joins map-side with zero shuffle; refresh the dim by restarting from
+  checkpoint (or use a rocksdb-state stream-stream join if the dim
+  itself streams).
+- A stream-stream inner join keeps both sides' rows in the state store
+  until the watermark passes the join-condition time bound; the
+  watermark delay is therefore the state-size knob — finite in
+  production, effectively unbounded in correctness runs (matches are
+  emitted eagerly for inner joins, so the drained result is complete
+  either way).
+"""
+
+from __future__ import annotations
+
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from iotstream.sinks import ParquetUpsertSink
+from iotstream.streaming import UNBOUNDED_WATERMARK, run_available_now
+
+
+def enrich_against_dim_final(
+    spark: SparkSession,
+    stream: DataFrame,
+    dim: DataFrame,
+    key: str,
+    segment_col: str,
+) -> DataFrame:
+    """Stream×static broadcast join → running per-segment totals,
+    drained availableNow; returns the final upserted state. The dim is
+    explicitly broadcast: the join never shuffles the stream."""
+    joined = stream.join(F.broadcast(dim), key)
+    agg = joined.groupBy(segment_col).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.col("value").cast("decimal(12,4)"))
+        .cast("double")
+        .alias("total_value"),
+    )
+    sink = ParquetUpsertSink(key_cols=[segment_col])
+    writer = agg.writeStream.outputMode("update").foreachBatch(sink.writer())
+    run_available_now(writer)
+    return sink.to_df(spark)
+
+
+def interval_join_pairs(
+    spark: SparkSession,
+    left_stream: DataFrame,
+    right_stream: DataFrame,
+    key: str,
+    left_ts: str = "l_ts",
+    right_ts: str = "r_ts",
+    max_gap: str = "INTERVAL 30 MINUTES",
+    watermark: str = UNBOUNDED_WATERMARK,
+) -> DataFrame:
+    """Stream-stream inner interval join: right rows in
+    ``(left_ts, left_ts + max_gap]`` per key. Both sides watermarked —
+    the time-range predicate lets Spark evict state once the watermark
+    passes ``left_ts + max_gap``. Output drained append-mode to parquet
+    and read back (finite correctness run)."""
+    lw = left_stream.withWatermark(left_ts, watermark)
+    rw = right_stream.withWatermark(right_ts, watermark)
+    cond = (
+        (lw[key] == rw[key])
+        & (F.col(right_ts) > F.col(left_ts))
+        & (F.col(right_ts) <= F.col(left_ts) + F.expr(max_gap))
+    )
+    joined = lw.join(rw, cond, "inner").drop(rw[key])
+    out_dir = tempfile.mkdtemp(prefix="iotstream-ssj-")
+    writer = (
+        joined.writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", out_dir)
+    )
+    run_available_now(writer)
+    return spark.read.schema(joined.schema).parquet(out_dir)
