@@ -496,6 +496,52 @@ def q_streaming_interval_join(spark, sf_dir):
     )
 
 
+def q_pivot_event_types(spark, sf_dir):
+    """Pivot (long→wide): per-user counts of each event type as
+    columns. Spark's pivot with an EXPLICIT value list compiles to one
+    conditional-aggregation pass (no second distinct-values job, no
+    extra shuffle) — always enumerate pivot values at scale."""
+    use_utc(spark)
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.filter(F.col("user_id") < 100)
+        .groupBy("user_id")
+        .pivot("event_type", ["click", "view", "purchase", "error"])
+        .agg(F.count(F.lit(1)))
+        .na.fill(0, ["click", "view", "purchase", "error"])
+    )
+
+
+def q_intersect_users(spark, sf_dir):
+    """Set-op surface (INTERSECT): users who both clicked and
+    purchased above threshold."""
+    use_utc(spark)
+    ev = load_table(spark, sf_dir, "events")
+    clickers = (
+        ev.filter((F.col("event_type") == "click") & (F.col("value") > 150))
+        .select("user_id")
+        .distinct()
+    )
+    buyers = (
+        ev.filter((F.col("event_type") == "purchase") & (F.col("value") > 150))
+        .select("user_id")
+        .distinct()
+    )
+    return clickers.intersect(buyers)
+
+
+def q_quantile_sketch(spark, sf_dir):
+    """Mergeable quantile sketch: percentile_approx per event_type —
+    the 100 TB path for distribution profiling (exact interpolated
+    percentiles are `length_percentiles`). Rows-only; pytest asserts
+    rank error vs exact."""
+    use_utc(spark)
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.percentile_approx("value", [0.5, 0.9, 0.99], 10000).alias("q_approx")
+    )
+
+
 def q_cube_docs(spark, sf_dir):
     """Multi-dimensional aggregate: CUBE(lang, source) — all four
     grouping-set combinations in one pass (partial-agg map-side)."""
@@ -619,6 +665,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_interval_join": q_streaming_interval_join,
         "cube_docs": q_cube_docs,
         "hll_distinct": q_hll_distinct,
+        "pivot_event_types": q_pivot_event_types,
+        "intersect_users": q_intersect_users,
+        "quantile_sketch": q_quantile_sketch,
         "asof_join": q_asof_join,
         "interval_join": q_interval_join,
         "shipping_priority": q_shipping_priority,
@@ -914,8 +963,21 @@ def oracle_sql() -> dict[str, str]:
             SELECT lang, source, count(*) AS n_docs,
                    round(avg(n_chars), 6) AS avg_chars
             FROM documents GROUP BY CUBE(lang, source)""",
-        # hll_distinct: approx sketch — rows-only by design (pytest
-        # asserts <5% error vs exact countDistinct).
+        # hll_distinct / quantile_sketch: approx sketches — rows-only by
+        # design (pytest asserts error bounds vs exact).
+        "pivot_event_types": """
+            SELECT user_id,
+                   count(*) FILTER (WHERE event_type = 'click') AS click,
+                   count(*) FILTER (WHERE event_type = 'view') AS view,
+                   count(*) FILTER (WHERE event_type = 'purchase') AS purchase,
+                   count(*) FILTER (WHERE event_type = 'error') AS error
+            FROM events WHERE user_id < 100 GROUP BY user_id""",
+        "intersect_users": """
+            SELECT DISTINCT user_id FROM events
+            WHERE event_type = 'click' AND value > 150
+            INTERSECT
+            SELECT DISTINCT user_id FROM events
+            WHERE event_type = 'purchase' AND value > 150""",
         "asof_join": """
             SELECT c.event_id, c.ts, c.user_id, c.value,
                    p.event_id AS purchase_event_id,

@@ -8,6 +8,29 @@ from iotstream.schemas import load_table
 from tests.conftest import SF_DIR
 
 
+def test_percentile_approx_close_to_exact(spark):
+    ev = load_table(spark, SF_DIR, "events")
+    # Rank-based check: percentile_approx returns an actual element (no
+    # interpolation), so on a small group the right assertion is that
+    # the approx value sits inside a +-2%-rank band of the exact
+    # quantile, not that values agree numerically.
+    lo = [0.48, 0.88, 0.97]
+    hi = [0.52, 0.92, 1.0]
+    rows = (
+        ev.groupBy("event_type")
+        .agg(
+            F.percentile_approx("value", [0.5, 0.9, 0.99], 10000).alias("approx"),
+            F.percentile("value", F.array(*[F.lit(p) for p in lo])).alias("lo"),
+            F.percentile("value", F.array(*[F.lit(p) for p in hi])).alias("hi"),
+        )
+        .collect()
+    )
+    assert rows
+    for r in rows:
+        for a, l, h in zip(r["approx"], r["lo"], r["hi"]):
+            assert l <= a <= h, (r["event_type"], a, l, h)
+
+
 def test_hll_within_tolerance_of_exact(spark):
     ev = load_table(spark, SF_DIR, "events")
     merged = (
