@@ -1,0 +1,43 @@
+"""Training-shard writer — the materialization stage of the curation
+pipeline: split-partitioned, size-capped, deterministically ordered
+parquet shards that a training loader can consume directly.
+
+Scale design: `partitionBy(split)` gives one directory per split;
+`repartition(n, key)` sizes the files-per-split independently of the
+upstream partitioning; `sortWithinPartitions(key)` makes every shard's
+content deterministic (same input → byte-identical shards, so reruns
+are diffable and resumable); `maxRecordsPerFile` caps shard size
+without an extra shuffle. No collect, no driver-side loop — at 100 TB
+this is exactly one shuffle wide.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def write_training_shards(
+    df: DataFrame,
+    path: str,
+    split_col: str = "split",
+    order_col: str = "doc_id",
+    files_per_split: int = 4,
+    max_records_per_file: int = 100_000,
+) -> None:
+    """Write ``df`` as ``path/<split_col>=<value>/part-*.parquet``."""
+    (
+        df.repartition(files_per_split, order_col)
+        .sortWithinPartitions(split_col, order_col)
+        .write.partitionBy(split_col)
+        .option("maxRecordsPerFile", max_records_per_file)
+        .mode("overwrite")
+        .parquet(path)
+    )
+
+
+def read_training_split(
+    spark: SparkSession, path: str, split: str, split_col: str = "split"
+) -> DataFrame:
+    """Read one split back; the partition filter prunes directories at
+    planning time (no scan of the other splits)."""
+    return spark.read.parquet(path).filter(f"{split_col} = '{split}'")
