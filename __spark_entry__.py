@@ -281,6 +281,27 @@ def q_doc_fingerprint(spark, sf_dir):
     )
 
 
+def q_dq_report(spark, sf_dir):
+    """Data-quality gate: declarative rule predicates compiled into ONE
+    conditional-sum pass (plus a distinct agg for key uniqueness),
+    unpivoted to (rule, n_violations)."""
+    from iotstream.ext.quality import dq_report, events_rules
+
+    use_utc(spark)
+    ev = load_table(spark, sf_dir, "events")
+    return dq_report(ev, events_rules(), unique_key="event_id")
+
+
+def q_dedup_report(spark, sf_dir):
+    """Composed curation verdict per document: exact-dup canonical +
+    text-near-dup + embedding-near-dup flags in one sheet."""
+    # same demo cap as neardup_jaccard: the exact-verify kernels are
+    # the correctness twins; the blocked kernels are the scale path.
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 2000)
+    emb = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 2000)
+    return xdedup.dedup_report(docs, emb)
+
+
 def q_dataset_split(spark, sf_dir):
     """Deterministic train/val/test assignment via an engine-portable
     multiplicative hash — stable under corpus growth (no reshuffling
@@ -642,6 +663,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_score": q_quality_score,
         "lang_id": q_lang_id,
         "doc_fingerprint": q_doc_fingerprint,
+        "dq_report": q_dq_report,
+        "dedup_report": q_dedup_report,
         "dataset_split": q_dataset_split,
         "stratified_sample": q_stratified_sample,
         "doc_chunks": q_doc_chunks,
@@ -875,6 +898,60 @@ def oracle_sql() -> dict[str, str]:
                         THEN 'en' ELSE 'unknown' END AS predicted_lang
             FROM documents""",
         "doc_fingerprint": "SELECT doc_id, md5(text) AS fingerprint FROM documents",
+        "dq_report": """
+            SELECT 'null_user_id' AS rule,
+                   CAST(count(*) FILTER (WHERE user_id IS NULL) AS BIGINT)
+                       AS n_violations FROM events
+            UNION ALL
+            SELECT 'value_out_of_range',
+                   count(*) FILTER (WHERE value < 0 OR value > 340) FROM events
+            UNION ALL
+            SELECT 'unknown_event_type',
+                   count(*) FILTER (WHERE event_type NOT IN
+                       ('click','view','purchase','error','signup')) FROM events
+            UNION ALL
+            SELECT 'stale_timestamp',
+                   count(*) FILTER (WHERE ts < TIMESTAMP '2024-01-01'
+                                       OR ts >= TIMESTAMP '2027-01-01') FROM events
+            UNION ALL
+            SELECT 'duplicate_event_id',
+                   count(*) - count(DISTINCT event_id) FROM events""",
+        "dedup_report": """
+            WITH d AS (SELECT doc_id, text FROM documents WHERE doc_id < 2000),
+            canon AS (SELECT text, min(doc_id) AS canonical_id FROM d GROUP BY text),
+            base AS (SELECT d.doc_id, c.canonical_id,
+                            d.doc_id <> c.canonical_id AS is_exact_dup
+                     FROM d JOIN canon c USING (text)),
+            t AS (SELECT doc_id, string_split(text, ' ') AS w FROM d),
+            idx AS (SELECT doc_id, w, unnest(range(1, len(w) - 1)) AS i FROM t),
+            sh AS (SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS g
+                   FROM idx),
+            sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+            inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+                      FROM sh a JOIN sh b ON a.g = b.g AND a.doc_id < b.doc_id
+                      GROUP BY 1, 2),
+            jp AS (SELECT doc_a, doc_b
+                   FROM inter JOIN sz sa ON sa.doc_id = doc_a
+                              JOIN sz sb ON sb.doc_id = doc_b
+                   WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= 0.5),
+            nd AS (SELECT DISTINCT doc_id FROM
+                   (SELECT doc_a AS doc_id FROM jp
+                    UNION ALL SELECT doc_b FROM jp)),
+            e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+                  FROM embeddings WHERE vec_id < 2000),
+            ep AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b
+                   FROM e a JOIN e b ON a.vec_id < b.vec_id
+                   WHERE list_dot_product(a.v, b.v) /
+                         (sqrt(list_dot_product(a.v, a.v)) *
+                          sqrt(list_dot_product(b.v, b.v))) >= 0.4),
+            ed AS (SELECT DISTINCT id FROM
+                   (SELECT id_a AS id FROM ep UNION ALL SELECT id_b FROM ep))
+            SELECT b.doc_id, b.canonical_id, b.is_exact_dup,
+                   nd.doc_id IS NOT NULL AS has_near_dup,
+                   ed.id IS NOT NULL AS has_embed_dup
+            FROM base b
+            LEFT JOIN nd ON b.doc_id = nd.doc_id
+            LEFT JOIN ed ON b.doc_id = ed.id""",
         "dataset_split": """
             WITH b AS (SELECT doc_id, lang,
                               ((doc_id % 1000003) * 2654435761) % 1000 AS bucket

@@ -238,3 +238,56 @@ def simhash64(docs: DataFrame) -> DataFrame:
     # sign bit (63) added last keeps every partial sum in bigint range.
     combine = " + ".join(f"IF(v{b} > 0, shiftleft(1L, {b}), 0L)" for b in range(64))
     return per_doc.select("doc_id", F.expr(combine).alias("simhash"))
+
+
+def dedup_report(
+    docs: DataFrame,
+    emb: DataFrame,
+    jaccard_threshold: float = 0.5,
+    cosine_threshold: float = 0.4,
+) -> DataFrame:
+    """Composed per-document dedup decision sheet: exact-dup canonical
+    assignment + near-dup flags from BOTH text (shingle Jaccard) and
+    embedding (cosine) channels — what a curation pipeline actually
+    consumes (one verdict per doc, not three pair lists).
+
+    Correctness composition of the exact kernels; at 100 TB swap the
+    two pair generators for their blocked twins (neardup_minhash /
+    neardup_embedding_lsh) — the report shape is unchanged.
+    """
+    from iotstream.ext.similarity import neardup_embedding
+
+    canon = docs.groupBy("text").agg(F.min("doc_id").alias("canonical_id"))
+    base = (
+        docs.join(canon, "text")
+        .select(
+            "doc_id",
+            "canonical_id",
+            (F.col("doc_id") != F.col("canonical_id")).alias("is_exact_dup"),
+        )
+    )
+    jp = neardup_jaccard_exact(docs, threshold=jaccard_threshold)
+    near = (
+        jp.select(F.col("doc_a").alias("doc_id"))
+        .union(jp.select("doc_b"))
+        .distinct()
+        .withColumn("has_near_dup", F.lit(True))
+    )
+    ep = neardup_embedding(emb, threshold=cosine_threshold)
+    embd = (
+        ep.select(F.col("id_a").alias("doc_id"))
+        .union(ep.select("id_b"))
+        .distinct()
+        .withColumn("has_embed_dup", F.lit(True))
+    )
+    return (
+        base.join(near, "doc_id", "left")
+        .join(embd, "doc_id", "left")
+        .select(
+            "doc_id",
+            "canonical_id",
+            "is_exact_dup",
+            F.coalesce("has_near_dup", F.lit(False)).alias("has_near_dup"),
+            F.coalesce("has_embed_dup", F.lit(False)).alias("has_embed_dup"),
+        )
+    )
