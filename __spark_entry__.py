@@ -227,6 +227,25 @@ def q_sessionize(spark, sf_dir):
     return sessionize_batch(load_table(spark, sf_dir, "events"))
 
 
+def q_streaming_sessionize(spark, sf_dir):
+    """Streaming-native sessions (session_window state store), drained
+    complete-mode; oracle is the lag/cumsum SQL twin restated with
+    session_window's boundary semantics (gap >= threshold splits,
+    session_end = last event + gap)."""
+    from iotstream.ext.sessions import run_session_window_final
+    from iotstream.schemas import load_events_raw, normalize_ns_timestamp
+    from iotstream.sources import FileStreamSource
+    from iotstream.streaming import scoped_shuffle_partitions
+
+    use_utc(spark)
+    raw_schema = load_events_raw(spark, sf_dir).schema
+    stream = normalize_ns_timestamp(
+        FileStreamSource(table_path(sf_dir, "events"), raw_schema).load(spark)
+    ).select("user_id", "ts")
+    with scoped_shuffle_partitions(spark, 16):
+        return run_session_window_final(spark, stream, key="user_id")
+
+
 def q_distinct_users(spark, sf_dir):
     use_utc(spark)
     ev = load_table(spark, sf_dir, "events")
@@ -652,6 +671,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_window_agg": q_streaming_window_agg,
         "stateful_quality_monitor": q_stateful_quality_monitor,
         "sessionize": q_sessionize,
+        "streaming_sessionize": q_streaming_sessionize,
         "distinct_users": q_distinct_users,
         "high_value_purchasers": q_high_value_purchasers,
         "ksql_max_table": q_ksql_max_table,
@@ -840,6 +860,29 @@ def oracle_sql() -> dict[str, str]:
               FROM lagged)
             SELECT user_id, session_id, count(*) AS n_events,
                    min(ts) AS session_start, max(ts) AS session_end
+            FROM ids GROUP BY user_id, session_id""",
+        "streaming_sessionize": """
+            WITH base AS (
+              SELECT user_id, event_id, ts,
+                     CAST(floor(epoch(ts)) AS BIGINT) AS ep
+              FROM events),
+            lagged AS (
+              SELECT user_id, event_id, ts,
+                     CASE WHEN lag(ep) OVER w IS NULL
+                            OR ep - lag(ep) OVER w >= 1800
+                          THEN 1 ELSE 0 END AS new_sess
+              FROM base
+              WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+            ids AS (
+              SELECT user_id, ts,
+                     CAST(sum(new_sess) OVER (PARTITION BY user_id
+                          ORDER BY ts, event_id
+                          ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+              FROM lagged)
+            SELECT min(ts) AS session_start,
+                   max(ts) + INTERVAL 30 MINUTE AS session_end,
+                   user_id,
+                   count(*) AS n_events
             FROM ids GROUP BY user_id, session_id""",
         "ksql_max_table": _window_oracle("max"),
         "top_events": """

@@ -41,6 +41,42 @@ def sessionize_batch(events: DataFrame, gap_seconds: int = GAP_SECONDS) -> DataF
     )
 
 
+def run_session_window_final(
+    spark,
+    stream: DataFrame,
+    key: str = "user_id",
+    gap: str = "30 minutes",
+    watermark: str = "3650 days",
+) -> DataFrame:
+    """Drain a streaming ``session_window`` aggregate and return the
+    final session table. Complete output mode with a full-overwrite
+    writer: session windows MERGE as events arrive (a keyed upsert
+    would strand partial sessions that later merged away), so each
+    micro-batch rewrites the result and the last batch is the answer.
+    Correctness harness — production uses append mode with a finite
+    watermark, where sessions finalize incrementally and merging is
+    confined to open state.
+
+    Session-window semantics (vs the batch lag/cumsum twin): a new
+    session starts when the gap is >= the threshold (window end is
+    exclusive), and session_end = last event + gap.
+    """
+    import tempfile
+
+    from iotstream.streaming import run_available_now
+
+    agg = session_window_stream(stream, key=key, gap=gap, watermark=watermark)
+    out = tempfile.mkdtemp(prefix="iotstream-sessions-")
+
+    def _overwrite(df, _epoch):
+        df.write.mode("overwrite").parquet(out)
+
+    run_available_now(
+        agg.writeStream.outputMode("complete").foreachBatch(_overwrite)
+    )
+    return spark.read.schema(agg.schema).parquet(out)
+
+
 def session_window_stream(
     sensor_stream: DataFrame,
     key: str = "id",
