@@ -321,6 +321,23 @@ def q_dedup_report(spark, sf_dir):
     return xdedup.dedup_report(docs, emb)
 
 
+def q_dedup_clusters(spark, sf_dir):
+    """Transitive near-dup clusters: connected components (iterative
+    min-label propagation, per-round materialization) over the exact
+    shingle-Jaccard pair graph; singletons keep their own id. Oracle
+    is a recursive-CTE reachability closure."""
+    from iotstream.ext.graph import connected_components
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 2000)
+    pairs = xdedup.neardup_jaccard_exact(docs, threshold=0.5).select(
+        "doc_a", "doc_b"
+    )
+    comp = connected_components(
+        pairs, docs.select("doc_id"), src="doc_a", dst="doc_b", node="doc_id"
+    )
+    return comp.select(F.col("node").alias("doc_id"), "cluster_id")
+
+
 def q_dataset_split(spark, sf_dir):
     """Deterministic train/val/test assignment via an engine-portable
     multiplicative hash — stable under corpus growth (no reshuffling
@@ -685,6 +702,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_fingerprint": q_doc_fingerprint,
         "dq_report": q_dq_report,
         "dedup_report": q_dedup_report,
+        "dedup_clusters": q_dedup_clusters,
         "dataset_split": q_dataset_split,
         "stratified_sample": q_stratified_sample,
         "doc_chunks": q_doc_chunks,
@@ -995,6 +1013,29 @@ def oracle_sql() -> dict[str, str]:
             FROM base b
             LEFT JOIN nd ON b.doc_id = nd.doc_id
             LEFT JOIN ed ON b.doc_id = ed.id""",
+        "dedup_clusters": """
+            WITH RECURSIVE
+            d AS (SELECT doc_id, text FROM documents WHERE doc_id < 2000),
+            t AS (SELECT doc_id, string_split(text, ' ') AS w FROM d),
+            idx AS (SELECT doc_id, w, unnest(range(1, len(w) - 1)) AS i FROM t),
+            sh AS (SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS g
+                   FROM idx),
+            sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+            inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+                      FROM sh a JOIN sh b ON a.g = b.g AND a.doc_id < b.doc_id
+                      GROUP BY 1, 2),
+            jp AS (SELECT doc_a, doc_b
+                   FROM inter JOIN sz sa ON sa.doc_id = doc_a
+                              JOIN sz sb ON sb.doc_id = doc_b
+                   WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= 0.5),
+            e AS (SELECT doc_a AS a, doc_b AS b FROM jp
+                  UNION SELECT doc_b, doc_a FROM jp),
+            reach(node, label) AS (
+              SELECT doc_id, doc_id FROM d
+              UNION
+              SELECT e.b, r.label FROM reach r JOIN e ON r.node = e.a)
+            SELECT node AS doc_id, min(label) AS cluster_id
+            FROM reach GROUP BY node""",
         "dataset_split": """
             WITH b AS (SELECT doc_id, lang,
                               ((doc_id % 1000003) * 2654435761) % 1000 AS bucket

@@ -1,0 +1,74 @@
+"""Iterative graph operators — connected components via min-label
+propagation, the transitive-closure step that turns near-dup PAIRS into
+dedup CLUSTERS (a pairwise threshold is not an equivalence relation;
+keep-one-per-cluster needs components, not pairs).
+
+Execution shape: each iteration is one join + one aggregate (min label
+over neighbors), materialized per iteration (`localCheckpoint`) to
+break the exponential lineage growth that kills iterative DataFrame
+jobs — the same lesson as the IVF Lloyd iterations. Converges in
+O(graph diameter) rounds; near-dup graphs are shallow (dup clusters
+are cliques or short chains), so 3-5 rounds in practice.
+
+At 100 TB: labels and adjacency both shuffle on the node key each
+round — pre-partition both on `node` so the per-round join is
+co-located; driver sees only the scalar convergence count per round.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def connected_components(
+    edges: DataFrame,
+    nodes: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    node: str = "node",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Label every node with the MIN node id reachable from it.
+
+    ``edges`` is undirected input (each pair once); ``nodes`` supplies
+    the full vertex set so isolated nodes form singleton clusters.
+    Returns (node, cluster_id).
+    """
+    adj = (
+        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+        .union(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
+        .distinct()
+        .persist()
+    )
+    labels = nodes.select(F.col(node).alias("node"), F.col(node).alias("label"))
+    try:
+        for _ in range(max_iter):
+            nbr = (
+                adj.join(labels, adj["a"] == labels["node"])
+                .groupBy("b")
+                .agg(F.min("label").alias("nbr_label"))
+            )
+            new_labels = (
+                labels.join(nbr, labels["node"] == nbr["b"], "left")
+                .select(
+                    labels["node"],
+                    F.least(
+                        labels["label"],
+                        F.coalesce(F.col("nbr_label"), labels["label"]),
+                    ).alias("label"),
+                )
+                .localCheckpoint()  # materialize: bounded lineage per round
+            )
+            changed = (
+                new_labels.alias("n")
+                .join(labels.alias("o"), "node")
+                .filter(F.col("n.label") != F.col("o.label"))
+                .count()
+            )
+            labels = new_labels
+            if changed == 0:
+                break
+    finally:
+        adj.unpersist()
+    return labels.select("node", F.col("label").alias("cluster_id"))
