@@ -43,6 +43,18 @@ def run_available_now(writer, checkpoint: str | None = None):
         .start()
     )
     q.awaitTermination()
+    # One-shot drain: this checkpoint is never revisited, so unload its
+    # state-store providers now. Long sessions that drain many ad-hoc
+    # streams (the correctness gate runs ~8) otherwise accumulate
+    # providers that the maintenance thread keeps snapshotting.
+    try:
+        from pyspark.sql import SparkSession
+
+        spark = SparkSession.getActiveSession()
+        if spark is not None:
+            spark._jvm.org.apache.spark.sql.execution.streaming.state.StateStore.stop()
+    except Exception:  # noqa: BLE001 — internal API; hygiene only
+        pass
     return q
 
 
