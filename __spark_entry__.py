@@ -378,6 +378,22 @@ def q_scrub_numbers(spark, sf_dir):
     return xtext.scrub_numbers(load_table(spark, sf_dir, "events"))
 
 
+def q_df_token_filter(spark, sf_dir):
+    """Document-frequency boilerplate removal: tokens in >=50% of docs
+    dropped, text reconstructed in order (broadcast anti-join, no
+    UDF)."""
+    return xtext.remove_high_df_tokens(load_table(spark, sf_dir, "documents"))
+
+
+def q_decontaminate(spark, sf_dir):
+    """Eval-set decontamination: broadcast anti-join on content md5
+    against a simulated benchmark blocklist (docs with doc_id%97==0
+    play the eval set)."""
+    docs = load_table(spark, sf_dir, "documents")
+    block = xtext.doc_fingerprint(docs.filter(F.col("doc_id") % 97 == 0))
+    return xtext.decontaminate(docs, block)
+
+
 def q_neardup_jaccard(spark, sf_dir):
     """Exact-verify path, capped to doc_id < 2000: the inverted-index
     pair join is quadratic in per-shingle doc frequency — fine as a
@@ -710,6 +726,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_counts": q_ngram_counts,
         "length_percentiles": q_length_percentiles,
         "scrub_numbers": q_scrub_numbers,
+        "df_token_filter": q_df_token_filter,
+        "decontaminate": q_decontaminate,
         "neardup_jaccard": q_neardup_jaccard,
         "neardup_minhash": q_neardup_minhash,
         "simhash": q_simhash,
@@ -1087,6 +1105,26 @@ def oracle_sql() -> dict[str, str]:
             "regexp_replace(props, '[0-9]+', '<NUM>', 'g') AS scrubbed "
             "FROM events"
         ),
+        "df_token_filter": """
+            WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+            pos AS (SELECT doc_id, i, w[i] AS tok
+                    FROM (SELECT doc_id, w, unnest(range(1, len(w) + 1)) AS i
+                          FROM t)),
+            dfc AS (SELECT tok FROM (SELECT tok, count(DISTINCT doc_id) AS df
+                                     FROM pos GROUP BY tok)
+                    WHERE df >= CAST(floor(
+                        (SELECT count(*) FROM documents) * 0.5) AS BIGINT)),
+            kept AS (SELECT doc_id, i, tok FROM pos
+                     WHERE tok NOT IN (SELECT tok FROM dfc)),
+            reagg AS (SELECT doc_id, string_agg(tok, ' ' ORDER BY i) AS clean_text
+                      FROM kept GROUP BY doc_id)
+            SELECT d.doc_id, coalesce(r.clean_text, '') AS clean_text
+            FROM documents d LEFT JOIN reagg r ON d.doc_id = r.doc_id""",
+        "decontaminate": """
+            SELECT doc_id, lang, source, n_chars, md5(text) AS fingerprint
+            FROM documents
+            WHERE md5(text) NOT IN (SELECT DISTINCT md5(text) FROM documents
+                                    WHERE doc_id % 97 = 0)""",
         "neardup_jaccard": _JACCARD_ORACLE,
         # neardup_minhash / simhash / similarity_topk_lsh / similarity_topk_ivf /
         # multimodal_decode: engine-internal hash functions or Pandas-UDF

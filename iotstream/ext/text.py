@@ -156,6 +156,65 @@ def scrub_numbers(df: DataFrame, col: str = "props") -> DataFrame:
     )
 
 
+def remove_high_df_tokens(
+    docs: DataFrame, min_doc_frac: float = 0.5
+) -> DataFrame:
+    """Document-frequency filter (boilerplate/stopword removal): drop
+    every token that appears in >= ``min_doc_frac`` of documents, and
+    reconstruct each document's text in original token order.
+
+    Shape: one DF-counting shuffle (map-side partial agg over distinct
+    (token, doc) pairs), then a broadcast anti-join against the
+    high-DF set (dictionary-sized), then one re-aggregation keyed by
+    doc — order restored via position-sorted collect. The C4-style
+    cleaning pass, fully engine-portable (no UDF).
+    """
+    n_docs = docs.select(F.count(F.lit(1))).first()[0]
+    toks = docs.select("doc_id", tokens().alias("w"))
+    pos = toks.select(
+        "doc_id",
+        "w",
+        F.explode(F.sequence(F.lit(1), F.size("w"))).alias("i"),
+    ).select("doc_id", "i", F.element_at("w", F.col("i")).alias("tok"))
+    df_counts = (
+        pos.select("doc_id", "tok")
+        .distinct()
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") >= int(n_docs * min_doc_frac))
+        .select("tok")
+    )
+    kept = pos.join(F.broadcast(df_counts), "tok", "left_anti")
+    reagg = kept.groupBy("doc_id").agg(
+        F.concat_ws(
+            " ",
+            F.expr("transform(array_sort(collect_list(struct(i, tok))), s -> s.tok)"),
+        ).alias("clean_text")
+    )
+    return (
+        docs.select("doc_id")
+        .join(reagg, "doc_id", "left")
+        .select("doc_id", F.coalesce("clean_text", F.lit("")).alias("clean_text"))
+    )
+
+
+def decontaminate(docs: DataFrame, blocklist: DataFrame) -> DataFrame:
+    """Eval-set decontamination: drop documents whose content
+    fingerprint appears in a (small) benchmark blocklist — broadcast
+    LEFT ANTI join on md5, so the corpus never shuffles. The blocklist
+    side is the eval corpus: thousands of rows against billions."""
+    block = blocklist.select(F.col("fingerprint").alias("_blocked_fp")).distinct()
+    return (
+        docs.withColumn("fingerprint", F.md5(F.col("text")))
+        .join(
+            F.broadcast(block),
+            F.col("fingerprint") == F.col("_blocked_fp"),
+            "left_anti",
+        )
+        .select("doc_id", "lang", "source", "n_chars", "fingerprint")
+    )
+
+
 def doc_fingerprint(docs: DataFrame) -> DataFrame:
     """Content fingerprints: md5 of the exact text (cross-engine
     checkable) plus a 64-bit xxhash64 for engine-internal dedup keys."""
