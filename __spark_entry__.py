@@ -378,6 +378,17 @@ def q_scrub_numbers(spark, sf_dir):
     return xtext.scrub_numbers(load_table(spark, sf_dir, "events"))
 
 
+def q_corpus_curate(spark, sf_dir):
+    """The composed curation pipeline: quality floor → exact-dedup
+    canonical → decontamination anti-join → split assignment, as ONE
+    Catalyst plan."""
+    from iotstream.ext.corpus import curate
+
+    docs = load_table(spark, sf_dir, "documents")
+    block = xtext.doc_fingerprint(docs.filter(F.col("doc_id") % 97 == 0))
+    return curate(docs, block)
+
+
 def q_df_token_filter(spark, sf_dir):
     """Document-frequency boilerplate removal: tokens in >=50% of docs
     dropped, text reconstructed in order (broadcast anti-join, no
@@ -726,6 +737,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_counts": q_ngram_counts,
         "length_percentiles": q_length_percentiles,
         "scrub_numbers": q_scrub_numbers,
+        "corpus_curate": q_corpus_curate,
         "df_token_filter": q_df_token_filter,
         "decontaminate": q_decontaminate,
         "neardup_jaccard": q_neardup_jaccard,
@@ -1105,6 +1117,30 @@ def oracle_sql() -> dict[str, str]:
             "regexp_replace(props, '[0-9]+', '<NUM>', 'g') AS scrubbed "
             "FROM events"
         ),
+        "corpus_curate": f"""
+            WITH canon AS (SELECT min(doc_id) AS doc_id FROM documents
+                           GROUP BY text),
+            blocked AS (SELECT DISTINCT md5(text) AS fp FROM documents
+                        WHERE doc_id % 97 = 0),
+            tq AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+            q AS (SELECT doc_id,
+                         round(least(CAST(len(w) AS DOUBLE) / 100.0, 1.0) *
+                               (1.0 - CAST(len({_STOP_FILTER}) AS DOUBLE) / len(w)),
+                               6) AS quality
+                  FROM tq),
+            b AS (SELECT doc_id,
+                         ((doc_id % 1000003) * 2654435761) % 1000 AS bucket
+                  FROM documents)
+            SELECT d.doc_id, d.lang, d.source, q.quality,
+                   CASE WHEN b.bucket < 900 THEN 'train'
+                        WHEN b.bucket < 950 THEN 'validation'
+                        ELSE 'test' END AS split
+            FROM documents d
+            JOIN canon USING (doc_id)
+            JOIN q USING (doc_id)
+            JOIN b USING (doc_id)
+            WHERE md5(d.text) NOT IN (SELECT fp FROM blocked)
+              AND q.quality >= 0.1""",
         "df_token_filter": """
             WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
             pos AS (SELECT doc_id, i, w[i] AS tok
@@ -1112,7 +1148,7 @@ def oracle_sql() -> dict[str, str]:
                           FROM t)),
             dfc AS (SELECT tok FROM (SELECT tok, count(DISTINCT doc_id) AS df
                                      FROM pos GROUP BY tok)
-                    WHERE df >= CAST(floor(
+                    WHERE df >= CAST(ceil(
                         (SELECT count(*) FROM documents) * 0.5) AS BIGINT)),
             kept AS (SELECT doc_id, i, tok FROM pos
                      WHERE tok NOT IN (SELECT tok FROM dfc)),

@@ -10,6 +10,8 @@ groupBy, with map-side partial aggregation).
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -181,7 +183,7 @@ def remove_high_df_tokens(
         .distinct()
         .groupBy("tok")
         .agg(F.count(F.lit(1)).alias("df"))
-        .filter(F.col("df") >= int(n_docs * min_doc_frac))
+        .filter(F.col("df") >= math.ceil(n_docs * min_doc_frac))
         .select("tok")
     )
     kept = pos.join(F.broadcast(df_counts), "tok", "left_anti")

@@ -1,0 +1,52 @@
+"""Cleaning operators: DF-filter edge cases and decontamination."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from iotstream.ext.text import decontaminate, doc_fingerprint, remove_high_df_tokens
+
+DOCS = [
+    (1, "alpha beta unique1"),
+    (2, "alpha beta unique2"),
+    (3, "alpha beta"),        # fully boilerplate → must survive as ''
+    (4, "alpha beta unique3"),
+]
+
+
+def _df(spark):
+    return spark.createDataFrame(DOCS, "doc_id bigint, text string")
+
+
+def test_df_filter_preserves_order_and_empty_docs(spark):
+    out = {
+        r["doc_id"]: r["clean_text"]
+        for r in remove_high_df_tokens(_df(spark), min_doc_frac=0.5).collect()
+    }
+    # alpha/beta appear in 4/4 docs → removed everywhere
+    assert out == {1: "unique1", 2: "unique2", 3: "", 4: "unique3"}
+
+
+def test_df_filter_keeps_below_threshold_tokens_in_order(spark):
+    docs = spark.createDataFrame(
+        [(1, "c b a c"), (2, "z y x")], "doc_id bigint, text string"
+    )
+    out = {
+        r["doc_id"]: r["clean_text"]
+        for r in remove_high_df_tokens(docs, min_doc_frac=0.9).collect()
+    }
+    # nothing reaches 90% DF (each token is in exactly one of two docs)
+    assert out == {1: "c b a c", 2: "z y x"}  # original order, duplicates kept
+
+
+def test_decontaminate_drops_exact_content_matches_only(spark):
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in DOCS] + [(5, "alpha beta")],  # dup of doc 3
+        "doc_id bigint, text string",
+    ).withColumn("lang", F.lit("en")).withColumn("source", F.lit("s")) \
+     .withColumn("n_chars", F.length("text").cast("long"))
+    block = doc_fingerprint(docs.filter(F.col("doc_id") == 3))
+    kept = decontaminate(docs, block)
+    ids = {r["doc_id"] for r in kept.collect()}
+    # doc 3 AND its content-identical twin doc 5 are both removed
+    assert ids == {1, 2, 4}
