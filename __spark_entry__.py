@@ -119,6 +119,40 @@ def q_window_avg(spark, sf_dir):
     return _windowed(_valid(spark, sf_dir), ("avg",))
 
 
+def q_hopping_window_max(spark, sf_dir):
+    """KSQL WINDOW HOPPING parity: 2-min windows advancing by 1 min —
+    each event aggregates into 2 overlapping windows (map-side copy
+    expansion, one shuffle)."""
+    from iotstream.operators.windows import hopping_agg
+
+    return hopping_agg(
+        _valid(spark, sf_dir), "ts", ["id"], F.col("metrics.temperature"),
+        width="2 minutes", slide="1 minute", aggs=("max",), prefix="temperature",
+    )
+
+
+def q_rolling_avg(spark, sf_dir):
+    """Row-frame analytic: per-sensor rolling mean of the last 4
+    readings (3 preceding + current) in event order — the smoothing
+    pass of a telemetry pipeline; one shuffle on the partition key."""
+    from pyspark.sql import Window
+
+    sensor = _valid(spark, sf_dir)
+    w = (
+        Window.partitionBy("id")
+        .orderBy("ts", "messageId")
+        .rowsBetween(-3, Window.currentRow)
+    )
+    return sensor.select(
+        "id",
+        "messageId",
+        F.col("metrics.temperature").alias("temperature"),
+        F.round(F.avg(F.col("metrics.temperature")).over(w), 6).alias(
+            "rolling_avg_temperature"
+        ),
+    )
+
+
 def q_json_parse(spark, sf_dir):
     use_utc(spark)
     ev = load_table(spark, sf_dir, "events")
@@ -707,6 +741,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "window_max": q_window_max,
         "window_min": q_window_min,
         "window_avg": q_window_avg,
+        "hopping_window_max": q_hopping_window_max,
+        "rolling_avg": q_rolling_avg,
         "json_parse": q_json_parse,
         "json_roundtrip": q_json_roundtrip,
         "clean_stream_json": q_clean_stream_json,
@@ -840,6 +876,25 @@ def oracle_sql() -> dict[str, str]:
         "window_max": _window_oracle("max"),
         "window_min": _window_oracle("min"),
         "window_avg": _window_oracle("avg"),
+        "hopping_window_max": f"""
+            WITH sensor AS ({cte}),
+            h AS (SELECT id, temperature,
+                         time_bucket(INTERVAL '1 minute', ts)
+                             - k * INTERVAL '1 minute' AS window_start
+                  FROM sensor, unnest([0, 1]) AS u(k)
+                  WHERE {VALID_SQL})
+            SELECT window_start,
+                   window_start + INTERVAL '2 minutes' AS window_end,
+                   id, max(temperature) AS max_temperature
+            FROM h GROUP BY 1, 2, 3""",
+        "rolling_avg": f"""
+            WITH sensor AS ({cte})
+            SELECT id, "messageId", temperature,
+                   round(avg(temperature) OVER (
+                       PARTITION BY id ORDER BY ts, "messageId"
+                       ROWS BETWEEN 3 PRECEDING AND CURRENT ROW), 6)
+                       AS rolling_avg_temperature
+            FROM sensor WHERE {VALID_SQL}""",
         "json_parse": (
             "SELECT event_id, CAST(json_extract(props, '$.k') AS BIGINT) AS k "
             "FROM events"

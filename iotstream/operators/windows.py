@@ -60,3 +60,33 @@ def tumbling_agg(
             ],
         )
     )
+
+
+def hopping_agg(
+    df: DataFrame,
+    ts_col: str,
+    keys: Sequence[str],
+    value: str | Column,
+    width: str = "2 minutes",
+    slide: str = "1 minute",
+    aggs: Sequence[str] = ("max",),
+    prefix: str = "",
+) -> DataFrame:
+    """Per-key hopping (sliding) window aggregate — KSQL's
+    ``WINDOW HOPPING (SIZE w, ADVANCE BY s)``. Each event lands in
+    width/slide windows; Spark expands the copies map-side before the
+    single aggregate shuffle (same cost shape as tumbling × the overlap
+    factor). Batch and streaming alike."""
+    val = F.col(value) if isinstance(value, str) else value
+    exprs = [_AGGS[a](val).alias(f"{a}_{prefix}" if prefix else a) for a in aggs]
+    w = F.window(F.col(ts_col), width, slide)
+    return (
+        df.groupBy(w.alias("w"), *keys)
+        .agg(*exprs)
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            *keys,
+            *[F.col(f"{a}_{prefix}" if prefix else a) for a in aggs],
+        )
+    )

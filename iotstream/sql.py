@@ -52,6 +52,13 @@ _WINDOW_RE = re.compile(
     r"(MILLISECONDS?|SECONDS?|MINUTES?|HOURS?|DAYS?)\s*\)",
     re.I,
 )
+_HOPPING_RE = re.compile(
+    r"\bWINDOW\s+HOPPING\s*\(\s*SIZE\s+(\d+)\s+"
+    r"(MILLISECONDS?|SECONDS?|MINUTES?|HOURS?|DAYS?)\s*,\s*"
+    r"ADVANCE\s+BY\s+(\d+)\s+"
+    r"(MILLISECONDS?|SECONDS?|MINUTES?|HOURS?|DAYS?)\s*\)",
+    re.I,
+)
 
 
 def ksql_to_spark_sql(stmt: str) -> tuple[str | None, str]:
@@ -77,11 +84,19 @@ def ksql_to_spark_sql(stmt: str) -> tuple[str | None, str]:
         name = m.group(1)
         stmt = stmt[m.end():]
     stmt = re.sub(r"\s*->\s*", ".", stmt)
+    win = None
+    hm = _HOPPING_RE.search(stmt)
+    if hm:
+        width = f"{int(hm.group(1))} {hm.group(2).lower()}"
+        slide = f"{int(hm.group(3))} {hm.group(4).lower()}"
+        win = f"window(ts, '{width}', '{slide}')"
+        stmt = _HOPPING_RE.sub("", stmt)
     wm = _WINDOW_RE.search(stmt)
     if wm:
         width = f"{int(wm.group(1))} {wm.group(2).lower()}"
         win = f"window(ts, '{width}')"
         stmt = _WINDOW_RE.sub("", stmt)
+    if win:
         stmt = re.sub(
             r"^\s*SELECT\s+",
             f"SELECT {win}.start AS window_start, {win}.end AS window_end, ",

@@ -47,3 +47,33 @@ def test_translator_shapes():
     assert "->" not in sql and "WINDOW TUMBLING" not in sql.upper()
     assert "window(ts, '1 minutes')" in sql
     assert sql.count("window(ts, '1 minutes')") == 3  # start, end, group
+
+
+HOPPING_STMT = (
+    "CREATE TABLE HOP_TABLE AS SELECT ID, MAX(metrics->temperature) AS "
+    "MAX_TEMPERATURE FROM json WINDOW HOPPING (SIZE 2 MINUTES, ADVANCE BY "
+    "1 MINUTES) GROUP BY ID;"
+)
+
+
+def test_hopping_translates_and_matches_native(spark):
+    from iotstream.operators.windows import hopping_agg
+
+    use_utc(spark)
+    clean = validity_filter(sensorize(load_table(spark, SF_DIR, "events")))
+    create_stream_view(clean, "json")
+    out = run_ksql(spark, HOPPING_STMT)
+    expect = hopping_agg(
+        clean, "ts", ["id"], F.col("metrics.temperature"),
+        width="2 minutes", slide="1 minutes", aggs=("max",), prefix="temperature",
+    )
+    got = {(r.window_start, r.ID): r.MAX_TEMPERATURE for r in out.collect()}
+    want = {(r.window_start, r.id): r.max_temperature for r in expect.collect()}
+    assert got == want
+
+
+def test_hopping_translator_shape():
+    name, sql = ksql_to_spark_sql(HOPPING_STMT)
+    assert name == "HOP_TABLE"
+    assert "HOPPING" not in sql.upper()
+    assert "window(ts, '2 minutes', '1 minutes')" in sql
