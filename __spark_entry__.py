@@ -491,6 +491,25 @@ def q_neardup_embedding_lsh(spark, sf_dir):
     )
 
 
+def q_embedding_label_stats(spark, sf_dir):
+    """Embedding-column profiling: per-label vector counts and norm
+    distribution via higher-order functions (no UDF) — the sanity pass
+    before any ANN build (degenerate / zero-norm vectors surface
+    here)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    dot = F.expr(
+        "aggregate(zip_with(embedding, embedding, (x, y) -> CAST(x AS DOUBLE) * y), "
+        "CAST(0.0 AS DOUBLE), (s, x) -> s + x)"
+    )
+    norm = F.sqrt(dot)
+    return emb.groupBy("label").agg(
+        F.count(F.lit(1)).alias("n_vecs"),
+        F.round(F.avg(norm), 6).alias("avg_norm"),
+        F.round(F.min(norm), 6).alias("min_norm"),
+        F.round(F.max(norm), 6).alias("max_norm"),
+    )
+
+
 def q_multimodal_ingest(spark, sf_dir):
     return attach_media(load_table(spark, sf_dir, "documents")).select(
         "doc_id", "mime", "n_bytes", "sha256"
@@ -784,6 +803,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "similarity_topk_ivf": q_similarity_topk_ivf,
         "neardup_embedding": q_neardup_embedding,
         "neardup_embedding_lsh": q_neardup_embedding_lsh,
+        "embedding_label_stats": q_embedding_label_stats,
         "multimodal_ingest": q_multimodal_ingest,
         "multimodal_decode": q_multimodal_decode,
         "salted_join": q_salted_join,
@@ -1222,6 +1242,17 @@ def oracle_sql() -> dict[str, str]:
         # plumbing — rows-only checks by design.
         "similarity_topk": _TOPK_ORACLE,
         "neardup_embedding": _NEARDUP_EMB_ORACLE,
+        "embedding_label_stats": """
+            WITH e AS (SELECT label,
+                              sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+                                                    CAST(embedding AS DOUBLE[])))
+                                  AS norm
+                       FROM embeddings)
+            SELECT label, count(*) AS n_vecs,
+                   round(avg(norm), 6) AS avg_norm,
+                   round(min(norm), 6) AS min_norm,
+                   round(max(norm), 6) AS max_norm
+            FROM e GROUP BY label""",
         "multimodal_ingest": """
             SELECT doc_id,
                    'application/x-fixture-' || source AS mime,

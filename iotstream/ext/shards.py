@@ -41,3 +41,36 @@ def read_training_split(
     """Read one split back; the partition filter prunes directories at
     planning time (no scan of the other splits)."""
     return spark.read.parquet(path).filter(f"{split_col} = '{split}'")
+
+
+def compact_parquet(
+    spark: SparkSession, path: str, target_files: int = 8
+) -> int:
+    """Small-file compaction: rewrite a parquet directory into
+    ``target_files`` files. The changelog-style sinks (upsert, session
+    overwrite) and any long-running streaming job accrete small files;
+    this is the OPTIMIZE-style maintenance pass the 100 TB deployment
+    schedules on them.
+
+    Safe rewrite: materialize into a sibling temp dir, then swap —
+    readers never observe a half-written directory, and the source is
+    fully read before anything is deleted (no read-overwrite cycle on
+    the same path). Returns the number of rows compacted.
+    """
+    import os
+    import shutil
+    import tempfile
+
+    df = spark.read.parquet(path)
+    tmp = tempfile.mkdtemp(
+        prefix=".compact-", dir=os.path.dirname(os.path.abspath(path))
+    )
+    out = os.path.join(tmp, "data")
+    df.coalesce(target_files).write.mode("overwrite").parquet(out)
+    n = spark.read.parquet(out).count()
+    old = path.rstrip("/") + ".old"
+    os.rename(path, old)
+    os.rename(out, path)
+    shutil.rmtree(old, ignore_errors=True)
+    shutil.rmtree(tmp, ignore_errors=True)
+    return n

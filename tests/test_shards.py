@@ -49,3 +49,23 @@ def test_shards_deterministic_across_reruns(spark):
         da = [tuple(r) for r in spark.read.parquet(x).collect()]
         db = [tuple(r) for r in spark.read.parquet(y).collect()]
         assert da == db  # same rows, same order → deterministic shards
+
+
+def test_compact_parquet_preserves_rows_and_reduces_files(spark):
+    import glob as g
+    import tempfile
+
+    from iotstream.ext.shards import compact_parquet
+
+    df = _splits(spark)
+    out = tempfile.mkdtemp(prefix="iotstream-compact-") + "/t"
+    # fragment: many small files
+    df.repartition(40).write.parquet(out)
+    before_files = len(g.glob(f"{out}/*.parquet"))
+    before = [tuple(r) for r in spark.read.parquet(out).collect()]
+    n = compact_parquet(spark, out, target_files=4)
+    after_files = len(g.glob(f"{out}/*.parquet"))
+    after = [tuple(r) for r in spark.read.parquet(out).collect()]
+    assert n == len(before)
+    assert sorted(before) == sorted(after)  # content identical
+    assert after_files <= 4 < before_files
