@@ -21,7 +21,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from iotstream.ext.curation import split_bucket
-from iotstream.ext.text import quality_score
+from iotstream.ext.text import quality_expr
 
 
 def curate(
@@ -33,14 +33,26 @@ def curate(
     split assignment and quality score. Survivors are canonical under
     exact dedup (min doc_id per text), not fingerprint-blocked, and at
     or above the quality floor."""
-    canon = docs.groupBy("text").agg(F.min("doc_id").alias("doc_id"))
-    q = quality_score(docs).select("doc_id", "quality")
+    from pyspark.sql import Window
+
+    # ONE corpus scan: quality and split bucket are narrow expressions,
+    # and "canonical under exact dedup" is a min-over-text window on the
+    # same pass (same single shuffle as a groupBy, but no second scan
+    # and no join back). At 100 TB the only other read is the blocklist.
     block = blocklist.select(F.col("fingerprint").alias("_fp")).distinct()
     b = split_bucket(F.col("doc_id"))
+    canonical = F.min("doc_id").over(Window.partitionBy("text"))
     return (
-        docs.join(canon.select("doc_id"), "doc_id")  # canonical only
+        docs.select(
+            "doc_id",
+            "lang",
+            "source",
+            "text",
+            quality_expr().alias("quality"),
+            (canonical == F.col("doc_id")).alias("_canon"),
+        )
+        .filter(F.col("_canon"))
         .join(F.broadcast(block), F.md5("text") == F.col("_fp"), "left_anti")
-        .join(q, "doc_id")
         .filter(F.col("quality") >= min_quality)
         .select(
             "doc_id",

@@ -255,16 +255,17 @@ def dedup_report(
     two pair generators for their blocked twins (neardup_minhash /
     neardup_embedding_lsh) — the report shape is unchanged.
     """
+    from pyspark.sql import Window
+
     from iotstream.ext.similarity import neardup_embedding
 
-    canon = docs.groupBy("text").agg(F.min("doc_id").alias("canonical_id"))
-    base = (
-        docs.join(canon, "text")
-        .select(
-            "doc_id",
-            "canonical_id",
-            (F.col("doc_id") != F.col("canonical_id")).alias("is_exact_dup"),
-        )
+    # canonical via min-over-text window: one scan + one shuffle, no
+    # groupBy-then-join-back second scan of the corpus.
+    canonical = F.min("doc_id").over(Window.partitionBy("text"))
+    base = docs.select(
+        "doc_id",
+        canonical.alias("canonical_id"),
+        (F.col("doc_id") != canonical).alias("is_exact_dup"),
     )
     jp = neardup_jaccard_exact(docs, threshold=jaccard_threshold)
     near = (

@@ -53,6 +53,18 @@ def token_stats(docs: DataFrame) -> DataFrame:
     )
 
 
+def quality_expr() -> Column:
+    """The quality score as a reusable Column over ``text``: length
+    saturation × (1 − stopword ratio), rounded to 6 (deterministic
+    rational arithmetic)."""
+    stop_list = ", ".join(f"'{w}'" for w in STOPWORDS)
+    stop_hits = F.expr(f"size(filter(split(text, ' '), t -> t IN ({stop_list})))")
+    n = F.size(tokens())
+    stop_ratio = stop_hits.cast("double") / n
+    length_sat = F.least(n.cast("double") / F.lit(100.0), F.lit(1.0))
+    return F.round(length_sat * (F.lit(1.0) - stop_ratio), 6)
+
+
 def quality_score(docs: DataFrame) -> DataFrame:
     """Heuristic document quality: length saturation × (1 − stopword
     ratio). Mirrors the length/stopword-ratio family of filters used in
@@ -62,13 +74,12 @@ def quality_score(docs: DataFrame) -> DataFrame:
     stop_hits = F.expr(f"size(filter(split(text, ' '), t -> t IN ({stop_list})))")
     n = F.size(toks)
     stop_ratio = stop_hits.cast("double") / n
-    length_sat = F.least(n.cast("double") / F.lit(100.0), F.lit(1.0))
     return docs.select(
         "doc_id",
         n.cast("long").alias("n_tokens"),
         stop_hits.cast("long").alias("stop_hits"),
         F.round(stop_ratio, 6).alias("stop_ratio"),
-        F.round(length_sat * (F.lit(1.0) - stop_ratio), 6).alias("quality"),
+        quality_expr().alias("quality"),
     )
 
 
