@@ -720,6 +720,107 @@ def q_interval_join(spark, sf_dir):
     return interval_follow(load_table(spark, sf_dir, "events"))
 
 
+def q_gapfill_locf(spark, sf_dir):
+    """Hypertable gap-fill: dense 1-min per-sensor series over each
+    sensor's observed span, empty buckets filled by last observation
+    carried forward (TimescaleDB time_bucket_gapfill + locf). 60-min
+    buckets: the fixture's sensors report every ~10 h, so most buckets
+    are genuine gaps; output stays span/width-bounded per sensor."""
+    from iotstream.ext.temporal import gapfill_locf
+
+    return gapfill_locf(_valid(spark, sf_dir), bucket_width="60 minutes")
+
+
+def q_latest_reading(spark, sf_dir):
+    """KSQL LATEST_BY_OFFSET parity: current temperature/humidity per
+    sensor via max_by over the (ts, messageId) event-order struct —
+    one partial-aggregating shuffle, no window sort, the plan that
+    stays a single HashAggregate at any scale."""
+    order = F.struct("ts", "messageId")
+    return _valid(spark, sf_dir).groupBy("id").agg(
+        F.max_by(F.col("metrics.temperature"), order).alias("latest_temperature"),
+        F.max_by(F.col("metrics.humidity"), order).alias("latest_humidity"),
+        F.max("ts").alias("latest_ts"),
+    )
+
+
+def q_candlestick(spark, sf_dir):
+    """OHLC downsampling: per sensor per day, the first/last reading in
+    event order plus min/max — windowed EARLIEST/LATEST_BY_OFFSET (the
+    KSQL downsampling idiom). min_by/max_by over the (ts, messageId)
+    struct keeps it one partial-aggregating shuffle — no per-window
+    sort, no row_number pass."""
+    t = F.col("metrics.temperature")
+    order = F.struct("ts", "messageId")
+    return (
+        _valid(spark, sf_dir)
+        .groupBy(F.window("ts", "1 day").alias("w"), F.col("id"))
+        .agg(
+            F.min_by(t, order).alias("open_temperature"),
+            F.max(t).alias("high_temperature"),
+            F.min(t).alias("low_temperature"),
+            F.max_by(t, order).alias("close_temperature"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "id",
+            "open_temperature",
+            "high_temperature",
+            "low_temperature",
+            "close_temperature",
+        )
+    )
+
+
+def q_temp_delta(spark, sf_dir):
+    """Delta encoding: per-sensor successive-reading temperature change
+    (counter-delta / rate-of-change prep). One shuffle on id, linear
+    window scan; first reading per sensor keeps NULL."""
+    from pyspark.sql import Window
+
+    t = F.col("metrics.temperature")
+    w = Window.partitionBy("id").orderBy("ts", "messageId")
+    return _valid(spark, sf_dir).select(
+        "id",
+        "messageId",
+        t.alias("temperature"),
+        (t - F.lag(t).over(w)).alias("delta_temperature"),
+    )
+
+
+def q_zscore_anomaly(spark, sf_dir):
+    """Per-sensor z-score outliers (|z| > 2). Mean/std are derived from
+    exact integer sum/sum-of-squares (one whole-partition window, no
+    second scan), then the SAME IEEE expression shape as the SQL twin —
+    so the filter boundary is bit-deterministic across engines, not a
+    float-rounding gamble."""
+    from pyspark.sql import Window
+
+    t = F.col("metrics.temperature")
+    w = Window.partitionBy("id")
+    s = F.sum(t).over(w).cast("double")
+    n = F.count(t).over(w).cast("double")
+    sq = F.sum(t * t).over(w).cast("double")
+    z = (t.cast("double") - s / n) / F.sqrt((sq - s * s / n) / (n - F.lit(1.0)))
+    return (
+        _valid(spark, sf_dir)
+        .select(
+            "id",
+            "messageId",
+            t.alias("temperature"),
+            z.alias("_z"),
+        )
+        .filter(F.abs(F.col("_z")) > 2.0)
+        .select(
+            "id",
+            "messageId",
+            "temperature",
+            F.round("_z", 6).alias("zscore"),
+        )
+    )
+
+
 def q_shipping_priority(spark, sf_dir):
     return xjoins.shipping_priority(spark, sf_dir)
 
@@ -817,6 +918,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quantile_sketch": q_quantile_sketch,
         "asof_join": q_asof_join,
         "interval_join": q_interval_join,
+        "gapfill_locf": q_gapfill_locf,
+        "latest_reading": q_latest_reading,
+        "candlestick": q_candlestick,
+        "temp_delta": q_temp_delta,
+        "zscore_anomaly": q_zscore_anomaly,
         "shipping_priority": q_shipping_priority,
         "enrichment_join": q_enrichment_join,
         "topk_per_group": q_topk_per_group,
@@ -1315,6 +1421,74 @@ def oracle_sql() -> dict[str, str]:
              AND f.ts > e.ts AND f.ts <= e.ts + INTERVAL 30 MINUTE
             WHERE e.event_type = 'error'
             GROUP BY e.event_id, e.user_id""",
+        "gapfill_locf": f"""
+            WITH sensor AS ({cte}),
+            obs AS (
+              SELECT id, time_bucket(INTERVAL '60 minutes', ts) AS bucket,
+                     round(avg(temperature), 6) AS obs_v
+              FROM sensor WHERE {VALID_SQL} GROUP BY 1, 2),
+            spans AS (SELECT id, min(bucket) AS lo, max(bucket) AS hi
+                      FROM obs GROUP BY 1),
+            skel AS (SELECT id,
+                            unnest(generate_series(lo, hi, INTERVAL '60 minutes'))
+                                AS bucket
+                     FROM spans)
+            SELECT s.id, s.bucket,
+                   last_value(o.obs_v IGNORE NULLS) OVER (
+                       PARTITION BY s.id ORDER BY s.bucket
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                       AS temperature,
+                   o.obs_v IS NULL AS filled
+            FROM skel s LEFT JOIN obs o
+              ON s.id = o.id AND s.bucket = o.bucket""",
+        "latest_reading": f"""
+            WITH sensor AS ({cte}),
+            r AS (SELECT id, temperature, humidity, ts,
+                         row_number() OVER (
+                             PARTITION BY id
+                             ORDER BY ts DESC, "messageId" DESC) AS rn
+                  FROM sensor WHERE {VALID_SQL})
+            SELECT id, temperature AS latest_temperature,
+                   humidity AS latest_humidity, ts AS latest_ts
+            FROM r WHERE rn = 1""",
+        "candlestick": f"""
+            WITH sensor AS ({cte})
+            SELECT time_bucket(INTERVAL '1 day', ts) AS window_start,
+                   time_bucket(INTERVAL '1 day', ts) + INTERVAL '1 day'
+                       AS window_end,
+                   id,
+                   first(temperature ORDER BY ts, "messageId")
+                       AS open_temperature,
+                   max(temperature) AS high_temperature,
+                   min(temperature) AS low_temperature,
+                   last(temperature ORDER BY ts, "messageId")
+                       AS close_temperature
+            FROM sensor WHERE {VALID_SQL}
+            GROUP BY 1, 2, 3""",
+        "temp_delta": f"""
+            WITH sensor AS ({cte})
+            SELECT id, "messageId", temperature,
+                   temperature - lag(temperature) OVER (
+                       PARTITION BY id ORDER BY ts, "messageId")
+                       AS delta_temperature
+            FROM sensor WHERE {VALID_SQL}""",
+        "zscore_anomaly": f"""
+            WITH sensor AS ({cte}),
+            z AS (
+              SELECT id, "messageId", temperature,
+                     (CAST(temperature AS DOUBLE)
+                         - CAST(sum(temperature) OVER w AS DOUBLE)
+                           / CAST(count(temperature) OVER w AS DOUBLE))
+                     / sqrt((CAST(sum(temperature * temperature) OVER w AS DOUBLE)
+                             - CAST(sum(temperature) OVER w AS DOUBLE)
+                               * CAST(sum(temperature) OVER w AS DOUBLE)
+                               / CAST(count(temperature) OVER w AS DOUBLE))
+                            / (CAST(count(temperature) OVER w AS DOUBLE) - 1.0))
+                         AS zv
+              FROM sensor WHERE {VALID_SQL}
+              WINDOW w AS (PARTITION BY id))
+            SELECT id, "messageId", temperature, round(zv, 6) AS zscore
+            FROM z WHERE abs(zv) > 2.0""",
         "shipping_priority": """
             SELECT o_orderkey, o_orderdate,
                    CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,4)) *

@@ -18,6 +18,17 @@ Two operators a training-data / IoT analytics pipeline needs constantly:
   to the two bins its window can reach, then applies the exact range
   predicate. Candidate count scales with true temporal density, not
   row-count² — the same blocking idea as LSH banding in ``dedup``.
+
+- **gap-fill + LOCF** (``gapfill_locf``): densify a per-sensor time
+  series to one row per bucket, carrying the last observation forward
+  into empty buckets (TimescaleDB ``time_bucket_gapfill`` + ``locf``;
+  the hypertable-rollup op the reference's KSQL layer cannot express).
+  Missing buckets are generated with ``sequence()`` + ``explode`` from
+  each sensor's own [first, last] span — distributed, no driver-side
+  calendar, output bounded by span/width per key rather than by any
+  global range. Every shuffle (bucket agg, span agg, skeleton join,
+  LOCF window) is keyed on the sensor id, so AQE coalesces them and no
+  stage ever sees more than one sensor's timeline at once.
 """
 
 from __future__ import annotations
@@ -100,4 +111,48 @@ def interval_follow(
         F.sum(F.col("f_value").cast("decimal(12,4)"))
         .cast("double")
         .alias("follow_value"),
+    )
+
+
+def gapfill_locf(
+    sensor: DataFrame,
+    value: str = "metrics.temperature",
+    bucket_width: str = "1 minute",
+) -> DataFrame:
+    """Dense per-sensor series: one row per ``bucket_width`` bucket in
+    each sensor's [first, last] observed span, value = bucket AVG where
+    observed, else last observation carried forward. ``filled`` marks
+    the synthesized rows. Matches TimescaleDB
+    ``time_bucket_gapfill(...) + locf(avg(...))`` semantics; unit
+    hard-wired to minute buckets for the 1-minute flagship granularity
+    (callers pass e.g. "5 minutes" for coarser rollups).
+    """
+    n_min = int(bucket_width.split()[0]) if bucket_width[0].isdigit() else 1
+    step = F.expr(f"interval {n_min} minute")
+    bucket = F.date_trunc("minute", F.col("ts"))
+    if n_min != 1:
+        epoch_min = (F.unix_timestamp(bucket) / 60).cast("long")
+        bucket = F.timestamp_seconds((epoch_min - epoch_min % n_min) * 60)
+    obs = sensor.groupBy(F.col("id"), bucket.alias("bucket")).agg(
+        F.round(F.avg(value), 6).alias("obs_v")
+    )
+    spans = obs.groupBy("id").agg(
+        F.min("bucket").alias("lo"), F.max("bucket").alias("hi")
+    )
+    skel = spans.select(
+        "id", F.explode(F.sequence("lo", "hi", step)).alias("bucket")
+    )
+    w = (
+        Window.partitionBy("id")
+        .orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        skel.join(obs, ["id", "bucket"], "left")
+        .select(
+            "id",
+            "bucket",
+            F.last("obs_v", ignorenulls=True).over(w).alias("temperature"),
+            F.col("obs_v").isNull().alias("filled"),
+        )
     )

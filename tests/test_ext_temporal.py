@@ -64,3 +64,57 @@ def test_interval_follow_counts_any_event_type(spark):
     out = {r.event_id: r for r in interval_follow(ev, window_seconds=60).collect()}
     assert out[1].n_follow == 2 and out[1].follow_value == 6.0
     assert out[2].n_follow == 1 and out[2].follow_value == 4.0
+
+
+def _sensor_frame(spark, rows):
+    """rows: (id, minute_offset, temperature)."""
+    return spark.createDataFrame(
+        [
+            (i, T0 + dt.timedelta(minutes=m), (float(v), 0.0))
+            for i, m, v in rows
+        ],
+        "id string, ts timestamp, metrics struct<temperature double, humidity double>",
+    )
+
+
+def test_gapfill_locf_fills_interior_gaps_only(spark):
+    from iotstream.ext.temporal import gapfill_locf
+
+    df = _sensor_frame(
+        spark,
+        [
+            ("a", 0, 10.0),
+            ("a", 0, 20.0),  # same bucket → avg 15.0
+            ("a", 3, 40.0),  # minutes 1-2 are gaps
+            ("b", 5, 9.0),   # single observation → single row, no fill
+        ],
+    )
+    out = {
+        (r.id, r.bucket.minute): (r.temperature, r.filled)
+        for r in gapfill_locf(df).collect()
+    }
+    assert out[("a", 0)] == (15.0, False)
+    assert out[("a", 1)] == (15.0, True)   # LOCF carries the bucket avg
+    assert out[("a", 2)] == (15.0, True)
+    assert out[("a", 3)] == (40.0, False)
+    assert out[("b", 5)] == (9.0, False)
+    # span-bounded: nothing before first or after last observation
+    assert len(out) == 5
+
+
+def test_gapfill_locf_wider_buckets_align_to_epoch(spark):
+    from iotstream.ext.temporal import gapfill_locf
+
+    df = _sensor_frame(
+        spark,
+        [("a", 7, 1.0), ("a", 130, 3.0)],  # 12:07 and 14:10
+    )
+    rows = sorted(
+        gapfill_locf(df, bucket_width="60 minutes").collect(),
+        key=lambda r: r.bucket,
+    )
+    # hour-aligned buckets 12:00, 13:00, 14:00
+    assert [r.bucket.hour for r in rows] == [12, 13, 14]
+    assert [r.bucket.minute for r in rows] == [0, 0, 0]
+    assert [r.temperature for r in rows] == [1.0, 1.0, 3.0]
+    assert [r.filled for r in rows] == [False, True, False]
