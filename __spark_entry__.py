@@ -821,6 +821,25 @@ def q_zscore_anomaly(spark, sf_dir):
     )
 
 
+def q_funnel(spark, sf_dir):
+    """Ordered-stage funnel (view → click → purchase) via stacked
+    whole-partition window minima — one user_id shuffle for the whole
+    chain, no per-stage self-joins."""
+    from iotstream.ext.analytics import funnel
+
+    use_utc(spark)
+    return funnel(load_table(spark, sf_dir, "events"))
+
+
+def q_cohort_retention(spark, sf_dir):
+    """Weekly cohort retention matrix; first-seen agg, activity
+    distinct, and join all share the user_id partitioning."""
+    from iotstream.ext.analytics import cohort_retention
+
+    use_utc(spark)
+    return cohort_retention(load_table(spark, sf_dir, "events"))
+
+
 def q_shipping_priority(spark, sf_dir):
     return xjoins.shipping_priority(spark, sf_dir)
 
@@ -923,6 +942,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "candlestick": q_candlestick,
         "temp_delta": q_temp_delta,
         "zscore_anomaly": q_zscore_anomaly,
+        "funnel": q_funnel,
+        "cohort_retention": q_cohort_retention,
         "shipping_priority": q_shipping_priority,
         "enrichment_join": q_enrichment_join,
         "topk_per_group": q_topk_per_group,
@@ -1091,14 +1112,19 @@ def oracle_sql() -> dict[str, str]:
                    min(ts) AS session_start, max(ts) AS session_end
             FROM ids GROUP BY user_id, session_id""",
         "streaming_sessionize": """
+            -- session_window splits on the FULL-precision gap
+            -- (microseconds), not floored seconds: epoch_us parity
+            -- with Spark's internal long-micros clock. Windows merge
+            -- when they touch (inclusive overlap), so a new session
+            -- needs gap STRICTLY greater than the threshold —
+            -- pinned by test_session_window_microsecond_boundary.
             WITH base AS (
-              SELECT user_id, event_id, ts,
-                     CAST(floor(epoch(ts)) AS BIGINT) AS ep
+              SELECT user_id, event_id, ts, epoch_us(ts) AS ep
               FROM events),
             lagged AS (
               SELECT user_id, event_id, ts,
                      CASE WHEN lag(ep) OVER w IS NULL
-                            OR ep - lag(ep) OVER w >= 1800
+                            OR ep - lag(ep) OVER w > 1800000000
                           THEN 1 ELSE 0 END AS new_sess
               FROM base
               WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
@@ -1489,6 +1515,42 @@ def oracle_sql() -> dict[str, str]:
               WINDOW w AS (PARTITION BY id))
             SELECT id, "messageId", temperature, round(zv, 6) AS zscore
             FROM z WHERE abs(zv) > 2.0""",
+        "funnel": """
+            WITH w1 AS (
+              SELECT user_id, ts, event_type,
+                     min(CASE WHEN event_type = 'view' THEN ts END)
+                         OVER (PARTITION BY user_id) AS v_ts
+              FROM events),
+            w2 AS (
+              SELECT *, min(CASE WHEN event_type = 'click' AND ts >= v_ts
+                                 THEN ts END)
+                            OVER (PARTITION BY user_id) AS c_ts
+              FROM w1),
+            w3 AS (
+              SELECT *, min(CASE WHEN event_type = 'purchase' AND ts >= c_ts
+                                 THEN ts END)
+                            OVER (PARTITION BY user_id) AS p_ts
+              FROM w2),
+            u AS (SELECT user_id, max(v_ts) AS v, max(c_ts) AS c,
+                         max(p_ts) AS p
+                  FROM w3 GROUP BY user_id)
+            SELECT 'view' AS stage, count(v) AS users FROM u
+            UNION ALL
+            SELECT 'click_after_view', count(c) FROM u
+            UNION ALL
+            SELECT 'purchase_after_click', count(p) FROM u""",
+        "cohort_retention": """
+            WITH a AS (
+              SELECT DISTINCT user_id,
+                     CAST(date_trunc('week', ts) AS TIMESTAMP) AS wk
+              FROM events),
+            f AS (SELECT user_id, min(wk) AS cohort_week FROM a GROUP BY 1)
+            SELECT f.cohort_week,
+                   CAST((epoch(a.wk) - epoch(f.cohort_week)) / 604800 AS BIGINT)
+                       AS week_offset,
+                   count(DISTINCT a.user_id) AS active_users
+            FROM a JOIN f USING (user_id)
+            GROUP BY 1, 2""",
         "shipping_priority": """
             SELECT o_orderkey, o_orderdate,
                    CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,4)) *

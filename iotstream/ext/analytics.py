@@ -1,0 +1,89 @@
+"""EXT — product-analytics operators over the event stream.
+
+Funnel conversion and cohort retention: the two queries every
+event-analytics deployment of the reference's capability set runs
+daily, and classic shuffle traps at scale. Both are built so every
+stage shares ONE partitioning on ``user_id``:
+
+- ``funnel``: ordered-stage conversion (view → click → purchase). The
+  "first click AFTER the first view" dependency chain is expressed as
+  stacked whole-partition window minima — Catalyst plans all three as
+  Window ops over the same (user_id) shuffle+sort, so the per-user
+  timeline is read once, never self-joined per stage (an N-stage
+  funnel via self-joins is N shuffles and N join explosions).
+
+- ``cohort_retention``: users bucketed by first-active week, distinct
+  activity per (user, week), counts per (cohort, week-offset). The
+  first-seen aggregate, the distinct, and the join all key on
+  ``user_id``, so AQE reuses one exchange; the final rollup shuffles
+  the already-tiny (cohort, offset) pairs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+FUNNEL_STAGES = ("view", "click", "purchase")
+
+
+def funnel(events: DataFrame) -> DataFrame:
+    """Per-stage user counts for the view → click → purchase funnel.
+
+    A user converts to stage N at the first event of that type
+    at-or-after their stage-N-1 conversion time (inclusive, matching
+    the SQL twin). Returns (stage, users), one row per stage.
+    """
+    ev = events.select("user_id", "ts", "event_type")
+    w = Window.partitionBy("user_id")
+    ty = F.col("event_type")
+    s = ev.withColumn(
+        "v_ts", F.min(F.when(ty == "view", F.col("ts"))).over(w)
+    )
+    s = s.withColumn(
+        "c_ts",
+        F.min(
+            F.when((ty == "click") & (F.col("ts") >= F.col("v_ts")), F.col("ts"))
+        ).over(w),
+    )
+    s = s.withColumn(
+        "p_ts",
+        F.min(
+            F.when(
+                (ty == "purchase") & (F.col("ts") >= F.col("c_ts")), F.col("ts")
+            )
+        ).over(w),
+    )
+    per_user = s.groupBy("user_id").agg(
+        F.max("v_ts").alias("v"),
+        F.max("c_ts").alias("c"),
+        F.max("p_ts").alias("p"),
+    )
+    counts = per_user.agg(
+        F.count("v").alias("nv"), F.count("c").alias("nc"), F.count("p").alias("np")
+    )
+    return counts.select(
+        F.expr(
+            "stack(3, 'view', nv, 'click_after_view', nc, "
+            "'purchase_after_click', np) AS (stage, users)"
+        )
+    )
+
+
+def cohort_retention(events: DataFrame) -> DataFrame:
+    """Weekly cohort retention: for each first-active-week cohort, how
+    many of its users were active 0, 1, 2, … weeks later. Returns
+    (cohort_week, week_offset, active_users)."""
+    ev = events.select(
+        "user_id", F.date_trunc("week", F.col("ts")).alias("wk")
+    ).distinct()
+    first = ev.groupBy("user_id").agg(F.min("wk").alias("cohort_week"))
+    offset = (
+        (F.unix_timestamp("wk") - F.unix_timestamp("cohort_week")) / 604800
+    ).cast("long")
+    return (
+        ev.join(first, "user_id")
+        .groupBy("cohort_week", offset.alias("week_offset"))
+        .agg(F.countDistinct("user_id").alias("active_users"))
+    )

@@ -57,9 +57,11 @@ def run_session_window_final(
     watermark, where sessions finalize incrementally and merging is
     confined to open state.
 
-    Session-window semantics (vs the batch lag/cumsum twin): a new
-    session starts when the gap is >= the threshold (window end is
-    exclusive), and session_end = last event + gap.
+    Session-window semantics (vs the batch lag/cumsum twin): windows
+    merge on inclusive overlap (an event at exactly last_ts + gap still
+    extends the session), so a new session starts only when the
+    full-precision microsecond gap is STRICTLY greater than the
+    threshold; session_end = last event + gap.
     """
     import tempfile
 

@@ -100,3 +100,32 @@ def test_session_window_stream_matches_batch_session_count(spark, tmp_path):
         stream_sessions.agg(F.sum("n_events")).first()[0]
         == batch.agg(F.sum("n_events")).first()[0]
     )
+
+
+def test_session_window_microsecond_boundary(spark):
+    """session_window merges on the FULL-precision microsecond gap
+    with INCLUSIVE overlap: an event at exactly last_ts + gap still
+    extends the session; only a strictly-greater gap splits — the
+    exact semantics the streaming_sessionize oracle encodes via
+    epoch_us and a strict > comparison."""
+    import datetime as dt
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [
+        ("u1", t0),
+        ("u1", t0 + dt.timedelta(seconds=1799, microseconds=999999)),  # < gap
+        ("u2", t0),
+        ("u2", t0 + dt.timedelta(seconds=1800)),  # == gap → still merges
+        ("u3", t0),
+        ("u3", t0 + dt.timedelta(seconds=1800, microseconds=1)),  # > gap
+    ]
+    df = spark.createDataFrame(rows, "user_id string, ts timestamp")
+    n = {
+        r.user_id: r.n
+        for r in df.groupBy(F.session_window("ts", "30 minutes"), "user_id")
+        .count()
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert n == {"u1": 1, "u2": 1, "u3": 2}
