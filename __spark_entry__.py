@@ -840,6 +840,31 @@ def q_cohort_retention(spark, sf_dir):
     return cohort_retention(load_table(spark, sf_dir, "events"))
 
 
+def q_activity_reconcile(spark, sf_dir):
+    """Full-outer join surface (the one join type not exercised
+    elsewhere): per-user purchase vs error activity reconciled, keeping
+    users present on either side only. Both inputs pre-aggregate before
+    the join, so the shuffle carries one row per (user, side) — never
+    raw events — and AQE plans the merged exchange."""
+    use_utc(spark)
+    ev = load_table(spark, sf_dir, "events")
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n_purchases"))
+    )
+    e = (
+        ev.filter(F.col("event_type") == "error")
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n_errors"))
+    )
+    return p.join(e, "user_id", "full_outer").select(
+        "user_id",
+        F.coalesce("n_purchases", F.lit(0)).alias("n_purchases"),
+        F.coalesce("n_errors", F.lit(0)).alias("n_errors"),
+    )
+
+
 def q_shipping_priority(spark, sf_dir):
     return xjoins.shipping_priority(spark, sf_dir)
 
@@ -944,6 +969,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "zscore_anomaly": q_zscore_anomaly,
         "funnel": q_funnel,
         "cohort_retention": q_cohort_retention,
+        "activity_reconcile": q_activity_reconcile,
         "shipping_priority": q_shipping_priority,
         "enrichment_join": q_enrichment_join,
         "topk_per_group": q_topk_per_group,
@@ -1551,6 +1577,17 @@ def oracle_sql() -> dict[str, str]:
                    count(DISTINCT a.user_id) AS active_users
             FROM a JOIN f USING (user_id)
             GROUP BY 1, 2""",
+        "activity_reconcile": """
+            WITH p AS (
+              SELECT user_id, count(*) AS n_purchases FROM events
+              WHERE event_type = 'purchase' GROUP BY 1),
+            e AS (
+              SELECT user_id, count(*) AS n_errors FROM events
+              WHERE event_type = 'error' GROUP BY 1)
+            SELECT user_id,
+                   coalesce(n_purchases, 0) AS n_purchases,
+                   coalesce(n_errors, 0) AS n_errors
+            FROM p FULL OUTER JOIN e USING (user_id)""",
         "shipping_priority": """
             SELECT o_orderkey, o_orderdate,
                    CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,4)) *

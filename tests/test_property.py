@@ -68,3 +68,62 @@ def test_salted_join_equals_plain_join(spark, keys, buckets):
         for r in salted_join(fact, dim, "k", buckets=buckets).collect()
     )
     assert salted == plain
+
+
+obs_points = st.lists(
+    st.tuples(
+        st.sampled_from(["a", "b", "c"]),            # sensor id
+        st.integers(min_value=0, max_value=300),     # minute offset
+        st.integers(min_value=1, max_value=99),      # temperature
+    ),
+    min_size=1,
+    max_size=40,
+)
+
+
+@given(obs_points)
+@SLOW
+def test_gapfill_locf_invariants(spark, points):
+    """Over random sparse series: output is exactly span/width+1 rows
+    per sensor, never null, filled ⇔ bucket had no observation, and
+    every filled value equals the nearest earlier observed bucket avg."""
+    import datetime as dt
+
+    from iotstream.ext.temporal import gapfill_locf
+
+    t0 = dt.datetime(2024, 1, 1)
+    df = spark.createDataFrame(
+        [
+            (sid, t0 + dt.timedelta(minutes=m), (float(v), 0.0))
+            for sid, m, v in points
+        ],
+        "id string, ts timestamp, metrics struct<temperature double, humidity double>",
+    )
+    out = gapfill_locf(df).collect()
+
+    by_id = {}
+    for sid, m, v in points:
+        by_id.setdefault(sid, {}).setdefault(m, []).append(v)
+
+    rows_by_id = {}
+    for r in out:
+        assert r.temperature is not None
+        rows_by_id.setdefault(r.id, []).append(r)
+
+    assert set(rows_by_id) == set(by_id)
+    for sid, rows in rows_by_id.items():
+        obs = by_id[sid]
+        lo, hi = min(obs), max(obs)
+        minutes = sorted(int((r.bucket - t0).total_seconds()) // 60 for r in rows)
+        assert minutes == list(range(lo, hi + 1))  # dense span, no extras
+        last = None
+        for r in sorted(rows, key=lambda r: r.bucket):
+            m = int((r.bucket - t0).total_seconds()) // 60
+            if m in obs:
+                expected = round(sum(obs[m]) / len(obs[m]), 6)
+                assert not r.filled
+                assert r.temperature == expected
+                last = r.temperature
+            else:
+                assert r.filled
+                assert r.temperature == last
