@@ -423,6 +423,18 @@ def q_corpus_curate(spark, sf_dir):
     return curate(docs, block)
 
 
+def q_tokenize_encode(spark, sf_dir):
+    """Corpus → ordered token-id arrays against the built vocab (OOV →
+    0): broadcast dictionary lookup, one reassembly shuffle."""
+    return xtext.tokenize_encode(load_table(spark, sf_dir, "documents"))
+
+
+def q_scrub_repetition(spark, sf_dir):
+    """Consecutive-duplicate-token collapse via indexed HOF filter —
+    zero-shuffle narrow map."""
+    return xtext.scrub_repetition(load_table(spark, sf_dir, "documents"))
+
+
 def q_df_token_filter(spark, sf_dir):
     """Document-frequency boilerplate removal: tokens in >=50% of docs
     dropped, text reconstructed in order (broadcast anti-join, no
@@ -938,6 +950,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "length_percentiles": q_length_percentiles,
         "scrub_numbers": q_scrub_numbers,
         "corpus_curate": q_corpus_curate,
+        "tokenize_encode": q_tokenize_encode,
+        "scrub_repetition": q_scrub_repetition,
         "df_token_filter": q_df_token_filter,
         "decontaminate": q_decontaminate,
         "neardup_jaccard": q_neardup_jaccard,
@@ -1331,6 +1345,35 @@ def oracle_sql() -> dict[str, str]:
                    CAST(row_number() OVER (ORDER BY cnt DESC, word) AS BIGINT)
                        AS token_id
             FROM wc WHERE cnt >= 5""",
+        "tokenize_encode": """
+            WITH wc AS (SELECT tok AS word, count(*) AS cnt
+                        FROM (SELECT unnest(string_split(text, ' ')) AS tok
+                              FROM documents)
+                        GROUP BY tok),
+            v AS (SELECT word,
+                         CAST(row_number() OVER (ORDER BY cnt DESC, word)
+                              AS BIGINT) AS token_id
+                  FROM wc WHERE cnt >= 5),
+            t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+            p AS (SELECT doc_id, w, unnest(range(1, len(w) + 1)) AS i FROM t),
+            e AS (SELECT p.doc_id, p.i, coalesce(v.token_id, 0) AS tid
+                  FROM p LEFT JOIN v ON p.w[p.i] = v.word)
+            SELECT doc_id,
+                   list(tid ORDER BY i) AS token_ids,
+                   count(*) AS n_tokens,
+                   CAST(sum(CASE WHEN tid = 0 THEN 1 ELSE 0 END) AS BIGINT)
+                       AS n_oov
+            FROM e GROUP BY doc_id""",
+        "scrub_repetition": """
+            WITH t AS (SELECT doc_id, string_split(text, ' ') AS w
+                       FROM documents),
+            i AS (SELECT doc_id, w, unnest(range(1, len(w) + 1)) AS i FROM t),
+            k AS (SELECT doc_id, i, w[i] AS tok, len(w) AS n
+                  FROM i WHERE i = 1 OR w[i] <> w[i - 1])
+            SELECT doc_id,
+                   string_agg(tok, ' ' ORDER BY i) AS text,
+                   any_value(n) - count(*) AS n_removed
+            FROM k GROUP BY doc_id""",
         "ngram_counts": """
             WITH t AS (SELECT string_split(text, ' ') AS w FROM documents
                        WHERE len(string_split(text, ' ')) >= 2),

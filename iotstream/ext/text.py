@@ -120,6 +120,57 @@ def vocab_build(
     return wc.select("word", "cnt", rank.cast("long").alias("token_id"))
 
 
+def tokenize_encode(
+    docs: DataFrame, col: str = "text", min_count: int = 5
+) -> DataFrame:
+    """Corpus → ordered token-id arrays (the actual tokenization step
+    of a training-data pipeline): build the vocab, encode every
+    document against it, OOV → id 0. The vocab is dictionary-sized so
+    the token→id lookup is a BROADCAST join (no corpus shuffle for the
+    lookup); the only corpus-sized shuffle is the per-doc reassembly,
+    whose rows are (doc_id, pos, id) triples — the minimum state any
+    order-preserving encoder must move. collect_list is
+    order-nondeterministic, so ids are re-sorted by position
+    (array_sort over (pos, id) structs) before projection."""
+    vocab = vocab_build(docs, col, min_count).select("word", "token_id")
+    tok = docs.select(
+        "doc_id", F.posexplode(tokens(col)).alias("pos", "word")
+    )
+    enc = tok.join(F.broadcast(vocab), "word", "left").select(
+        "doc_id", "pos", F.coalesce("token_id", F.lit(0)).alias("tid")
+    )
+    return enc.groupBy("doc_id").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "tid"))),
+            lambda s: s["tid"],
+        ).alias("token_ids"),
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.sum((F.col("tid") == 0).cast("long")).alias("n_oov"),
+    )
+
+
+def scrub_repetition(docs: DataFrame, col: str = "text") -> DataFrame:
+    """Intra-document stutter removal: collapse runs of consecutive
+    identical tokens to one ("the the the" → "the") — a standard
+    crawl-corpus cleaning pass. Pure narrow map: zip the token array
+    with its shifted self (null sentinel first), keep elements that
+    differ from their predecessor — all JVM-side HOFs, zero shuffles,
+    scales embarrassingly."""
+    w = tokens(col)
+    prev = F.concat(
+        F.array(F.lit(None).cast("string")), F.slice(w, 1, F.size(w) - 1)
+    )
+    marked = F.zip_with(
+        w, prev, lambda x, p: F.when(p.isNull() | (x != p), x)
+    )
+    kept = F.filter(marked, lambda x: x.isNotNull())
+    return docs.select(
+        "doc_id",
+        F.concat_ws(" ", kept).alias("text"),
+        (F.size(w) - F.size(kept)).alias("n_removed"),
+    )
+
+
 def ngram_counts(
     docs: DataFrame, n: int = 2, col: str = "text", min_count: int = 5
 ) -> DataFrame:

@@ -50,3 +50,37 @@ def test_decontaminate_drops_exact_content_matches_only(spark):
     ids = {r["doc_id"] for r in kept.collect()}
     # doc 3 AND its content-identical twin doc 5 are both removed
     assert ids == {1, 2, 4}
+
+
+def test_scrub_repetition_collapses_runs_only(spark):
+    from iotstream.ext.text import scrub_repetition
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the the the cat sat sat here"),
+            (2, "a b a b"),          # alternation is NOT a run → untouched
+            (3, "solo"),
+            (4, "x x"),
+        ],
+        "doc_id bigint, text string",
+    )
+    out = {r.doc_id: r for r in scrub_repetition(docs).collect()}
+    assert (out[1].text, out[1].n_removed) == ("the cat sat here", 3)
+    assert (out[2].text, out[2].n_removed) == ("a b a b", 0)
+    assert (out[3].text, out[3].n_removed) == ("solo", 0)
+    assert (out[4].text, out[4].n_removed) == ("x", 1)
+
+
+def test_tokenize_encode_order_and_oov(spark):
+    from iotstream.ext.text import tokenize_encode
+
+    # "w" appears 6x (vocab), "rare" once (OOV with min_count=5)
+    docs = spark.createDataFrame(
+        [(1, "w w w rare w"), (2, "w w rare")],
+        "doc_id bigint, text string",
+    )
+    out = {r.doc_id: r for r in tokenize_encode(docs, min_count=5).collect()}
+    assert out[1].token_ids == [1, 1, 1, 0, 1]  # order preserved, OOV→0
+    assert (out[1].n_tokens, out[1].n_oov) == (5, 1)
+    assert out[2].token_ids == [1, 1, 0]
+    assert (out[2].n_tokens, out[2].n_oov) == (3, 1)
