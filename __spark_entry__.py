@@ -435,6 +435,16 @@ def q_scrub_repetition(spark, sf_dir):
     return xtext.scrub_repetition(load_table(spark, sf_dir, "documents"))
 
 
+def q_sequence_pack(spark, sf_dir):
+    """GPT-style sequence packing: global token offsets via a
+    TWO-LEVEL distributed prefix-sum (block-local window + tiny block
+    prefix table broadcast back) — never a single-partition global
+    window over the corpus."""
+    from iotstream.ext.packing import sequence_pack
+
+    return sequence_pack(load_table(spark, sf_dir, "documents"))
+
+
 def q_df_token_filter(spark, sf_dir):
     """Document-frequency boilerplate removal: tokens in >=50% of docs
     dropped, text reconstructed in order (broadcast anti-join, no
@@ -950,6 +960,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "length_percentiles": q_length_percentiles,
         "scrub_numbers": q_scrub_numbers,
         "corpus_curate": q_corpus_curate,
+        "sequence_pack": q_sequence_pack,
         "tokenize_encode": q_tokenize_encode,
         "scrub_repetition": q_scrub_repetition,
         "df_token_filter": q_df_token_filter,
@@ -1345,6 +1356,22 @@ def oracle_sql() -> dict[str, str]:
                    CAST(row_number() OVER (ORDER BY cnt DESC, word) AS BIGINT)
                        AS token_id
             FROM wc WHERE cnt >= 5""",
+        "sequence_pack": """
+            WITH n AS (SELECT doc_id,
+                              CAST(len(string_split(text, ' ')) AS BIGINT)
+                                  AS n_tokens
+                       FROM documents),
+            o AS (SELECT doc_id, n_tokens,
+                         coalesce(sum(n_tokens) OVER (
+                             ORDER BY doc_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING
+                                      AND 1 PRECEDING), 0) AS token_offset
+                  FROM n)
+            SELECT doc_id, n_tokens, token_offset,
+                   CAST(floor(token_offset / 512) AS BIGINT) AS chunk_first,
+                   CAST(floor((token_offset + n_tokens - 1) / 512) AS BIGINT)
+                       AS chunk_last
+            FROM o""",
         "tokenize_encode": """
             WITH wc AS (SELECT tok AS word, count(*) AS cnt
                         FROM (SELECT unnest(string_split(text, ' ')) AS tok
