@@ -913,6 +913,34 @@ def q_revenue_rollup(spark, sf_dir):
     return xjoins.revenue_rollup(spark, sf_dir)
 
 
+def q_local_supplier_volume(spark, sf_dir):
+    return xjoins.local_supplier_volume(spark, sf_dir)
+
+
+def q_large_quantity_orders(spark, sf_dir):
+    return xjoins.large_quantity_orders(spark, sf_dir)
+
+
+def q_dormant_customers(spark, sf_dir):
+    return xjoins.dormant_customers(spark, sf_dir)
+
+
+def q_decontaminate_ngram(spark, sf_dir):
+    """N-gram-overlap decontamination: docs with doc_id%97==0 play the
+    eval set (same convention as the md5 `decontaminate` query); any
+    corpus doc sharing a word 3-gram with them is dropped."""
+    docs = load_table(spark, sf_dir, "documents")
+    return xtext.decontaminate_ngram(
+        docs, docs.filter(F.col("doc_id") % 97 == 0), n=3
+    )
+
+
+def q_continuous_rollup(spark, sf_dir):
+    from iotstream.ext.temporal import continuous_rollup
+
+    return continuous_rollup(_sensor(spark, sf_dir))
+
+
 # ------------------------------------------------------------- contract
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -1001,6 +1029,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "revenue_forecast": q_revenue_forecast,
         "pricing_summary": q_pricing_summary,
         "revenue_rollup": q_revenue_rollup,
+        "local_supplier_volume": q_local_supplier_volume,
+        "large_quantity_orders": q_large_quantity_orders,
+        "dormant_customers": q_dormant_customers,
+        "decontaminate_ngram": q_decontaminate_ngram,
+        "continuous_rollup": q_continuous_rollup,
     }
 
 
@@ -1714,4 +1747,62 @@ def oracle_sql() -> dict[str, str]:
             JOIN nation ON c_nationkey = n_nationkey
             JOIN region ON n_regionkey = r_regionkey
             GROUP BY ROLLUP(r_name, n_name)""",
+        "local_supplier_volume": """
+            SELECT n_name,
+                   CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,4)) *
+                            (CAST(1 AS DECIMAL(12,4)) - CAST(l_discount AS DECIMAL(12,4))))
+                        AS DOUBLE) AS revenue,
+                   count(*) AS n_items
+            FROM lineitem
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+            JOIN nation ON s_nationkey = n_nationkey
+            JOIN region ON n_regionkey = r_regionkey
+            WHERE r_name = 'ASIA'
+              AND o_orderdate >= TIMESTAMP '1996-01-01'
+              AND o_orderdate < TIMESTAMP '1997-01-01'
+            GROUP BY n_name""",
+        "large_quantity_orders": """
+            WITH qty AS (SELECT l_orderkey,
+                                CAST(SUM(CAST(l_quantity AS DECIMAL(12,4))) AS DOUBLE)
+                                    AS total_qty
+                         FROM lineitem GROUP BY l_orderkey
+                         HAVING CAST(SUM(CAST(l_quantity AS DECIMAL(12,4))) AS DOUBLE) > 300)
+            SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice, total_qty
+            FROM orders
+            JOIN qty ON o_orderkey = l_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            ORDER BY o_totalprice DESC, o_orderkey LIMIT 100""",
+        "dormant_customers": """
+            WITH bal AS (SELECT SUM(CAST(c_acctbal AS DECIMAL(18,4))) AS sum_bal,
+                                count(*) AS n_bal
+                         FROM customer WHERE c_acctbal > 0),
+            recent AS (SELECT DISTINCT o_custkey FROM orders
+                       WHERE o_orderdate >= TIMESTAMP '2000-01-01')
+            SELECT n_name, count(*) AS n_dormant,
+                   CAST(SUM(CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE) AS total_balance
+            FROM customer CROSS JOIN bal
+            JOIN nation ON c_nationkey = n_nationkey
+            WHERE CAST(c_acctbal AS DECIMAL(18,4)) * n_bal > sum_bal
+              AND c_custkey NOT IN (SELECT o_custkey FROM recent)
+            GROUP BY n_name""",
+        "decontaminate_ngram": """
+            WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+            i AS (SELECT doc_id, w, unnest(range(1, len(w) - 1)) AS i
+                  FROM t WHERE len(w) >= 3),
+            g AS (SELECT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS ngram
+                  FROM i),
+            bad AS (SELECT DISTINCT doc_id FROM g WHERE ngram IN
+                    (SELECT DISTINCT ngram FROM g WHERE doc_id % 97 = 0))
+            SELECT doc_id, lang, source, n_chars FROM documents
+            WHERE doc_id NOT IN (SELECT doc_id FROM bad)""",
+        "continuous_rollup": f"""
+            WITH sensor AS ({cte})
+            SELECT id, date_trunc('hour', ts) AS hour_start,
+                   max(temperature) AS max_temp,
+                   min(temperature) AS min_temp,
+                   round(CAST(sum(temperature) AS DOUBLE) / count(*), 6) AS avg_temp,
+                   count(*) AS n_readings
+            FROM sensor GROUP BY id, date_trunc('hour', ts)""",
     }

@@ -165,6 +165,142 @@ def revenue_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def local_supplier_volume(
+    spark: SparkSession,
+    sf_dir: str,
+    region: str = "ASIA",
+    date_from: str = "1996-01-01",
+    date_to: str = "1997-01-01",
+) -> DataFrame:
+    """TPC-H Q5-shaped: revenue per nation where the customer and the
+    supplier share the nation, inside one region and one order year.
+
+    Scale shape: the region filter collapses nation×region to a handful
+    of rows before anything else runs; supplier⋈geo broadcasts; the
+    orderdate range pushes to the orders scan. lineitem⋈orders is the
+    only shuffle pair (AQE broadcasts the filtered orders side when it
+    is small enough at runtime); the customer dim broadcasts. The
+    c_nationkey = s_nationkey "local supplier" constraint rides the
+    supplier join — no extra shuffle."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"
+    )
+    orders = (
+        load_table(spark, sf_dir, "orders")
+        .filter(
+            (F.col("o_orderdate") >= F.lit(date_from))
+            & (F.col("o_orderdate") < F.lit(date_to))
+        )
+        .select("o_orderkey", "o_custkey")
+    )
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    nation = load_table(spark, sf_dir, "nation")
+    reg = load_table(spark, sf_dir, "region").filter(F.col("r_name") == region)
+    geo = nation.join(
+        F.broadcast(reg), nation.n_regionkey == reg.r_regionkey
+    ).select("n_nationkey", "n_name")
+    supp = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    supp_geo = F.broadcast(
+        supp.join(F.broadcast(geo), supp.s_nationkey == geo.n_nationkey).select(
+            "s_suppkey", "s_nationkey", "n_name"
+        )
+    )
+    d = lambda c: F.col(c).cast("decimal(12,4)")  # noqa: E731
+    one = F.lit(1).cast("decimal(12,4)")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(
+            supp_geo,
+            (li.l_suppkey == supp_geo.s_suppkey)
+            & (cust.c_nationkey == supp_geo.s_nationkey),
+        )
+        .groupBy("n_name")
+        .agg(
+            F.sum(d("l_extendedprice") * (one - d("l_discount")))
+            .cast("double")
+            .alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+def large_quantity_orders(
+    spark: SparkSession, sf_dir: str, threshold: int = 300, k: int = 100
+) -> DataFrame:
+    """TPC-H Q18-shaped: customers whose orders exceed a total-quantity
+    threshold. The HAVING-style aggregate runs first (one shuffle on
+    l_orderkey, map-side partials), shrinking lineitem to a tiny key
+    set that AQE then broadcasts against orders; customer broadcasts.
+    Final top-k is TakeOrderedAndProject."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+    qty = (
+        li.groupBy("l_orderkey")
+        .agg(
+            F.sum(F.col("l_quantity").cast("decimal(12,4)"))
+            .cast("double")
+            .alias("total_qty")
+        )
+        .filter(F.col("total_qty") > threshold)
+    )
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"
+    )
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    return (
+        orders.join(qty, orders.o_orderkey == qty.l_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .select(
+            "c_name",
+            "c_custkey",
+            "o_orderkey",
+            "o_orderdate",
+            "o_totalprice",
+            "total_qty",
+        )
+        .orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+        .limit(k)
+    )
+
+
+def dormant_customers(
+    spark: SparkSession, sf_dir: str, cutoff: str = "2000-01-01"
+) -> DataFrame:
+    """TPC-H Q22-flavored: high-balance customers with no recent orders,
+    summarized per nation. The global-average threshold is a 1-row
+    aggregate cross-joined back in (broadcast — no collect, one plan),
+    and the comparison is cross-multiplied (acctbal·n > Σbal) so it is
+    DECIMAL-exact: no float-ulp boundary flips between engines. The
+    anti-join side is pre-shrunk to distinct recent customer keys; AQE
+    broadcasts it when small, shuffles on c_custkey otherwise."""
+    cust = load_table(spark, sf_dir, "customer")
+    bal = cust.filter(F.col("c_acctbal") > 0).agg(
+        F.sum(F.col("c_acctbal").cast("decimal(18,4)")).alias("_sum_bal"),
+        F.count(F.lit(1)).alias("_n_bal"),
+    )
+    recent = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderdate") >= F.lit(cutoff))
+        .select("o_custkey")
+        .distinct()
+    )
+    nation = F.broadcast(load_table(spark, sf_dir, "nation"))
+    return (
+        cust.crossJoin(F.broadcast(bal))
+        .filter(
+            F.col("c_acctbal").cast("decimal(18,4)") * F.col("_n_bal")
+            > F.col("_sum_bal")
+        )
+        .join(recent, cust.c_custkey == recent.o_custkey, "left_anti")
+        .join(nation, cust.c_nationkey == nation.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_dormant"),
+            dec_sum("c_acctbal", "total_balance"),
+        )
+    )
+
+
 def _orders_with_geo(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, sf_dir, "orders")
     customer = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")

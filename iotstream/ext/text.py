@@ -279,6 +279,44 @@ def decontaminate(docs: DataFrame, blocklist: DataFrame) -> DataFrame:
     )
 
 
+def _word_ngrams(docs: DataFrame, n: int, col: str = "text") -> DataFrame:
+    """(doc_id, ngram) pairs — the element_at-over-pre-split-array
+    kernel shared with ngram_counts (one narrow pass, no re-evaluated
+    HOF lambda per generated row)."""
+    base = docs.select("doc_id", tokens(col).alias("w")).filter(F.size("w") >= n)
+    i = F.explode(F.sequence(F.lit(1), F.size("w") - (n - 1))).alias("i")
+    gram = F.concat_ws(
+        " ", *[F.element_at("w", F.col("i") + j) for j in range(n)]
+    )
+    return base.select("doc_id", "w", i).select("doc_id", gram.alias("ngram"))
+
+
+def decontaminate_ngram(
+    docs: DataFrame, eval_docs: DataFrame, n: int = 3
+) -> DataFrame:
+    """N-gram-overlap decontamination: drop any document sharing ONE
+    word n-gram with the eval/benchmark set — the standard LLM-pretrain
+    guard against partial benchmark leakage (md5 `decontaminate` only
+    catches verbatim copies).
+
+    Scale shape: the eval set is small (thousands of docs), so its
+    distinct n-gram set broadcasts and the corpus-side semi-join never
+    shuffles the corpus; the contaminated-id set that falls out is
+    bounded by the corpus hit-rate (typically tiny) and the final
+    anti-join is left to AQE — broadcast when small, a c_custkey-style
+    key shuffle otherwise."""
+    block = F.broadcast(_word_ngrams(eval_docs, n).select("ngram").distinct())
+    bad = (
+        _word_ngrams(docs, n)
+        .join(block, "ngram", "left_semi")
+        .select("doc_id")
+        .distinct()
+    )
+    return docs.join(bad, "doc_id", "left_anti").select(
+        "doc_id", "lang", "source", "n_chars"
+    )
+
+
 def doc_fingerprint(docs: DataFrame) -> DataFrame:
     """Content fingerprints: md5 of the exact text (cross-engine
     checkable) plus a 64-bit xxhash64 for engine-internal dedup keys."""

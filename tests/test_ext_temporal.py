@@ -5,6 +5,7 @@ import datetime as dt
 from pyspark.sql import functions as F
 
 from iotstream.ext.temporal import asof_last_purchase, interval_follow
+from tests.conftest import SF_DIR
 
 T0 = dt.datetime(2024, 1, 1, 12, 0, 0)
 
@@ -118,3 +119,37 @@ def test_gapfill_locf_wider_buckets_align_to_epoch(spark):
     assert [r.bucket.minute for r in rows] == [0, 0, 0]
     assert [r.temperature for r in rows] == [1.0, 1.0, 3.0]
     assert [r.filled for r in rows] == [False, True, False]
+
+
+def test_continuous_rollup_matches_direct_hour_agg(spark):
+    """Re-aggregating minute partials must equal aggregating raw rows
+    straight to the hour (decomposable-aggregate correctness)."""
+    from iotstream.ext.temporal import continuous_rollup
+    from iotstream.schemas import load_table, use_utc
+    from iotstream.sensorize import sensorize
+
+    use_utc(spark)
+    sensor = sensorize(load_table(spark, SF_DIR, "events"))
+    rolled = {
+        (r["id"], r["hour_start"]): (
+            r["max_temp"], r["min_temp"], r["avg_temp"], r["n_readings"]
+        )
+        for r in continuous_rollup(sensor).collect()
+    }
+    t = F.col("metrics.temperature")
+    direct = {
+        (r["id"], r["hour_start"]): (
+            r["max_temp"], r["min_temp"], r["avg_temp"], r["n_readings"]
+        )
+        for r in sensor.groupBy(
+            "id", F.date_trunc("hour", "ts").alias("hour_start")
+        )
+        .agg(
+            F.max(t).alias("max_temp"),
+            F.min(t).alias("min_temp"),
+            F.round(F.avg(t), 6).alias("avg_temp"),
+            F.count(F.lit(1)).alias("n_readings"),
+        )
+        .collect()
+    }
+    assert rolled == direct

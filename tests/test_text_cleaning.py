@@ -84,3 +84,38 @@ def test_tokenize_encode_order_and_oov(spark):
     assert (out[1].n_tokens, out[1].n_oov) == (5, 1)
     assert out[2].token_ids == [1, 1, 0]
     assert (out[2].n_tokens, out[2].n_oov) == (3, 1)
+
+
+def test_decontaminate_ngram_drops_partial_overlap(spark):
+    from iotstream.ext.text import decontaminate_ngram
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps"),      # eval doc
+            (2, "a quick brown fox appears here"), # shares 3-gram → dropped
+            (3, "quick brown wolf runs away"),     # no shared 3-gram → kept
+            (4, "totally unrelated text body"),    # kept
+            (5, "xy"),                             # < 3 tokens → kept
+        ],
+        "doc_id bigint, text string",
+    ).selectExpr(
+        "doc_id", "text", "'en' AS lang", "'s' AS source",
+        "CAST(length(text) AS bigint) AS n_chars",
+    )
+    kept = decontaminate_ngram(docs, docs.filter(F.col("doc_id") == 1), n=3)
+    assert {r["doc_id"] for r in kept.collect()} == {3, 4, 5}
+
+
+def test_decontaminate_ngram_short_eval_docs_block_nothing(spark):
+    from iotstream.ext.text import decontaminate_ngram
+
+    docs = spark.createDataFrame(
+        [(1, "one two"), (2, "one two three four")],
+        "doc_id bigint, text string",
+    ).selectExpr(
+        "doc_id", "text", "'en' AS lang", "'s' AS source",
+        "CAST(length(text) AS bigint) AS n_chars",
+    )
+    # eval doc has only 2 tokens → produces no 3-grams → nothing dropped
+    kept = decontaminate_ngram(docs, docs.filter(F.col("doc_id") == 1), n=3)
+    assert kept.count() == 2
