@@ -941,6 +941,86 @@ def q_continuous_rollup(spark, sf_dir):
     return continuous_rollup(_sensor(spark, sf_dir))
 
 
+def q_rolling_5min_count(spark, sf_dir):
+    """Range-interval window frame: per-user count of events in the
+    trailing 5 minutes — the sliding-lookback rate limiter / burst
+    detector. RANGE (value-based) frames are tie-stable: rows with
+    equal timestamps are frame peers in both engines, so the result is
+    deterministic under any shuffle order. One shuffle on user_id."""
+    from pyspark.sql.window import Window
+
+    use_utc(spark)
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_timestamp("ts"))
+        .rangeBetween(-300, 0)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.count(F.lit(1)).over(w).alias("n_last_5min"),
+    )
+
+
+def q_grouping_sets_volume(spark, sf_dir):
+    return xjoins.priority_nation_volume(spark, sf_dir)
+
+
+def q_user_value_deciles(spark, sf_dir):
+    """ntile/percent_rank analytic over per-user purchase totals. The
+    global-ordered window runs on the AGGREGATED frame (one row per
+    purchasing user — orders of magnitude smaller than events); for
+    key sets too large even aggregated, the scale path is
+    percentile_approx decile cutoffs + a broadcast range join, at the
+    cost of exact tile boundaries."""
+    from pyspark.sql.window import Window
+
+    use_utc(spark)
+    totals = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(
+            F.sum(F.col("value").cast("decimal(18,4)"))
+            .cast("double")
+            .alias("total_value")
+        )
+    )
+    w = Window.orderBy(F.desc("total_value"), F.asc("user_id"))
+    return totals.select(
+        "user_id",
+        "total_value",
+        F.ntile(10).over(w).cast("long").alias("decile"),
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+    )
+
+
+def q_props_extract(spark, sf_dir):
+    """JSON-path field extraction from the free-form props payload
+    (get_json_object stays JVM-side) aggregated per event type —
+    exact BIGINT sums."""
+    use_utc(spark)
+    ev = load_table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("long")
+    return (
+        ev.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("k").alias("sum_k"),
+            F.max("k").alias("max_k"),
+        )
+    )
+
+
+def q_mad_outliers(spark, sf_dir):
+    from iotstream.ext.analytics import mad_outliers
+
+    return mad_outliers(_sensor(spark, sf_dir))
+
+
 # ------------------------------------------------------------- contract
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -1034,6 +1114,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dormant_customers": q_dormant_customers,
         "decontaminate_ngram": q_decontaminate_ngram,
         "continuous_rollup": q_continuous_rollup,
+        "rolling_5min_count": q_rolling_5min_count,
+        "grouping_sets_volume": q_grouping_sets_volume,
+        "user_value_deciles": q_user_value_deciles,
+        "props_extract": q_props_extract,
+        "mad_outliers": q_mad_outliers,
     }
 
 
@@ -1805,4 +1890,44 @@ def oracle_sql() -> dict[str, str]:
                    round(CAST(sum(temperature) AS DOUBLE) / count(*), 6) AS avg_temp,
                    count(*) AS n_readings
             FROM sensor GROUP BY id, date_trunc('hour', ts)""",
+        "rolling_5min_count": """
+            SELECT event_id, user_id, ts,
+                   count(*) OVER (PARTITION BY user_id ORDER BY ts
+                                  RANGE BETWEEN INTERVAL 5 MINUTE PRECEDING
+                                        AND CURRENT ROW) AS n_last_5min
+            FROM events""",
+        "grouping_sets_volume": """
+            SELECT n_name, o_orderpriority, count(*) AS n_orders,
+                   CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+            FROM orders
+            JOIN customer ON o_custkey = c_custkey
+            JOIN nation ON c_nationkey = n_nationkey
+            JOIN region ON n_regionkey = r_regionkey
+            GROUP BY GROUPING SETS ((n_name), (o_orderpriority))""",
+        "user_value_deciles": """
+            WITH totals AS (
+              SELECT user_id,
+                     CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value
+              FROM events WHERE event_type = 'purchase' GROUP BY user_id)
+            SELECT user_id, total_value,
+                   ntile(10) OVER (ORDER BY total_value DESC, user_id) AS decile,
+                   round(percent_rank() OVER (ORDER BY total_value DESC, user_id), 6)
+                       AS pct_rank
+            FROM totals""",
+        "props_extract": """
+            SELECT event_type, count(*) AS n_events,
+                   SUM(CAST(props->>'$.k' AS BIGINT)) AS sum_k,
+                   MAX(CAST(props->>'$.k' AS BIGINT)) AS max_k
+            FROM events GROUP BY event_type""",
+        "mad_outliers": f"""
+            WITH sensor AS ({cte}),
+            base AS (SELECT id, "messageId", temperature FROM sensor),
+            med AS (SELECT id, median(temperature) AS med_t FROM base GROUP BY id),
+            dev AS (SELECT b.id, b."messageId", b.temperature, m.med_t,
+                           abs(b.temperature - m.med_t) AS absdev
+                    FROM base b JOIN med m ON b.id = m.id),
+            mad AS (SELECT id, median(absdev) AS mad_t FROM dev GROUP BY id)
+            SELECT d.id, d."messageId", d.temperature, d.med_t, ma.mad_t
+            FROM dev d JOIN mad ma ON d.id = ma.id
+            WHERE d.absdev > 3.0 * ma.mad_t""",
     }

@@ -87,3 +87,31 @@ def cohort_retention(events: DataFrame) -> DataFrame:
         .groupBy("cohort_week", offset.alias("week_offset"))
         .agg(F.countDistinct("user_id").alias("active_users"))
     )
+
+
+def mad_outliers(sensor: DataFrame, k: float = 3.0) -> DataFrame:
+    """Robust per-sensor outliers: |t − median(t)| > k · MAD(t), the
+    median-absolute-deviation rule that, unlike the z-score, a single
+    hot reading cannot drag.
+
+    Exact two-pass shape: per-id medians are a dimension-sized
+    aggregate (one row per sensor) that BROADCASTS back against the
+    readings, so the big side never shuffles for either join; the two
+    groupBys key on id like every other per-sensor stage. Medians of
+    BIGINT temperatures land on exact halves (x.0/x.5 — binary-exact
+    doubles), so the k·MAD comparison is deterministic cross-engine.
+    """
+    t = F.col("metrics.temperature")
+    base = sensor.select(
+        "id", "messageId", t.alias("temperature")
+    )
+    med = base.groupBy("id").agg(F.median("temperature").alias("med_t"))
+    dev = base.join(F.broadcast(med), "id").withColumn(
+        "absdev", F.abs(F.col("temperature") - F.col("med_t"))
+    )
+    mad = dev.groupBy("id").agg(F.median("absdev").alias("mad_t"))
+    return (
+        dev.join(F.broadcast(mad), "id")
+        .filter(F.col("absdev") > F.lit(k) * F.col("mad_t"))
+        .select("id", "messageId", "temperature", "med_t", "mad_t")
+    )

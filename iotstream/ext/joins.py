@@ -301,6 +301,23 @@ def dormant_customers(
     )
 
 
+def priority_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Non-hierarchical GROUPING SETS — revenue by nation AND by order
+    priority in ONE pass over the fact table (two independent
+    dashboards from a single scan+shuffle; rollup/cube can't express
+    disjoint sets). Same broadcast-dims shape as enrichment_join."""
+    return (
+        _orders_with_geo(spark, sf_dir)
+        .groupingSets(
+            [["n_name"], ["o_orderpriority"]], "n_name", "o_orderpriority"
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            dec_sum("o_totalprice", "revenue"),
+        )
+    )
+
+
 def _orders_with_geo(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, sf_dir, "orders")
     customer = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")

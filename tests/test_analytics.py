@@ -68,3 +68,55 @@ def test_cohort_retention_offsets(spark):
         ("2024-01-08", 0): 1,
         ("2024-01-08", 2): 1,
     }
+
+
+def test_mad_outliers_flags_only_far_readings(spark):
+    from pyspark.sql import functions as F
+
+    from iotstream.ext.analytics import mad_outliers
+
+    # sensor A: temps 10,10,10,10,100 → median 10, absdevs {0,0,0,0,90},
+    # MAD 0 → every nonzero deviation is an outlier (strict >).
+    # sensor B: 10,20,30,40,50 → median 30, MAD 10 → |dev|>30 never hits.
+    rows = [("A", i, t) for i, t in enumerate([10, 10, 10, 10, 100])] + [
+        ("B", i, t) for i, t in enumerate([10, 20, 30, 40, 50])
+    ]
+    sensor = spark.createDataFrame(
+        rows, "id string, seq long, temperature long"
+    ).select(
+        "id",
+        F.concat_ws("-", "id", "seq").alias("messageId"),
+        F.struct(
+            F.col("temperature"), F.lit(0).alias("humidity")
+        ).alias("metrics"),
+    )
+    out = mad_outliers(sensor, k=3.0).collect()
+    assert [(r["id"], r["temperature"]) for r in out] == [("A", 100)]
+    assert out[0]["med_t"] == 10.0 and out[0]["mad_t"] == 0.0
+
+
+def test_rolling_range_frame_is_tie_stable(spark):
+    """Equal timestamps are frame PEERS in a RANGE frame: both rows at
+    t=0 count each other regardless of shuffle order."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    rows = [
+        (1, T0, 7),
+        (2, T0, 7),                               # same instant as 1
+        (3, T0 + dt.timedelta(minutes=4), 7),     # inside 5-min lookback
+        (4, T0 + dt.timedelta(minutes=20), 7),    # outside
+    ]
+    ev = spark.createDataFrame(rows, "event_id long, ts timestamp, user_id long")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_timestamp("ts"))
+        .rangeBetween(-300, 0)
+    )
+    got = {
+        r["event_id"]: r["n"]
+        for r in ev.select("event_id", F.count(F.lit(1)).over(w).alias("n")).collect()
+    }
+    assert got == {1: 2, 2: 2, 3: 3, 4: 1}
