@@ -1021,6 +1021,38 @@ def q_mad_outliers(spark, sf_dir):
     return mad_outliers(_sensor(spark, sf_dir))
 
 
+def q_props_variant(spark, sf_dir):
+    """Spark 4 VARIANT path for semi-structured props: parse once into
+    the binary VARIANT encoding, then typed variant_get extraction —
+    the modern replacement for repeated string-JSON reparsing (the
+    parse cost is paid once per row, fields decode lazily). Oracle via
+    DuckDB's JSON operators on the same payload."""
+    use_utc(spark)
+    ev = load_table(spark, sf_dir, "events")
+    k = F.variant_get(F.try_parse_json("props"), "$.k", "long")
+    return (
+        ev.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count_distinct(F.col("k")).alias("n_distinct_k"),
+            F.min("k").alias("min_k"),
+        )
+    )
+
+
+def q_neardup_editdist(spark, sf_dir):
+    return xdedup.neardup_editdist(load_table(spark, sf_dir, "documents"))
+
+
+def q_ewma_smooth(spark, sf_dir):
+    """applyInPandas recursive smoother — no SQL twin (the recursion is
+    inexpressible in DuckDB SQL short of a recursive CTE per row);
+    rows-only driver check, exact parity vs pandas in pytest."""
+    from iotstream.ext.temporal import ewma_smooth
+
+    return ewma_smooth(_sensor(spark, sf_dir))
+
+
 # ------------------------------------------------------------- contract
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -1119,6 +1151,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "user_value_deciles": q_user_value_deciles,
         "props_extract": q_props_extract,
         "mad_outliers": q_mad_outliers,
+        "props_variant": q_props_variant,
+        "neardup_editdist": q_neardup_editdist,
+        "ewma_smooth": q_ewma_smooth,
     }
 
 
@@ -1930,4 +1965,23 @@ def oracle_sql() -> dict[str, str]:
             SELECT d.id, d."messageId", d.temperature, d.med_t, ma.mad_t
             FROM dev d JOIN mad ma ON d.id = ma.id
             WHERE d.absdev > 3.0 * ma.mad_t""",
+        "props_variant": """
+            SELECT event_type,
+                   count(DISTINCT CAST(props->>'$.k' AS BIGINT)) AS n_distinct_k,
+                   MIN(CAST(props->>'$.k' AS BIGINT)) AS min_k
+            FROM events GROUP BY event_type""",
+        "neardup_editdist": """
+            WITH pick AS (SELECT doc_id, source, n_chars,
+                                 CAST(n_chars // 32 AS BIGINT) AS bucket,
+                                 substr(text, 1, 64) AS prefix
+                          FROM documents)
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                   levenshtein(a.prefix, b.prefix) AS dist
+            FROM pick a JOIN pick b
+              ON a.source = b.source AND a.bucket = b.bucket
+             AND a.doc_id < b.doc_id
+             AND abs(a.n_chars - b.n_chars) <= 10
+            WHERE levenshtein(a.prefix, b.prefix) <= 10""",
+        # ewma_smooth: recursive smoother, not SQL-expressible — rows-only
+        # by design; exact pandas parity in tests/test_ext_temporal.py.
     }

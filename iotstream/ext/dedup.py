@@ -292,3 +292,49 @@ def dedup_report(
             F.coalesce("has_embed_dup", F.lit(False)).alias("has_embed_dup"),
         )
     )
+
+
+def neardup_editdist(
+    docs: DataFrame,
+    max_dist: int = 10,
+    prefix_len: int = 64,
+    bucket_chars: int = 32,
+) -> DataFrame:
+    """E2 variant: edit-distance near-dup on blocked candidate pairs —
+    catches character-level mutations (typos, OCR noise) that
+    token-set Jaccard is blind to.
+
+    Blocking: pairs must share (source, n_chars // bucket_chars), so
+    the self-join is an equi-join on the block key — candidate count
+    scales with block density, never corpus². The O(prefix_len²)
+    levenshtein kernel runs JVM-side on a fixed-length prefix, and the
+    cheap length-delta prune (|Δn_chars| ≤ max_dist, a lower bound on
+    edit distance) drops most pairs before it."""
+    pick = docs.select(
+        "doc_id",
+        "source",
+        "n_chars",
+        (F.col("n_chars") / bucket_chars).cast("long").alias("bucket"),
+        F.substring("text", 1, prefix_len).alias("prefix"),
+    )
+    a, b = pick.alias("a"), pick.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.source") == F.col("b.source"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.doc_id") < F.col("b.doc_id"))
+            & (
+                F.abs(F.col("a.n_chars") - F.col("b.n_chars"))
+                <= F.lit(max_dist)
+            ),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.levenshtein(F.col("a.prefix"), F.col("b.prefix"))
+            .cast("long")
+            .alias("dist"),
+        )
+        .filter(F.col("dist") <= max_dist)
+    )

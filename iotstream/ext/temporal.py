@@ -191,3 +191,30 @@ def continuous_rollup(sensor: DataFrame) -> DataFrame:
             F.sum("cnt").alias("n_readings"),
         )
     )
+
+
+def ewma_smooth(sensor: DataFrame, alpha: float = 0.2) -> DataFrame:
+    """Per-sensor exponentially weighted moving average — the
+    recursive smoother (s_i = α·x_i + (1−α)·s_{i−1}) that SQL window
+    frames cannot express. Runs as ``applyInPandas`` per sensor id:
+    Arrow-batched, one shuffle on id, each group processed as a
+    single in-memory timeline (per-sensor history fits an executor —
+    same contract as every per-key window here). Recursion is done by
+    pandas' C ewm kernel, not a Python row loop."""
+    import pandas as pd
+
+    def _ewma(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        pdf = pdf.sort_values(["ts", "messageId"])
+        pdf["ewma_t"] = (
+            pdf["temperature"].ewm(alpha=alpha, adjust=False).mean().round(6)
+        )
+        return pdf[["id", "messageId", "ts", "temperature", "ewma_t"]]
+
+    flat = sensor.select(
+        "id", "messageId", "ts", F.col("metrics.temperature").alias("temperature")
+    )
+    return flat.groupBy("id").applyInPandas(
+        _ewma,
+        "id string, messageId string, ts timestamp, "
+        "temperature bigint, ewma_t double",
+    )

@@ -153,3 +153,36 @@ def test_continuous_rollup_matches_direct_hour_agg(spark):
         .collect()
     }
     assert rolled == direct
+
+
+def test_ewma_matches_pandas_reference(spark):
+    """applyInPandas EWMA must equal a driver-side pandas computation
+    over the identical ordering — exact, not tolerance-based."""
+    import pandas as pd
+
+    from iotstream.ext.temporal import ewma_smooth
+    from iotstream.schemas import load_table, use_utc
+    from iotstream.sensorize import sensorize
+
+    use_utc(spark)
+    sensor = sensorize(load_table(spark, SF_DIR, "events"))
+    got = (
+        ewma_smooth(sensor, alpha=0.2)
+        .toPandas()
+        .sort_values(["id", "ts", "messageId"])
+        .reset_index(drop=True)
+    )
+    flat = (
+        sensor.selectExpr(
+            "id", "messageId", "ts", "metrics.temperature AS temperature"
+        )
+        .toPandas()
+        .sort_values(["id", "ts", "messageId"])
+        .reset_index(drop=True)
+    )
+    expect = flat.assign(
+        ewma_t=flat.groupby("id")["temperature"]
+        .transform(lambda s: s.ewm(alpha=0.2, adjust=False).mean())
+        .round(6)
+    )
+    pd.testing.assert_frame_equal(got, expect, check_like=True)
