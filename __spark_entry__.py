@@ -1044,6 +1044,37 @@ def q_neardup_editdist(spark, sf_dir):
     return xdedup.neardup_editdist(load_table(spark, sf_dir, "documents"))
 
 
+try:  # transformWithStateInPandas ships state over protobuf; the
+    # container has no google.protobuf, so the query is declared only
+    # where the dependency exists (operator + test are still in-repo).
+    import google.protobuf  # noqa: F401
+
+    _HAS_PROTOBUF = True
+except ImportError:
+    _HAS_PROTOBUF = False
+
+
+def q_streaming_status_change(spark, sf_dir):
+    """T5 EXT on the Spark 4 state API (transformWithStateInPandas):
+    per-sensor valid↔invalid edge detector, drained availableNow;
+    emitted transitions are oracle-checked against the batch lag()
+    formulation of the same predicate."""
+    import tempfile
+
+    from iotstream.schemas import load_events_raw, normalize_ns_timestamp
+    from iotstream.sources import FileStreamSource
+    from iotstream.streaming import scoped_shuffle_partitions
+    from iotstream.streaming.stateful import run_status_changes_final
+
+    use_utc(spark)
+    raw_schema = load_events_raw(spark, sf_dir).schema
+    stream = FileStreamSource(table_path(sf_dir, "events"), raw_schema).load(spark)
+    sensor = sensorize(normalize_ns_timestamp(stream))
+    tmp = tempfile.mkdtemp(prefix="iotstream-status-")
+    with scoped_shuffle_partitions(spark, 16):
+        return run_status_changes_final(spark, sensor, tmp)
+
+
 def q_ewma_smooth(spark, sf_dir):
     """applyInPandas recursive smoother — no SQL twin (the recursion is
     inexpressible in DuckDB SQL short of a recursive CTE per row);
@@ -1154,6 +1185,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "props_variant": q_props_variant,
         "neardup_editdist": q_neardup_editdist,
         "ewma_smooth": q_ewma_smooth,
+        **(
+            {"streaming_status_change": q_streaming_status_change}
+            if _HAS_PROTOBUF
+            else {}
+        ),
     }
 
 
@@ -1984,4 +2020,18 @@ def oracle_sql() -> dict[str, str]:
             WHERE levenshtein(a.prefix, b.prefix) <= 10""",
         # ewma_smooth: recursive smoother, not SQL-expressible — rows-only
         # by design; exact pandas parity in tests/test_ext_temporal.py.
+        **({} if not _HAS_PROTOBUF else {"streaming_status_change": f"""
+            WITH sensor AS ({cte}),
+            s AS (SELECT id, ts, "messageId",
+                         CASE WHEN (temperature = 0 AND humidity = 0)
+                                OR (temperature >= 50 AND humidity >= 100)
+                              THEN 'invalid' ELSE 'valid' END AS status
+                  FROM sensor),
+            l AS (SELECT id, ts, "messageId", status,
+                         lag(status) OVER (PARTITION BY id
+                                           ORDER BY ts, "messageId")
+                             AS prev_status
+                  FROM s)
+            SELECT id, ts, "messageId", prev_status, status FROM l
+            WHERE prev_status IS NULL OR prev_status <> status"""}),
     }

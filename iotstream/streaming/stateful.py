@@ -117,3 +117,112 @@ def run_quality_monitor_final(
     )
     run_available_now(writer)
     return sink.to_df(spark)
+
+
+# ---------------------------------------------------------------------
+# transformWithStateInPandas (Spark 4 state API) — status-change detector
+
+
+from pyspark.sql.streaming.stateful_processor import (  # noqa: E402
+    StatefulProcessor,
+)
+
+
+class StatusChangeProcessor(StatefulProcessor):
+    """Per-sensor validity-transition detector on the NEW arbitrary-state
+    API (``transformWithStateInPandas``): emits a row whenever a sensor
+    crosses between valid and invalid (the reference's filter predicate,
+    StreamProcessor.java:61-78, used as an edge trigger instead of a
+    drop rule — the alerting primitive its topology cannot express).
+
+    ValueState holds only the last seen status per sensor — state size
+    is O(keys), unbounded stream history. Rows are processed in event-
+    time order within each micro-batch; across batches the file source
+    replays in order, so the emitted transitions equal the batch lag()
+    formulation (the oracle)."""
+
+    def init(self, handle) -> None:
+        from pyspark.sql.types import StringType, StructField, StructType
+
+        self._last = handle.getValueState(
+            "last_status", StructType([StructField("status", StringType())])
+        )
+
+    def handleInputRows(self, key, rows, timerValues):
+        import pandas as pd
+
+        pdf = pd.concat(list(rows)).sort_values(["ts", "messageId"])
+        invalid = (
+            (pdf["temperature"].eq(0) & pdf["humidity"].eq(0))
+            | (pdf["temperature"].ge(50) & pdf["humidity"].ge(100))
+        )
+        status = invalid.map({True: "invalid", False: "valid"})
+        carried = self._last.get()[0] if self._last.exists() else None
+        prev = status.shift(1)
+        if len(prev):
+            prev.iloc[0] = carried
+        changed = prev.ne(status) | prev.isna() if carried is None else prev.ne(status)
+        out = pd.DataFrame(
+            {
+                "id": key[0],
+                "ts": pdf["ts"][changed],
+                "messageId": pdf["messageId"][changed],
+                "prev_status": prev[changed],
+                "status": status[changed],
+            }
+        )
+        self._last.update((str(status.iloc[-1]),))
+        if len(out):
+            yield out
+
+    def close(self) -> None:
+        pass
+
+
+def status_changes(sensor_stream: DataFrame) -> DataFrame:
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import TimestampType
+
+    out_schema = StructType(
+        [
+            StructField("id", StringType()),
+            StructField("ts", TimestampType()),
+            StructField("messageId", StringType()),
+            StructField("prev_status", StringType()),
+            StructField("status", StringType()),
+        ]
+    )
+    flat = sensor_stream.select(
+        "id",
+        "ts",
+        "messageId",
+        F.col("metrics.temperature").alias("temperature"),
+        F.col("metrics.humidity").alias("humidity"),
+    )
+    return flat.groupBy("id").transformWithStateInPandas(
+        StatusChangeProcessor(),
+        outputStructType=out_schema,
+        outputMode="Append",
+        timeMode="None",
+    )
+
+
+def run_status_changes_final(spark: Any, sensor_stream: DataFrame, out_dir: str):
+    """Drain the stream (availableNow) and return all emitted
+    transitions (append semantics — every batch's edges accumulate)."""
+    import os
+
+    from iotstream.streaming import run_available_now
+
+    path = os.path.join(out_dir, "transitions")
+
+    def _write(batch_df, _epoch: int) -> None:
+        batch_df.write.mode("append").parquet(path)
+
+    writer = (
+        status_changes(sensor_stream)
+        .writeStream.outputMode("append")
+        .foreachBatch(_write)
+    )
+    run_available_now(writer)
+    return spark.read.parquet(path)

@@ -2,6 +2,8 @@
 
 from __future__ import annotations
 
+import pytest
+
 from pyspark.sql import functions as F
 
 from iotstream.ext.sessions import session_window_stream, sessionize_batch
@@ -129,3 +131,38 @@ def test_session_window_microsecond_boundary(spark):
         .collect()
     }
     assert n == {"u1": 1, "u2": 1, "u3": 2}
+
+
+def test_transform_with_state_status_changes_match_batch_lag(spark, tmp_path):
+    """Spark 4 transformWithStateInPandas edge detector == batch lag()
+    twin. Skipped where google.protobuf (the TWS wire protocol dep) is
+    absent."""
+    pytest.importorskip("google.protobuf")
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    from iotstream.schemas import load_events_raw, normalize_ns_timestamp, use_utc
+    from iotstream.sensorize import sensorize
+    from iotstream.sources import FileStreamSource
+    from iotstream.streaming.stateful import run_status_changes_final
+    from tests.conftest import SF_DIR
+
+    use_utc(spark)
+    raw = load_events_raw(spark, SF_DIR)
+    stream = FileStreamSource(SF_DIR + "/events.parquet", raw.schema).load(spark)
+    got = run_status_changes_final(
+        spark, sensorize(normalize_ns_timestamp(stream)), str(tmp_path)
+    )
+    sensor = sensorize(load_events_raw(spark, SF_DIR).transform(normalize_ns_timestamp))
+    t, h = F.col("metrics.temperature"), F.col("metrics.humidity")
+    status = F.when(
+        ((t == 0) & (h == 0)) | ((t >= 50) & (h >= 100)), "invalid"
+    ).otherwise("valid")
+    w = Window.partitionBy("id").orderBy("ts", "messageId")
+    expect = (
+        sensor.select("id", "ts", "messageId", status.alias("status"))
+        .withColumn("prev_status", F.lag("status").over(w))
+        .filter(F.col("prev_status").isNull() | (F.col("prev_status") != F.col("status")))
+        .select("id", "ts", "messageId", "prev_status", "status")
+    )
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, expect.collect()))
