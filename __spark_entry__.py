@@ -1044,6 +1044,49 @@ def q_neardup_editdist(spark, sf_dir):
     return xdedup.neardup_editdist(load_table(spark, sf_dir, "documents"))
 
 
+def q_temp_humidity_corr(spark, sf_dir):
+    """Per-sensor Pearson correlation computed FROM EXACT INTEGER SUMS
+    (n, Σx, Σy, Σxy, Σx², Σy² are BIGINT — order-independent), with the
+    float formula applied once per group at the end. Unlike corr(),
+    whose streaming float accumulation is partition-order-sensitive,
+    this is bit-identical on any cluster layout AND cross-engine. One
+    map-side-combined shuffle."""
+    sensor = _sensor(spark, sf_dir)
+    t = F.col("metrics.temperature")
+    h = F.col("metrics.humidity")
+    agg = sensor.groupBy("id").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(t).alias("sx"),
+        F.sum(h).alias("sy"),
+        F.sum(t * h).alias("sxy"),
+        F.sum(t * t).alias("sxx"),
+        F.sum(h * h).alias("syy"),
+    )
+    num = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+    den = F.sqrt(
+        (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+        * (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")).cast("double")
+    )
+    return agg.select(
+        "id",
+        "n",
+        F.round(num / F.nullif(den, F.lit(0.0)), 6).alias("corr_th"),
+    )
+
+
+def q_temp_histogram(spark, sf_dir):
+    """Fixed-width histogram (10-degree bins) over all readings —
+    integer-division binning, one tiny shuffle (≤ ~15 bins)."""
+    sensor = _sensor(spark, sf_dir)
+    return (
+        sensor.select(
+            F.expr("metrics.temperature div 10").alias("bin")
+        )
+        .groupBy("bin")
+        .agg(F.count(F.lit(1)).alias("n_readings"))
+    )
+
+
 try:  # transformWithStateInPandas ships state over protobuf; the
     # container has no google.protobuf, so the query is declared only
     # where the dependency exists (operator + test are still in-repo).
@@ -1190,6 +1233,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             if _HAS_PROTOBUF
             else {}
         ),
+        "temp_humidity_corr": q_temp_humidity_corr,
+        "temp_histogram": q_temp_histogram,
     }
 
 
@@ -2034,4 +2079,22 @@ def oracle_sql() -> dict[str, str]:
                   FROM s)
             SELECT id, ts, "messageId", prev_status, status FROM l
             WHERE prev_status IS NULL OR prev_status <> status"""}),
+        "temp_humidity_corr": f"""
+            WITH sensor AS ({cte}),
+            agg AS (SELECT id, count(*) AS n,
+                           sum(temperature) AS sx, sum(humidity) AS sy,
+                           sum(temperature * humidity) AS sxy,
+                           sum(temperature * temperature) AS sxx,
+                           sum(humidity * humidity) AS syy
+                    FROM sensor GROUP BY id)
+            SELECT id, n,
+                   round(CAST(n * sxy - sx * sy AS DOUBLE) /
+                         nullif(sqrt(CAST(n * sxx - sx * sx AS DOUBLE) *
+                                     CAST(n * syy - sy * sy AS DOUBLE)), 0.0),
+                         6) AS corr_th
+            FROM agg""",
+        "temp_histogram": f"""
+            WITH sensor AS ({cte})
+            SELECT temperature // 10 AS bin, count(*) AS n_readings
+            FROM sensor GROUP BY 1""",
     }

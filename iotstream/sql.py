@@ -59,6 +59,11 @@ _HOPPING_RE = re.compile(
     r"(MILLISECONDS?|SECONDS?|MINUTES?|HOURS?|DAYS?)\s*\)",
     re.I,
 )
+_SESSION_RE = re.compile(
+    r"\bWINDOW\s+SESSION\s*\(\s*(\d+)\s+"
+    r"(MILLISECONDS?|SECONDS?|MINUTES?|HOURS?|DAYS?)\s*\)",
+    re.I,
+)
 
 
 def ksql_to_spark_sql(stmt: str) -> tuple[str | None, str]:
@@ -73,6 +78,11 @@ def ksql_to_spark_sql(stmt: str) -> tuple[str | None, str]:
       in SELECT + GROUP BY, surfacing window_start/window_end the way
       KSQL exposes WINDOWSTART/WINDOWEND. Windows on payload event time
       ``ts``, not ROWTIME — the engine's documented T2 deviation.
+    - ``WINDOW HOPPING (SIZE n <unit>, ADVANCE BY m <unit>)`` →
+      ``window(ts, width, slide)``; ``WINDOW SESSION (n <unit>)`` →
+      ``session_window(ts, gap)`` (KSQL merges events within the
+      inactivity gap; Spark's session_window does the same, splitting
+      only when the gap is strictly exceeded).
 
     A dialect bridge for the reference's published statements, not a
     general KSQL parser.
@@ -85,6 +95,11 @@ def ksql_to_spark_sql(stmt: str) -> tuple[str | None, str]:
         stmt = stmt[m.end():]
     stmt = re.sub(r"\s*->\s*", ".", stmt)
     win = None
+    sm = _SESSION_RE.search(stmt)
+    if sm:
+        gap = f"{int(sm.group(1))} {sm.group(2).lower()}"
+        win = f"session_window(ts, '{gap}')"
+        stmt = _SESSION_RE.sub("", stmt)
     hm = _HOPPING_RE.search(stmt)
     if hm:
         width = f"{int(hm.group(1))} {hm.group(2).lower()}"

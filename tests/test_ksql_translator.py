@@ -77,3 +77,47 @@ def test_hopping_translator_shape():
     assert name == "HOP_TABLE"
     assert "HOPPING" not in sql.upper()
     assert "window(ts, '2 minutes', '1 minutes')" in sql
+
+
+SESSION_STMT = (
+    "CREATE TABLE SESSION_TABLE AS "
+    "SELECT ID, COUNT(*) AS N_EVENTS "
+    "FROM json WINDOW SESSION (30 MINUTES) GROUP BY ID;"
+)
+
+
+def test_session_translator_shape():
+    name, sql = ksql_to_spark_sql(SESSION_STMT)
+    assert name == "SESSION_TABLE"
+    assert "SESSION" not in sql.upper().replace("SESSION_WINDOW", "")
+    assert "session_window(ts, '30 minutes')" in sql
+
+
+def test_session_translator_runs_and_matches_batch_sessionizer(spark):
+    """KSQL WINDOW SESSION through the translator == the lag/cumsum
+    batch sessionizer's (per-user session count, per-session sizes)."""
+    import datetime as dt
+
+    from iotstream.ext.sessions import sessionize_batch
+    from iotstream.schemas import use_utc
+    from iotstream.sql import create_stream_view, run_ksql
+
+    use_utc(spark)
+    T0 = dt.datetime(2024, 1, 1, 12, 0, 0)
+    rows = [
+        # user 7: two sessions (gap of 31 min splits)
+        (1, T0, 7), (2, T0 + dt.timedelta(minutes=10), 7),
+        (3, T0 + dt.timedelta(minutes=41, seconds=1), 7),
+        # user 8: one session
+        (4, T0, 8),
+    ]
+    ev = spark.createDataFrame(
+        [(i, ts, u, "click", 0.0) for i, ts, u in rows],
+        "event_id long, ts timestamp, user_id long, event_type string, value double",
+    )
+    create_stream_view(ev.withColumnRenamed("user_id", "ID"), "json")
+    out = run_ksql(spark, SESSION_STMT)
+    got = sorted((r.ID, r.N_EVENTS) for r in out.collect())
+    sess = sessionize_batch(ev, gap_seconds=1800)
+    want = sorted((r.user_id, r.n_events) for r in sess.collect())
+    assert got == want == [(7, 1), (7, 2), (8, 1)]

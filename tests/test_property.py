@@ -127,3 +127,37 @@ def test_gapfill_locf_invariants(spark, points):
             else:
                 assert r.filled
                 assert r.temperature == last
+
+
+docs_strategy = st.lists(
+    st.text(alphabet="ab ", min_size=0, max_size=40),
+    min_size=1,
+    max_size=12,
+)
+
+
+@given(docs_strategy)
+@SLOW
+def test_decontaminate_ngram_invariants(spark, texts):
+    """Survivors ⊆ corpus; any doc whose text EQUALS an eval doc with
+    ≥n tokens is always dropped; docs shorter than n tokens always
+    survive (they can share no n-gram)."""
+    from iotstream.ext.text import decontaminate_ngram
+
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id bigint, text string"
+    ).selectExpr(
+        "doc_id", "text", "'en' AS lang", "'s' AS source",
+        "CAST(length(text) AS bigint) AS n_chars",
+    )
+    eval_docs = docs.filter(F.col("doc_id") % 3 == 0)
+    kept = {r["doc_id"] for r in decontaminate_ngram(docs, eval_docs, n=2).collect()}
+    all_ids = set(range(len(texts)))
+    assert kept <= all_ids
+    ntok = {i: len(t.split(" ")) for i, t in enumerate(texts)}
+    eval_texts = {t for i, t in enumerate(texts) if i % 3 == 0 and ntok[i] >= 2}
+    for i, t in enumerate(texts):
+        if ntok[i] < 2:
+            assert i in kept  # too short to share a bigram
+        elif t in eval_texts:
+            assert i not in kept  # verbatim eval copy must drop
