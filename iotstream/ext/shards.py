@@ -74,3 +74,54 @@ def compact_parquet(
     shutil.rmtree(old, ignore_errors=True)
     shutil.rmtree(tmp, ignore_errors=True)
     return n
+
+
+def write_clustered(
+    df: DataFrame,
+    path: str,
+    cluster_cols: list[str] | None = None,
+    n_files: int = 8,
+) -> None:
+    """Cluster-by-key layout: ``repartitionByRange`` + ``sortWithin
+    Partitions`` on the cluster columns before writing parquet.
+
+    Why it matters at 100 TB: parquet stores per-row-group min/max
+    statistics; once rows are range-clustered, a key-range predicate
+    matches only a handful of files AND row groups, so the reader
+    skips almost everything (the poor man's Z-order — exact for
+    1-D / prefix predicates). Without clustering every file spans the
+    whole key range and nothing can be skipped. One range shuffle
+    (sampled boundaries, skew-resistant) — same cost class as any
+    write-side repartition."""
+    cols = cluster_cols or ["id", "ts"]
+    (
+        df.repartitionByRange(n_files, *cols)
+        .sortWithinPartitions(*cols)
+        .write.mode("overwrite")
+        .parquet(path)
+    )
+
+
+def clustered_file_ranges(path: str, col: str) -> list[tuple]:
+    """Per-file (min, max) of ``col`` from parquet row-group footers —
+    the statistics the scan's skipping logic consumes; used by tests
+    to prove the clustered layout is actually disjoint."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    out = []
+    for name in sorted(os.listdir(path)):
+        if not name.endswith(".parquet"):
+            continue
+        md = pq.ParquetFile(os.path.join(path, name)).metadata
+        lo, hi = None, None
+        for rg in range(md.num_row_groups):
+            for ci in range(md.num_columns):
+                c = md.row_group(rg).column(ci)
+                if c.path_in_schema == col and c.statistics is not None:
+                    s = c.statistics
+                    lo = s.min if lo is None else min(lo, s.min)
+                    hi = s.max if hi is None else max(hi, s.max)
+        out.append((lo, hi))
+    return out

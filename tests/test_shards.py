@@ -69,3 +69,35 @@ def test_compact_parquet_preserves_rows_and_reduces_files(spark):
     assert n == len(before)
     assert sorted(before) == sorted(after)  # content identical
     assert after_files <= 4 < before_files
+
+
+def test_clustered_write_produces_disjoint_key_ranges(spark, tmp_path):
+    """After write_clustered on user_id, parquet footer min/max ranges
+    across files must be pairwise non-overlapping (modulo range-sampler
+    boundary duplicates) — the property row-group skipping relies on."""
+    from iotstream.ext.shards import clustered_file_ranges, write_clustered
+    from iotstream.schemas import load_table
+
+    ev = load_table(spark, SF_DIR, "events")
+    out = str(tmp_path / "clustered")
+    write_clustered(ev, out, cluster_cols=["user_id", "ts"], n_files=4)
+    ranges = [r for r in clustered_file_ranges(out, "user_id") if r[0] is not None]
+    assert len(ranges) >= 2
+    ranges.sort()
+    for (lo1, hi1), (lo2, hi2) in zip(ranges, ranges[1:]):
+        assert hi1 <= lo2  # disjoint up to the shared boundary key
+    # and a narrow key predicate must prune to few files via the stats
+    hit = [1 for lo, hi in ranges if lo <= 3 <= hi]
+    assert len(hit) <= 2
+
+
+def test_clustered_readback_preserves_rows(spark, tmp_path):
+    from iotstream.ext.shards import write_clustered
+    from iotstream.schemas import load_table
+
+    ev = load_table(spark, SF_DIR, "events")
+    out = str(tmp_path / "clustered2")
+    write_clustered(ev, out, cluster_cols=["user_id", "ts"], n_files=4)
+    back = spark.read.parquet(out)
+    assert back.count() == ev.count()
+    assert sorted(back.columns) == sorted(ev.columns)
