@@ -1044,6 +1044,12 @@ def q_neardup_editdist(spark, sf_dir):
     return xdedup.neardup_editdist(load_table(spark, sf_dir, "documents"))
 
 
+def q_gopher_quality(spark, sf_dir):
+    """Gopher-style rules gate (word-count band, mean word length,
+    duplicate-token fraction, symbol ratio → composite keep)."""
+    return xtext.gopher_quality(load_table(spark, sf_dir, "documents"))
+
+
 def q_temp_humidity_corr(spark, sf_dir):
     """Per-sensor Pearson correlation computed FROM EXACT INTEGER SUMS
     (n, Σx, Σy, Σxy, Σx², Σy² are BIGINT — order-independent), with the
@@ -1235,6 +1241,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ),
         "temp_humidity_corr": q_temp_humidity_corr,
         "temp_histogram": q_temp_histogram,
+        "gopher_quality": q_gopher_quality,
     }
 
 
@@ -2097,4 +2104,24 @@ def oracle_sql() -> dict[str, str]:
             WITH sensor AS ({cte})
             SELECT temperature // 10 AS bin, count(*) AS n_readings
             FROM sensor GROUP BY 1""",
+        "gopher_quality": """
+            WITH sig AS (
+              SELECT doc_id,
+                     len(string_split(text, ' ')) AS n_words,
+                     round(CAST(n_chars - (len(string_split(text, ' ')) - 1)
+                                AS DOUBLE) / len(string_split(text, ' ')), 6)
+                         AS mean_word_len,
+                     round(1.0 - CAST(len(list_distinct(string_split(text, ' ')))
+                                      AS DOUBLE) / len(string_split(text, ' ')), 6)
+                         AS dup_token_frac,
+                     round(CAST(len(regexp_extract_all(text, '[^a-z0-9 ]'))
+                                AS DOUBLE) / n_chars, 6) AS symbol_ratio
+              FROM documents)
+            SELECT doc_id, CAST(n_words AS BIGINT) AS n_words, mean_word_len,
+                   dup_token_frac, symbol_ratio,
+                   (n_words BETWEEN 50 AND 100000)
+                   AND (mean_word_len BETWEEN 3.0 AND 10.0)
+                   AND dup_token_frac <= 0.6
+                   AND symbol_ratio <= 0.1 AS keep
+            FROM sig""",
     }

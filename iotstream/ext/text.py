@@ -325,3 +325,43 @@ def doc_fingerprint(docs: DataFrame) -> DataFrame:
         F.md5(F.col("text")).alias("fingerprint"),
         F.xxhash64(F.col("text")).alias("fingerprint64"),
     )
+
+
+def gopher_quality(
+    docs: DataFrame,
+    min_words: int = 50,
+    max_words: int = 100_000,
+    min_mean_word_len: float = 3.0,
+    max_mean_word_len: float = 10.0,
+    max_dup_token_frac: float = 0.6,
+    max_symbol_ratio: float = 0.1,
+) -> DataFrame:
+    """Gopher-style rule gate (Rae et al. 2021 §A1.1): per-document
+    quality signals and a composite keep verdict — the rules-based
+    pre-filter of an LLM pretrain pipeline. One narrow codegen pass,
+    no shuffle at all; every signal is arithmetic over the pre-split
+    token array (mean word length uses the single-space layout of the
+    corpus: chars = Σ|w| + (n−1) separators)."""
+    w = tokens()
+    n_words = F.size(w)
+    mean_wl = (
+        (F.col("n_chars") - (n_words - F.lit(1))).cast("double") / n_words
+    )
+    dup_frac = F.lit(1.0) - F.size(F.array_distinct(w)).cast("double") / n_words
+    sym = F.regexp_count(F.col("text"), F.lit("[^a-z0-9 ]")).cast(
+        "double"
+    ) / F.col("n_chars")
+    sig = docs.select(
+        "doc_id",
+        n_words.cast("long").alias("n_words"),
+        F.round(mean_wl, 6).alias("mean_word_len"),
+        F.round(dup_frac, 6).alias("dup_token_frac"),
+        F.round(sym, 6).alias("symbol_ratio"),
+    )
+    keep = (
+        F.col("n_words").between(min_words, max_words)
+        & F.col("mean_word_len").between(min_mean_word_len, max_mean_word_len)
+        & (F.col("dup_token_frac") <= max_dup_token_frac)
+        & (F.col("symbol_ratio") <= max_symbol_ratio)
+    )
+    return sig.withColumn("keep", keep)

@@ -119,3 +119,21 @@ def test_decontaminate_ngram_short_eval_docs_block_nothing(spark):
     # eval doc has only 2 tokens → produces no 3-grams → nothing dropped
     kept = decontaminate_ngram(docs, docs.filter(F.col("doc_id") == 1), n=3)
     assert kept.count() == 2
+
+
+def test_gopher_quality_rules_fire_individually(spark):
+    from iotstream.ext.text import gopher_quality
+
+    mk = lambda words: " ".join(words)  # noqa: E731
+    docs = [
+        (1, mk(["word"] * 60)),                         # dup_frac ~0.983 → drop
+        (2, mk([f"w{i:03d}" for i in range(60)])),      # healthy → keep
+        (3, mk(["ok"] * 10)),                           # too few words → drop
+        (4, mk([f"w{i}!!!" for i in range(60)])),       # symbols → drop
+        (5, mk(["extraordinarily" + str(i) for i in range(60)])),  # long words → drop
+    ]
+    df = spark.createDataFrame(docs, "doc_id bigint, text string").selectExpr(
+        "doc_id", "text", "CAST(length(text) AS bigint) AS n_chars"
+    )
+    out = {r["doc_id"]: r["keep"] for r in gopher_quality(df).collect()}
+    assert out == {1: False, 2: True, 3: False, 4: False, 5: False}
