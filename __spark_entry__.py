@@ -25,7 +25,12 @@ from iotstream.ext import dedup as xdedup
 from iotstream.ext import joins as xjoins
 from iotstream.ext import similarity as xsim
 from iotstream.ext import text as xtext
-from iotstream.ext.multimodal import attach_media, decode_media
+from iotstream.ext.multimodal import (
+    attach_media,
+    decode_media,
+    extract_features,
+    resize_media,
+)
 from iotstream.generator import _HUM, _TEMP, synthetic_sensor_events
 from iotstream.operators.filters import VALID_SQL, validity_filter
 from iotstream.operators.parse import parse_sensor_json, to_sensor_json
@@ -1044,6 +1049,23 @@ def q_neardup_editdist(spark, sf_dir):
     return xdedup.neardup_editdist(load_table(spark, sf_dir, "documents"))
 
 
+def q_multimodal_resize(spark, sf_dir):
+    """Aspect-preserving resize planning over the deterministic
+    fake-decoded dimensions — metadata-only codegen expressions, so the
+    whole decode→resize chain is oracle-checkable (payloads are ASCII:
+    n_bytes == n_chars)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return resize_media(decode_media(attach_media(docs), fake=True))
+
+
+def q_multimodal_features(spark, sf_dir):
+    """Arrow-batched byte-histogram features per payload (the real
+    feature-extract slot; engine-side numpy, rows-only check with exact
+    numpy parity in pytest)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return extract_features(attach_media(docs))
+
+
 def q_gopher_quality(spark, sf_dir):
     """Gopher-style rules gate (word-count band, mean word length,
     duplicate-token fraction, symbol ratio → composite keep)."""
@@ -1242,6 +1264,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "temp_humidity_corr": q_temp_humidity_corr,
         "temp_histogram": q_temp_histogram,
         "gopher_quality": q_gopher_quality,
+        "multimodal_resize": q_multimodal_resize,
+        "multimodal_features": q_multimodal_features,
     }
 
 
@@ -2124,4 +2148,17 @@ def oracle_sql() -> dict[str, str]:
                    AND dup_token_frac <= 0.6
                    AND symbol_ratio <= 0.1 AS keep
             FROM sig""",
+        "multimodal_resize": """
+            WITH d AS (SELECT doc_id, (n_chars % 640) + 1 AS width,
+                              (n_chars % 480) + 1 AS height FROM documents),
+            s AS (SELECT doc_id, width, height,
+                         least(224.0 / width, 224.0 / height, 1.0) AS scale
+                  FROM d)
+            SELECT doc_id, CAST(width AS BIGINT) AS width,
+                   CAST(height AS BIGINT) AS height,
+                   CAST(greatest(floor(width * scale), 1) AS BIGINT) AS out_width,
+                   CAST(greatest(floor(height * scale), 1) AS BIGINT) AS out_height
+            FROM s""",
+        # multimodal_features: Arrow mapInPandas byte histogram —
+        # rows-only; exact numpy parity in tests/test_ext_text_multimodal.py.
     }

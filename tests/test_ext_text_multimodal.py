@@ -59,3 +59,37 @@ def test_decode_real_path_is_explicit_stub(spark):
     docs = load_table(spark, SF_DIR, "documents").limit(5)
     with pytest.raises(Exception, match="NotImplementedError|not available"):
         decode_media(attach_media(docs), fake=False).collect()
+
+
+def test_extract_features_matches_numpy_reference(spark):
+    import numpy as np
+
+    from iotstream.ext.multimodal import attach_media, extract_features
+    from iotstream.schemas import load_table
+    from tests.conftest import SF_DIR
+
+    docs = load_table(spark, SF_DIR, "documents").limit(50)
+    got = {
+        r["doc_id"]: r["features"]
+        for r in extract_features(attach_media(docs)).collect()
+    }
+    for r in docs.select("doc_id", "text").collect():
+        arr = np.frombuffer(r["text"].encode(), dtype=np.uint8)
+        hist = np.bincount(arr >> 4, minlength=16)[:16]
+        want = (hist / max(len(arr), 1)).round(6).tolist()
+        assert got[r["doc_id"]] == want
+    assert all(len(v) == 16 for v in got.values())
+    assert all(abs(sum(v) - 1.0) < 1e-4 for v in got.values())
+
+
+def test_resize_media_never_upscales_and_preserves_aspect(spark):
+    from iotstream.ext.multimodal import resize_media
+
+    d = spark.createDataFrame(
+        [(1, 640, 480), (2, 100, 50), (3, 448, 112)],
+        "doc_id long, width long, height long",
+    )
+    out = {r["doc_id"]: (r["out_width"], r["out_height"]) for r in resize_media(d).collect()}
+    assert out[1] == (224, 168)   # scale 0.35 on both axes
+    assert out[2] == (100, 50)    # smaller than target → untouched
+    assert out[3] == (224, 56)    # width-bound scale 0.5
