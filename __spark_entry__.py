@@ -1066,6 +1066,79 @@ def q_multimodal_features(spark, sf_dir):
     return extract_features(attach_media(docs))
 
 
+def q_trending_event_types(spark, sf_dir):
+    """Top-3 event types per day by volume — windowed rank over a
+    pre-aggregated (day, type) frame: the corpus-sized work is one
+    map-combined groupBy; the rank window runs on day×type rows."""
+    from pyspark.sql.window import Window
+
+    use_utc(spark)
+    ev = load_table(spark, sf_dir, "events")
+    daily = (
+        ev.groupBy(
+            F.date_trunc("day", "ts").alias("day"), "event_type"
+        ).agg(F.count(F.lit(1)).alias("n_events"))
+    )
+    w = Window.partitionBy("day").orderBy(
+        F.desc("n_events"), F.asc("event_type")
+    )
+    return (
+        daily.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= 3)
+    )
+
+
+def q_rolling_active_users(spark, sf_dir):
+    """Trailing-7-day distinct active users, computed per day. Windowed
+    COUNT(DISTINCT) doesn't exist in any engine; the distributed
+    formulation is: distinct (day, user) pairs → explode each pair to
+    the 7 report days it supports → count distinct per report day.
+    Work scales with days×users, never events; no join at all — the
+    explode is a narrow map and the one shuffle partial-aggregates
+    map-side. A report day appears iff ≥1 user was active in its
+    trailing week (days past the last activity day included)."""
+    use_utc(spark)
+    ev = load_table(spark, sf_dir, "events")
+    pairs = ev.select(
+        F.date_trunc("day", "ts").alias("day"), "user_id"
+    ).distinct()
+    reported = pairs.select(
+        F.explode(
+            F.sequence(
+                F.col("day"),
+                F.col("day") + F.expr("INTERVAL 6 DAYS"),
+                F.expr("INTERVAL 1 DAY"),
+            )
+        ).alias("report_day"),
+        "user_id",
+    )
+    return reported.groupBy("report_day").agg(
+        F.count_distinct("user_id").alias("active_users_7d")
+    )
+
+
+def q_revenue_share(spark, sf_dir):
+    """Percent-of-total: each nation's share of its region's revenue —
+    partition-wide window aggregate over the already-aggregated
+    (region, nation) frame; exact decimal sums, one float division."""
+    from pyspark.sql.window import Window
+
+    agg = xjoins.enrichment_join(spark, sf_dir)
+    region_total = F.sum(F.col("revenue").cast("decimal(18,4)")).over(
+        Window.partitionBy("r_name")
+    )
+    return agg.select(
+        "r_name",
+        "n_name",
+        "revenue",
+        F.round(
+            F.col("revenue").cast("decimal(18,4)") / region_total, 6
+        )
+        .cast("double")
+        .alias("region_share"),
+    )
+
+
 def q_gopher_quality(spark, sf_dir):
     """Gopher-style rules gate (word-count band, mean word length,
     duplicate-token fraction, symbol ratio → composite keep)."""
@@ -1264,6 +1337,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "temp_humidity_corr": q_temp_humidity_corr,
         "temp_histogram": q_temp_histogram,
         "gopher_quality": q_gopher_quality,
+        "trending_event_types": q_trending_event_types,
+        "rolling_active_users": q_rolling_active_users,
+        "revenue_share": q_revenue_share,
         "multimodal_resize": q_multimodal_resize,
         "multimodal_features": q_multimodal_features,
     }
@@ -2161,4 +2237,38 @@ def oracle_sql() -> dict[str, str]:
             FROM s""",
         # multimodal_features: Arrow mapInPandas byte histogram —
         # rows-only; exact numpy parity in tests/test_ext_text_multimodal.py.
+        "trending_event_types": """
+            WITH daily AS (SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+                                  event_type, count(*) AS n_events
+                           FROM events GROUP BY 1, 2)
+            SELECT day, event_type, n_events, rank FROM (
+              SELECT day, event_type, n_events,
+                     row_number() OVER (PARTITION BY day
+                                        ORDER BY n_events DESC, event_type) AS rank
+              FROM daily)
+            WHERE rank <= 3""",
+        "rolling_active_users": """
+            WITH pairs AS (SELECT DISTINCT date_trunc('day', ts) AS day, user_id
+                           FROM events),
+            rep AS (SELECT unnest(generate_series(day, day + INTERVAL 6 DAY,
+                                                  INTERVAL 1 DAY)) AS report_day,
+                           user_id
+                    FROM pairs)
+            SELECT report_day, count(DISTINCT user_id) AS active_users_7d
+            FROM rep GROUP BY report_day""",
+        "revenue_share": """
+            WITH agg AS (SELECT r_name, n_name, count(*) AS n_orders,
+                                CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4)))
+                                     AS DOUBLE) AS revenue
+                         FROM orders
+                         JOIN customer ON o_custkey = c_custkey
+                         JOIN nation ON c_nationkey = n_nationkey
+                         JOIN region ON n_regionkey = r_regionkey
+                         GROUP BY r_name, n_name)
+            SELECT r_name, n_name, revenue,
+                   CAST(round(CAST(revenue AS DECIMAL(18,4)) /
+                              SUM(CAST(revenue AS DECIMAL(18,4)))
+                                  OVER (PARTITION BY r_name), 6)
+                        AS DOUBLE) AS region_share
+            FROM agg""",
     }
