@@ -1066,6 +1066,31 @@ def q_multimodal_features(spark, sf_dir):
     return extract_features(attach_media(docs))
 
 
+def q_pydatasource_sensor(spark, sf_dir):
+    """S1 on the Spark 4 Python DataSource API: the registered
+    'sensorgen' source, partition-sharded with range-filter pushdown
+    into the source (PushedFilters reaches the BatchScan). Emits the
+    exact rows of synthetic_sensor_events — same oracle."""
+    from iotstream.sources.pydatasource import register
+
+    use_utc(spark)
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+    register(spark)
+    return (
+        spark.read.format("sensorgen")
+        .option("n", "1000")
+        .load()
+        .select(
+            "loop",
+            "id",
+            "messageId",
+            "timestamp",
+            F.col("metrics.temperature").alias("temperature"),
+            F.col("metrics.humidity").alias("humidity"),
+        )
+    )
+
+
 def q_trending_event_types(spark, sf_dir):
     """Top-3 event types per day by volume — windowed rank over a
     pre-aggregated (day, type) frame: the corpus-sized work is one
@@ -1337,6 +1362,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "temp_humidity_corr": q_temp_humidity_corr,
         "temp_histogram": q_temp_histogram,
         "gopher_quality": q_gopher_quality,
+        "pydatasource_sensor": q_pydatasource_sensor,
         "trending_event_types": q_trending_event_types,
         "rolling_active_users": q_rolling_active_users,
         "revenue_share": q_revenue_share,
@@ -1546,6 +1572,16 @@ def oracle_sql() -> dict[str, str]:
             SELECT DISTINCT user_id FROM events
             WHERE event_type = 'error' AND value > 320""",
         "synthetic_sensor_stream": f"""
+            WITH l AS (SELECT unnest(range(1, 1001)) AS loop),
+            s AS (SELECT loop,
+                   'sensor' || CAST(loop % 10 AS VARCHAR) || 'rcc-1' AS id,
+                   CAST(1704067200 + loop * 2 AS VARCHAR) AS ts_str,
+                   {_TEMP} AS temperature, {_HUM} AS humidity
+                  FROM l)
+            SELECT loop, id, id || CAST(loop AS VARCHAR) AS "messageId",
+                   ts_str AS "timestamp", temperature, humidity
+            FROM s""",
+        "pydatasource_sensor": f"""
             WITH l AS (SELECT unnest(range(1, 1001)) AS loop),
             s AS (SELECT loop,
                    'sensor' || CAST(loop % 10 AS VARCHAR) || 'rcc-1' AS id,
