@@ -23,6 +23,7 @@ from pyspark.sql import functions as F
 
 from iotstream.ext import dedup as xdedup
 from iotstream.ext import joins as xjoins
+from iotstream.ext import tpch as xtpch
 from iotstream.ext import similarity as xsim
 from iotstream.ext import text as xtext
 from iotstream.ext.multimodal import (
@@ -1368,6 +1369,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "revenue_share": q_revenue_share,
         "multimodal_resize": q_multimodal_resize,
         "multimodal_features": q_multimodal_features,
+        # TPC-H shape completion (ext/tpch.py): Q2,Q4,Q7-Q17,Q19-Q21
+        "order_priority_check": xtpch.order_priority_check,
+        "cross_nation_volume": xtpch.cross_nation_volume,
+        "market_share": xtpch.market_share,
+        "product_profit": xtpch.product_profit,
+        "returned_item_revenue": xtpch.returned_item_revenue,
+        "priority_line_counts": xtpch.priority_line_counts,
+        "customer_order_distribution": xtpch.customer_order_distribution,
+        "promo_revenue": xtpch.promo_revenue,
+        "top_supplier": xtpch.top_supplier,
+        "parts_supplier_count": xtpch.parts_supplier_count,
+        "small_qty_revenue": xtpch.small_qty_revenue,
+        "disjunctive_revenue": xtpch.disjunctive_revenue,
+        "excess_supply_suppliers": xtpch.excess_supply_suppliers,
+        "waiting_supplier_blame": xtpch.waiting_supplier_blame,
+        "min_cost_supplier": xtpch.min_cost_supplier,
+        "important_stock": xtpch.important_stock,
     }
 
 
@@ -2307,4 +2325,205 @@ def oracle_sql() -> dict[str, str]:
                                   OVER (PARTITION BY r_name), 6)
                         AS DOUBLE) AS region_share
             FROM agg""",
+        "order_priority_check": """
+            SELECT o_orderpriority, count(*) AS order_count
+            FROM orders
+            WHERE o_orderdate >= TIMESTAMP '1996-07-01'
+              AND o_orderdate < TIMESTAMP '1996-10-01'
+              AND EXISTS (SELECT 1 FROM lineitem
+                          WHERE l_orderkey = o_orderkey AND l_discount > l_tax)
+            GROUP BY o_orderpriority""",
+        "cross_nation_volume": f"""
+            SELECT supp_nation, cust_nation, l_year,
+                   CAST(revenue AS DOUBLE) AS revenue FROM (
+              SELECT ns.n_name AS supp_nation, nc.n_name AS cust_nation,
+                     year(l_shipdate) AS l_year, SUM({disc}) AS revenue
+              FROM lineitem
+              JOIN orders ON l_orderkey = o_orderkey
+              JOIN supplier ON l_suppkey = s_suppkey
+              JOIN nation ns ON s_nationkey = ns.n_nationkey
+              JOIN customer ON o_custkey = c_custkey
+              JOIN nation nc ON c_nationkey = nc.n_nationkey
+              WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+                AND l_shipdate < TIMESTAMP '1998-01-01'
+                AND ((ns.n_name = 'NATION_1' AND nc.n_name = 'NATION_2')
+                  OR (ns.n_name = 'NATION_2' AND nc.n_name = 'NATION_1'))
+              GROUP BY 1, 2, 3)""",
+        "market_share": f"""
+            SELECT o_year,
+                   round(CAST(_nat AS DOUBLE) / CAST(_tot AS DOUBLE), 6)
+                       AS mkt_share FROM (
+              SELECT year(o_orderdate) AS o_year,
+                     SUM(CASE WHEN ns.n_name = 'NATION_7'
+                              THEN CAST({disc} AS DECIMAL(26,8))
+                              ELSE CAST(0 AS DECIMAL(26,8)) END) AS _nat,
+                     SUM(CAST({disc} AS DECIMAL(26,8))) AS _tot
+              FROM lineitem
+              JOIN part ON l_partkey = p_partkey AND p_type = 'ECONOMY'
+              JOIN orders ON l_orderkey = o_orderkey
+              JOIN supplier ON l_suppkey = s_suppkey
+              JOIN nation ns ON s_nationkey = ns.n_nationkey
+              WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+                AND o_orderdate < TIMESTAMP '1998-01-01'
+                AND o_custkey IN (SELECT c_custkey FROM customer
+                                  JOIN nation n2 ON c_nationkey = n2.n_nationkey
+                                  JOIN region ON n2.n_regionkey = r_regionkey
+                                  WHERE r_name = 'ASIA')
+              GROUP BY 1)""",
+        "product_profit": f"""
+            SELECT n_name AS nation, year(o_orderdate) AS o_year,
+                   CAST(SUM(CAST({disc} AS DECIMAL(30,9)) -
+                            CAST({d('p_retailprice')} * {d('l_quantity')} *
+                                 CAST(0.1 AS DECIMAL(2,1)) AS DECIMAL(30,9)))
+                        AS DOUBLE) AS sum_profit
+            FROM lineitem
+            JOIN part ON l_partkey = p_partkey AND p_name LIKE '%widget%'
+            JOIN supplier ON l_suppkey = s_suppkey
+            JOIN nation ON s_nationkey = n_nationkey
+            JOIN orders ON l_orderkey = o_orderkey
+            GROUP BY 1, 2""",
+        "returned_item_revenue": f"""
+            SELECT c_custkey, c_name, revenue, c_acctbal, n_name FROM (
+              SELECT o_custkey, CAST(SUM({disc}) AS DOUBLE) AS revenue
+              FROM lineitem
+              JOIN orders ON l_orderkey = o_orderkey
+              WHERE l_returnflag = 'R'
+                AND o_orderdate >= TIMESTAMP '1996-01-01'
+                AND o_orderdate < TIMESTAMP '1996-04-01'
+              GROUP BY o_custkey)
+            JOIN customer ON o_custkey = c_custkey
+            JOIN nation ON c_nationkey = n_nationkey
+            ORDER BY revenue DESC, c_custkey LIMIT 20""",
+        "priority_line_counts": """
+            SELECT l_linestatus,
+                   SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                            THEN 1 ELSE 0 END) AS high_line_count,
+                   SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                            THEN 0 ELSE 1 END) AS low_line_count
+            FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+            WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+              AND l_shipdate < TIMESTAMP '1997-01-01'
+            GROUP BY l_linestatus""",
+        "customer_order_distribution": """
+            SELECT c_count, count(*) AS custdist FROM (
+              SELECT c_custkey, count(o_orderkey) AS c_count
+              FROM customer
+              LEFT JOIN orders ON c_custkey = o_custkey
+                              AND o_orderpriority <> '1-URGENT'
+              GROUP BY c_custkey)
+            GROUP BY c_count""",
+        "promo_revenue": f"""
+            SELECT round(100.0 *
+                     CAST(SUM(CASE WHEN p_type = 'PROMO'
+                                   THEN CAST({disc} AS DECIMAL(26,8))
+                                   ELSE CAST(0 AS DECIMAL(26,8)) END) AS DOUBLE)
+                     / CAST(SUM(CAST({disc} AS DECIMAL(26,8))) AS DOUBLE), 6)
+                   AS promo_revenue_pct
+            FROM lineitem JOIN part ON l_partkey = p_partkey
+            WHERE l_shipdate >= TIMESTAMP '1996-09-01'
+              AND l_shipdate < TIMESTAMP '1996-10-01'""",
+        "top_supplier": f"""
+            WITH ps AS (SELECT l_suppkey, SUM({disc}) AS _rev
+                        FROM lineitem
+                        WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+                          AND l_shipdate < TIMESTAMP '1996-04-01'
+                        GROUP BY l_suppkey)
+            SELECT s_suppkey, s_name, CAST(_rev AS DOUBLE) AS total_revenue
+            FROM ps JOIN supplier ON l_suppkey = s_suppkey
+            WHERE _rev = (SELECT MAX(_rev) FROM ps)""",
+        "parts_supplier_count": """
+            SELECT p_brand, p_type, p_size,
+                   count(DISTINCT l_suppkey) AS supplier_cnt
+            FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem)
+            JOIN part ON l_partkey = p_partkey
+            WHERE p_brand <> 'Brand#1' AND p_size <= 25
+              AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier
+                                    WHERE s_acctbal < 1000.0)
+            GROUP BY 1, 2, 3""",
+        "small_qty_revenue": f"""
+            WITH li AS (SELECT l_partkey, l_quantity, l_extendedprice
+                        FROM lineitem JOIN part ON l_partkey = p_partkey
+                        WHERE p_brand = 'Brand#1'),
+            pp AS (SELECT l_partkey AS _pk,
+                          SUM({d('l_quantity')}) AS _sq, count(*) AS _cnt
+                   FROM li GROUP BY 1)
+            SELECT round(CAST(SUM({d('l_extendedprice')}) AS DOUBLE) / 7.0, 6)
+                       AS avg_yearly
+            FROM li JOIN pp ON l_partkey = _pk
+            WHERE {d('l_quantity')} * 2 * _cnt < _sq""",
+        "disjunctive_revenue": f"""
+            SELECT CAST(SUM({disc}) AS DOUBLE) AS revenue,
+                   count(*) AS n_lines
+            FROM lineitem JOIN part ON l_partkey = p_partkey
+            WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15
+                   AND l_quantity BETWEEN 1 AND 11)
+               OR (p_brand = 'Brand#2' AND p_size BETWEEN 1 AND 25
+                   AND l_quantity BETWEEN 10 AND 20)
+               OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 50
+                   AND l_quantity BETWEEN 20 AND 30)""",
+        "excess_supply_suppliers": f"""
+            WITH li AS (SELECT l_partkey, l_suppkey, l_quantity
+                        FROM lineitem JOIN part ON l_partkey = p_partkey
+                        WHERE p_name LIKE '%widget%'
+                          AND l_shipdate >= TIMESTAMP '1996-01-01'
+                          AND l_shipdate < TIMESTAMP '1997-01-01'),
+            ps AS (SELECT l_partkey, l_suppkey,
+                          SUM({d('l_quantity')}) AS _sq
+                   FROM li GROUP BY 1, 2),
+            tot AS (SELECT l_partkey AS _pk, SUM(_sq) AS _tq
+                    FROM ps GROUP BY 1)
+            SELECT s_suppkey, s_name FROM supplier
+            WHERE s_suppkey IN (SELECT l_suppkey FROM ps
+                                JOIN tot ON l_partkey = _pk
+                                WHERE _sq * 2 > _tq)""",
+        "waiting_supplier_blame": """
+            WITH per_os AS (
+              SELECT l_orderkey, l_suppkey,
+                     MAX(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END)
+                         AS _has_r
+              FROM lineitem
+              WHERE l_orderkey IN (SELECT o_orderkey FROM orders
+                                   WHERE o_orderstatus = 'F')
+              GROUP BY 1, 2),
+            w AS (SELECT *,
+                         count(*) OVER (PARTITION BY l_orderkey) AS _n_supp,
+                         SUM(_has_r) OVER (PARTITION BY l_orderkey) AS _n_r
+                  FROM per_os)
+            SELECT s_name, numwait FROM (
+              SELECT l_suppkey, count(*) AS numwait FROM w
+              WHERE _has_r = 1 AND _n_supp > 1 AND _n_r = 1
+              GROUP BY 1)
+            JOIN supplier ON l_suppkey = s_suppkey
+            ORDER BY numwait DESC, s_name LIMIT 20""",
+        "min_cost_supplier": """
+            WITH li AS (SELECT l_partkey, l_suppkey, l_extendedprice, l_quantity
+                        FROM lineitem JOIN part ON l_partkey = p_partkey
+                        WHERE p_size BETWEEN 10 AND 20),
+            unit AS (SELECT l_partkey, l_suppkey,
+                            round(MIN(l_extendedprice / l_quantity), 6)
+                                AS unit_cost
+                     FROM li GROUP BY 1, 2),
+            best AS (SELECT * FROM (
+                       SELECT *, row_number() OVER (
+                           PARTITION BY l_partkey
+                           ORDER BY unit_cost, l_suppkey) AS _rn
+                       FROM unit) WHERE _rn = 1)
+            SELECT best.l_partkey AS p_partkey, p_name, s_name, s_acctbal,
+                   n_name, unit_cost
+            FROM best
+            JOIN supplier ON best.l_suppkey = s_suppkey
+            JOIN nation ON s_nationkey = n_nationkey
+            JOIN part ON best.l_partkey = part.p_partkey""",
+        "important_stock": f"""
+            WITH li AS (SELECT l_partkey, {disc} AS vol
+                        FROM lineitem
+                        WHERE l_suppkey IN (
+                          SELECT s_suppkey FROM supplier
+                          JOIN nation ON s_nationkey = n_nationkey
+                          JOIN region ON n_regionkey = r_regionkey
+                          WHERE r_name = 'ASIA')),
+            pp AS (SELECT l_partkey, SUM(vol) AS _val FROM li GROUP BY 1)
+            SELECT l_partkey, CAST(_val AS DOUBLE) AS part_value FROM pp
+            WHERE _val * 1000 > (SELECT CAST(SUM(_val) AS DECIMAL(38,8))
+                                 FROM pp)""",
     }
