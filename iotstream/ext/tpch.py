@@ -552,8 +552,11 @@ def min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     identical doubles — engine-portable). The correlated MIN subquery
     becomes a row_number over (part) ordered by (cost, suppkey).
 
-    Plan: part filter broadcast-prunes lineitem; one shuffle on
-    l_partkey covers both the per-(part,supplier) aggregate and the
+    Plan: part filter broadcast-prunes lineitem; ONE shuffle on
+    l_partkey covers both aggregation levels (the per-(part,supplier)
+    groupBy accepts the partkey-only partitioning, and the per-part
+    argmin reuses it); the correlated MIN is `min(struct(cost, supp))`
+    — a pure hash aggregate with map-side partials, no sort, no
     ranking window; supplier⋈nation broadcast at the end."""
     part = (
         load_table(spark, sf_dir, "part")
@@ -563,15 +566,20 @@ def min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem").join(
         F.broadcast(part), F.col("l_partkey") == F.col("p_partkey")
     )
-    unit = li.groupBy("l_partkey", "l_suppkey").agg(
-        F.round(F.min(F.col("l_extendedprice") / F.col("l_quantity")), 6).alias(
-            "unit_cost"
+    unit = (
+        li.repartition("l_partkey")
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(
+            F.round(F.min(F.col("l_extendedprice") / F.col("l_quantity")), 6).alias(
+                "unit_cost"
+            )
         )
     )
-    w = Window.partitionBy("l_partkey").orderBy(
-        F.asc("unit_cost"), F.asc("l_suppkey")
+    best = (
+        unit.groupBy("l_partkey")
+        .agg(F.min(F.struct("unit_cost", "l_suppkey")).alias("_b"))
+        .select("l_partkey", "_b.unit_cost", "_b.l_suppkey")
     )
-    best = unit.withColumn("_rn", F.row_number().over(w)).filter(F.col("_rn") == 1)
     nat = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
     supp = (
         load_table(spark, sf_dir, "supplier")
