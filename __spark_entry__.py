@@ -1254,6 +1254,92 @@ def q_ewma_smooth(spark, sf_dir):
     return ewma_smooth(_sensor(spark, sf_dir))
 
 
+def q_time_weighted_avg(spark, sf_dir):
+    """TimescaleDB time_weight('locf')-style per-sensor per-day
+    time-weighted average over irregular samples — the lead() window
+    and the groupBy share one (id, bucket) shuffle; exact integer-µs
+    weights, one final float division."""
+    from iotstream.ext.temporal import time_weighted_avg
+
+    return time_weighted_avg(_valid(spark, sf_dir))
+
+
+def q_interpolate_linear(spark, sf_dir):
+    """Hypertable gap-fill with LINEAR interpolation (TimescaleDB
+    time_bucket_gapfill + interpolate) — gapfill_locf's smoother
+    sibling; skeleton from each sensor's own span, both IGNORE-NULLS
+    windows share one (id, bucket) sort."""
+    from iotstream.ext.temporal import interpolate_linear
+
+    return interpolate_linear(_valid(spark, sf_dir), bucket_width="60 minutes")
+
+
+def q_rate_of_change(spark, sf_dir):
+    """PromQL rate()-style per-sensor per-day change rate scaled to
+    per-hour units — min_by/max_by over the event-order struct, a
+    single HashAggregate (no window sort)."""
+    from iotstream.ext.temporal import rate_of_change
+
+    return rate_of_change(_valid(spark, sf_dir))
+
+
+def q_scd2_history(spark, sf_dir):
+    """SCD type-2 build from the event log: per-user status intervals
+    [valid_from, valid_to) opened only on actual event_type changes —
+    lag change-detection + lead interval-close, both windows on the
+    user_id partitioning."""
+    from iotstream.ext.analytics import scd2_history
+
+    use_utc(spark)
+    return scd2_history(load_table(spark, sf_dir, "events"))
+
+
+def q_rfm_segments(spark, sf_dir):
+    """RFM segmentation: per-user recency/frequency/exact-decimal
+    monetary quartiled into a 3-digit segment (4=best) — ntile windows
+    run over the already-aggregated per-user frame only."""
+    from iotstream.ext.analytics import rfm_segments
+
+    use_utc(spark)
+    return rfm_segments(load_table(spark, sf_dir, "events"))
+
+
+def q_tfidf_top_terms(spark, sf_dir):
+    """Per-document top-3 TF-IDF terms (exact-rational tf·N/df variant,
+    no log): corpus shuffles once for tf; vocabulary-sized df and the
+    1-row N broadcast back; final top-k is one per-doc window."""
+    from iotstream.ext.text import tfidf_top_terms
+
+    return tfidf_top_terms(load_table(spark, sf_dir, "documents"))
+
+
+def q_streaming_dedup_wm(spark, sf_dir):
+    """Bounded-state streaming dedup: dropDuplicatesWithinWatermark —
+    the production path where state for a key can be dropped once the
+    watermark passes it (plain dropDuplicates keeps ALL keys forever).
+    Fixture event_ids are unique, so the drained result equals batch
+    DISTINCT (the oracle) regardless of which duplicate survives."""
+    from iotstream.schemas import load_events_raw, normalize_ns_timestamp
+    from iotstream.sinks import ParquetUpsertSink
+    from iotstream.sources import FileStreamSource
+    from iotstream.streaming import run_available_now, scoped_shuffle_partitions
+
+    use_utc(spark)
+    raw_schema = load_events_raw(spark, sf_dir).schema
+    stream = FileStreamSource(table_path(sf_dir, "events"), raw_schema).load(spark)
+    deduped = (
+        normalize_ns_timestamp(stream)
+        .select("event_id", "ts", "user_id", "event_type", "value")
+        .withWatermark("ts", "1 hour")
+        .dropDuplicatesWithinWatermark(["event_id"])
+    )
+    sink = ParquetUpsertSink(key_cols=["event_id"])
+    with scoped_shuffle_partitions(spark, 16):
+        writer = deduped.writeStream.outputMode("append").foreachBatch(sink.writer())
+        run_available_now(writer)
+    return sink.to_df(spark)
+
+
 # ------------------------------------------------------------- contract
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -1386,6 +1472,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "waiting_supplier_blame": xtpch.waiting_supplier_blame,
         "min_cost_supplier": xtpch.min_cost_supplier,
         "important_stock": xtpch.important_stock,
+        "time_weighted_avg": q_time_weighted_avg,
+        "interpolate_linear": q_interpolate_linear,
+        "rate_of_change": q_rate_of_change,
+        "scd2_history": q_scd2_history,
+        "rfm_segments": q_rfm_segments,
+        "tfidf_top_terms": q_tfidf_top_terms,
+        "streaming_dedup_wm": q_streaming_dedup_wm,
     }
 
 
@@ -2302,7 +2395,7 @@ def oracle_sql() -> dict[str, str]:
               FROM daily)
             WHERE rank <= 3""",
         "rolling_active_users": """
-            WITH pairs AS (SELECT DISTINCT date_trunc('day', ts) AS day, user_id
+            WITH pairs AS (SELECT DISTINCT time_bucket(INTERVAL '1 day', ts) AS day, user_id
                            FROM events),
             rep AS (SELECT unnest(generate_series(day, day + INTERVAL 6 DAY,
                                                   INTERVAL 1 DAY)) AS report_day,
@@ -2526,4 +2619,128 @@ def oracle_sql() -> dict[str, str]:
             SELECT l_partkey, CAST(_val AS DOUBLE) AS part_value FROM pp
             WHERE _val * 1000 > (SELECT CAST(SUM(_val) AS DECIMAL(38,8))
                                  FROM pp)""",
+        "time_weighted_avg": f"""
+            WITH sensor AS ({cte}),
+            v AS (SELECT * FROM sensor WHERE {VALID_SQL}),
+            p AS (SELECT id, time_bucket(INTERVAL '1 day', ts) AS bucket, temperature,
+                         epoch_us(ts) AS tus,
+                         lead(epoch_us(ts)) OVER (
+                             PARTITION BY id, time_bucket(INTERVAL '1 day', ts)
+                             ORDER BY ts, "messageId") AS next_us
+                  FROM v)
+            SELECT id, bucket, count(*) AS n_readings,
+                   CASE WHEN COALESCE(sum(next_us - tus), 0) > 0
+                        THEN round(
+                            CAST(sum(temperature * (next_us - tus)) AS DOUBLE)
+                            / CAST(sum(next_us - tus) AS DOUBLE), 6)
+                        ELSE CAST(min(temperature) AS DOUBLE)
+                   END AS twa_temperature
+            FROM p GROUP BY 1, 2""",
+        "interpolate_linear": f"""
+            WITH sensor AS ({cte}),
+            obs AS (
+              SELECT id, time_bucket(INTERVAL '60 minutes', ts) AS bucket,
+                     round(avg(temperature), 6) AS obs_v
+              FROM sensor WHERE {VALID_SQL} GROUP BY 1, 2),
+            spans AS (SELECT id, min(bucket) AS lo, max(bucket) AS hi
+                      FROM obs GROUP BY 1),
+            skel AS (SELECT id,
+                            unnest(generate_series(lo, hi, INTERVAL '60 minutes'))
+                                AS bucket
+                     FROM spans),
+            dense AS (SELECT s.id, s.bucket, o.obs_v,
+                             CAST(floor(epoch(s.bucket)) AS BIGINT) AS x
+                      FROM skel s LEFT JOIN obs o
+                        ON s.id = o.id AND s.bucket = o.bucket),
+            fb AS (SELECT *,
+                last_value(obs_v IGNORE NULLS) OVER (
+                    PARTITION BY id ORDER BY bucket
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS prev_v,
+                last_value(CASE WHEN obs_v IS NOT NULL THEN x END IGNORE NULLS)
+                    OVER (PARTITION BY id ORDER BY bucket
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS prev_x,
+                first_value(obs_v IGNORE NULLS) OVER (
+                    PARTITION BY id ORDER BY bucket
+                    ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS next_v,
+                first_value(CASE WHEN obs_v IS NOT NULL THEN x END IGNORE NULLS)
+                    OVER (PARTITION BY id ORDER BY bucket
+                    ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS next_x
+                FROM dense)
+            SELECT id, bucket,
+                   CASE WHEN obs_v IS NOT NULL THEN obs_v
+                        ELSE floor((prev_v + (next_v - prev_v) *
+                             (CAST(x - prev_x AS DOUBLE)
+                              / CAST(next_x - prev_x AS DOUBLE)))
+                             * 1000000.0 + 0.5) / 1000000.0
+                   END AS temperature,
+                   obs_v IS NULL AS filled
+            FROM fb""",
+        "rate_of_change": f"""
+            WITH sensor AS ({cte}),
+            v AS (SELECT * FROM sensor WHERE {VALID_SQL})
+            SELECT id, time_bucket(INTERVAL '1 day', ts) AS day, count(*) AS n_readings,
+                   CASE WHEN epoch_us(max(ts)) - epoch_us(min(ts)) > 0
+                        THEN round(
+                            CAST(last(temperature ORDER BY ts, "messageId")
+                                 - first(temperature ORDER BY ts, "messageId")
+                                 AS DOUBLE)
+                            * 3600000000.0
+                            / CAST(epoch_us(max(ts)) - epoch_us(min(ts))
+                                   AS DOUBLE), 6)
+                   END AS temp_rate_per_hour
+            FROM v GROUP BY 1, 2""",
+        "scd2_history": """
+            WITH c AS (SELECT user_id, ts, event_id, event_type,
+                              lag(event_type) OVER (
+                                  PARTITION BY user_id
+                                  ORDER BY ts, event_id) AS _prev
+                       FROM events),
+            ch AS (SELECT * FROM c
+                   WHERE _prev IS NULL OR _prev <> event_type)
+            SELECT user_id, event_type AS status, ts AS valid_from,
+                   lead(ts) OVER (PARTITION BY user_id
+                                  ORDER BY ts, event_id) AS valid_to,
+                   lead(ts) OVER (PARTITION BY user_id
+                                  ORDER BY ts, event_id) IS NULL AS is_current
+            FROM ch""",
+        "rfm_segments": """
+            WITH p AS (SELECT user_id, max(ts) AS last_purchase_ts,
+                              count(*) AS frequency,
+                              sum(CAST(value AS DECIMAL(12,4))) AS _mon
+                       FROM events WHERE event_type = 'purchase'
+                       GROUP BY 1),
+            s AS (SELECT user_id, last_purchase_ts, frequency, _mon,
+                         5 - ntile(4) OVER (
+                             ORDER BY last_purchase_ts DESC, user_id)
+                             AS r_score,
+                         5 - ntile(4) OVER (
+                             ORDER BY frequency DESC, user_id) AS f_score,
+                         5 - ntile(4) OVER (
+                             ORDER BY _mon DESC, user_id) AS m_score
+                  FROM p)
+            SELECT user_id, last_purchase_ts, frequency,
+                   CAST(_mon AS DOUBLE) AS monetary,
+                   r_score, f_score, m_score,
+                   CAST(r_score AS VARCHAR) || CAST(f_score AS VARCHAR)
+                       || CAST(m_score AS VARCHAR) AS segment
+            FROM s""",
+        "tfidf_top_terms": """
+            WITH tok AS (SELECT doc_id,
+                                unnest(string_split(text, ' ')) AS word
+                         FROM documents),
+            tf AS (SELECT doc_id, word, count(*) AS tf
+                   FROM tok GROUP BY 1, 2),
+            dfq AS (SELECT word, count(*) AS df FROM tf GROUP BY 1),
+            n AS (SELECT count(*) AS n_docs FROM documents),
+            sc AS (SELECT tf.doc_id, tf.word, tf.tf, dfq.df,
+                          round(CAST(tf.tf * n.n_docs AS DOUBLE) / dfq.df, 6)
+                              AS tfidf
+                   FROM tf, dfq, n WHERE tf.word = dfq.word),
+            r AS (SELECT *, row_number() OVER (
+                      PARTITION BY doc_id
+                      ORDER BY tfidf DESC, word) AS _rn
+                  FROM sc)
+            SELECT doc_id, word, tf, df, tfidf FROM r WHERE _rn <= 3""",
+        "streaming_dedup_wm": """
+            SELECT event_id, ts, user_id, event_type, value FROM events""",
     }

@@ -115,3 +115,69 @@ def mad_outliers(sensor: DataFrame, k: float = 3.0) -> DataFrame:
         .filter(F.col("absdev") > F.lit(k) * F.col("mad_t"))
         .select("id", "messageId", "temperature", "med_t", "mad_t")
     )
+
+def scd2_history(events: DataFrame) -> DataFrame:
+    """Slowly-changing-dimension type-2 build from an event log — the
+    CDC→warehouse op every training-data/analytics pipeline needs:
+    collapse each user's event stream into status intervals
+    [valid_from, valid_to) that change only when the event_type
+    actually changes, with ``is_current`` on the open interval.
+
+    Two stacked windows (change detection via lag, interval close via
+    lead) share the user_id partitioning — the timeline never leaves
+    its partition between them, and AQE coalesces the two sorts into
+    the same exchange. Ties broken by event_id for determinism.
+    """
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    cur = events.select("user_id", "ts", "event_id", "event_type")
+    changes = cur.withColumn(
+        "_prev", F.lag("event_type").over(w)
+    ).filter(F.col("_prev").isNull() | (F.col("_prev") != F.col("event_type")))
+    w2 = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return changes.select(
+        "user_id",
+        F.col("event_type").alias("status"),
+        F.col("ts").alias("valid_from"),
+        F.lead("ts").over(w2).alias("valid_to"),
+        F.lead("ts").over(w2).isNull().alias("is_current"),
+    )
+
+
+def rfm_segments(events: DataFrame) -> DataFrame:
+    """RFM customer segmentation: per-user Recency (last purchase),
+    Frequency (purchase count), Monetary (exact decimal revenue), each
+    quartiled with ntile(4) → a 3-digit segment label (4=best).
+
+    The ntile windows are global sorts — but over the PER-USER
+    AGGREGATE frame (|users| rows, already reduced by the map-side
+    combine), the same driver-sized-result precedent as
+    ``user_value_deciles``; at 100 TB the raw scan still aggregates
+    down before any single-partition sort. Ordering ties broken by
+    user_id; monetary ordered on the exact DECIMAL sum (no float
+    rank instability).
+    """
+    p = (
+        events.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(
+            F.max("ts").alias("last_purchase_ts"),
+            F.count(F.lit(1)).alias("frequency"),
+            F.sum(F.col("value").cast("decimal(12,4)")).alias("_mon"),
+        )
+    )
+    r_w = Window.orderBy(F.desc("last_purchase_ts"), F.asc("user_id"))
+    f_w = Window.orderBy(F.desc("frequency"), F.asc("user_id"))
+    m_w = Window.orderBy(F.desc("_mon"), F.asc("user_id"))
+    return p.select(
+        "user_id",
+        "last_purchase_ts",
+        "frequency",
+        F.col("_mon").cast("double").alias("monetary"),
+        # long casts: DuckDB's ntile yields int64, Spark's int32.
+        (F.lit(5) - F.ntile(4).over(r_w)).cast("long").alias("r_score"),
+        (F.lit(5) - F.ntile(4).over(f_w)).cast("long").alias("f_score"),
+        (F.lit(5) - F.ntile(4).over(m_w)).cast("long").alias("m_score"),
+    ).withColumn(
+        "segment",
+        F.concat_ws("", F.col("r_score"), F.col("f_score"), F.col("m_score")),
+    )

@@ -218,3 +218,177 @@ def ewma_smooth(sensor: DataFrame, alpha: float = 0.2) -> DataFrame:
         "id string, messageId string, ts timestamp, "
         "temperature bigint, ewma_t double",
     )
+
+def time_weighted_avg(
+    sensor: DataFrame,
+    value: str = "metrics.temperature",
+    bucket_width: str = "1 day",
+) -> DataFrame:
+    """Time-weighted average per sensor per bucket — TimescaleDB's
+    ``time_weight('locf') → average()`` over irregular samples, which
+    plain AVG gets wrong when readings are unevenly spaced (a value
+    held for 9 h must count 9× more than one replaced after 1 h).
+
+    Bucket-local LOCF integral: each reading holds its value until the
+    sensor's NEXT reading inside the same bucket; the integral runs
+    from the first to the last sample of the bucket and is divided by
+    that observed span (carry-in from the previous bucket is not
+    counted — documented deviation that keeps the op one ordered pass).
+    Single-sample buckets (and zero-width spans) degenerate to the
+    plain value, like TimescaleDB's ``average`` of a one-point weight.
+
+    Scale: the lead() window and the groupBy share the (id, bucket)
+    partitioning — ONE shuffle; weights are exact integer microseconds
+    and the numerator Σ(value·Δt) is a BIGINT sum (order-independent,
+    < 2⁵³ for any realistic bucket), so the single final division is
+    the only float op.
+    """
+    bucket = F.date_trunc(bucket_width.split()[-1].rstrip("s"), F.col("ts"))
+    flat = sensor.select(
+        "id",
+        "messageId",
+        "ts",
+        bucket.alias("bucket"),
+        F.col(value).alias("v"),
+    )
+    w = Window.partitionBy("id", "bucket").orderBy("ts", "messageId")
+    dur = F.unix_micros(F.lead("ts").over(w)) - F.unix_micros(F.col("ts"))
+    weighted = flat.withColumn("dur_us", dur)
+    return (
+        weighted.groupBy("id", "bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_readings"),
+            F.sum(F.col("v") * F.col("dur_us")).alias("_num"),
+            F.sum("dur_us").alias("_den"),
+            F.min("v").alias("_fallback"),
+        )
+        .select(
+            "id",
+            "bucket",
+            "n_readings",
+            F.when(
+                F.col("_den") > 0,
+                F.round(
+                    F.col("_num").cast("double") / F.col("_den").cast("double"), 6
+                ),
+            )
+            .otherwise(F.col("_fallback").cast("double"))
+            .alias("twa_temperature"),
+        )
+    )
+
+
+def interpolate_linear(
+    sensor: DataFrame,
+    value: str = "metrics.temperature",
+    bucket_width: str = "60 minutes",
+) -> DataFrame:
+    """Gap-fill with LINEAR interpolation — TimescaleDB
+    ``time_bucket_gapfill + interpolate``: dense per-sensor series over
+    each sensor's [first, last] span, missing buckets filled by the
+    straight line between the surrounding observed buckets (LOCF's
+    smoother sibling; every interior gap has both neighbors because the
+    span is anchored at observed endpoints).
+
+    Scale shape identical to ``gapfill_locf``: skeleton generated from
+    each sensor's own span (no driver calendar), every shuffle keyed on
+    id, and the two IGNORE-NULLS windows (last-observation-backward,
+    next-observation-forward) share one (id, bucket) sort. The
+    interpolation itself is arithmetic over (value, epoch-seconds)
+    pairs — exact integers for x, one float expression for y, rounded
+    to 6 on both engines.
+    """
+    n_min = int(bucket_width.split()[0]) if bucket_width[0].isdigit() else 1
+    step = F.expr(f"interval {n_min} minute")
+    bucket = F.date_trunc("minute", F.col("ts"))
+    if n_min != 1:
+        epoch_min = (F.unix_timestamp(bucket) / 60).cast("long")
+        bucket = F.timestamp_seconds((epoch_min - epoch_min % n_min) * 60)
+    obs = sensor.groupBy(F.col("id"), bucket.alias("bucket")).agg(
+        F.round(F.avg(value), 6).alias("obs_v")
+    )
+    spans = obs.groupBy("id").agg(
+        F.min("bucket").alias("lo"), F.max("bucket").alias("hi")
+    )
+    skel = spans.select(
+        "id", F.explode(F.sequence("lo", "hi", step)).alias("bucket")
+    )
+    dense = skel.join(obs, ["id", "bucket"], "left").withColumn(
+        "x", F.unix_timestamp("bucket")
+    )
+    back = (
+        Window.partitionBy("id")
+        .orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    fwd = (
+        Window.partitionBy("id")
+        .orderBy("bucket")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    obs_x = F.when(F.col("obs_v").isNotNull(), F.col("x"))
+    prev_v = F.last("obs_v", ignorenulls=True).over(back)
+    prev_x = F.last(obs_x, ignorenulls=True).over(back)
+    next_v = F.first("obs_v", ignorenulls=True).over(fwd)
+    next_x = F.first(obs_x, ignorenulls=True).over(fwd)
+    # floor(x·1e6 + 0.5)/1e6 instead of round(x, 6): engines disagree on
+    # round() when the interpolated double sits exactly on a 7th-decimal
+    # tie (Java rounds the shortest decimal repr, DuckDB the scaled
+    # float); this explicit IEEE chain is bit-identical everywhere.
+    # Values are non-negative (sensor temperatures), so floor == HALF_UP.
+    raw = prev_v + (next_v - prev_v) * (
+        (F.col("x") - prev_x).cast("double") / (next_x - prev_x).cast("double")
+    )
+    interp = F.floor(raw * 1000000.0 + F.lit(0.5)) / 1000000.0
+    return dense.select(
+        "id",
+        "bucket",
+        F.when(F.col("obs_v").isNotNull(), F.col("obs_v"))
+        .otherwise(interp)
+        .alias("temperature"),
+        F.col("obs_v").isNull().alias("filled"),
+    )
+
+
+def rate_of_change(
+    sensor: DataFrame,
+    value: str = "metrics.temperature",
+) -> DataFrame:
+    """Per-sensor per-day rate of change — the PromQL ``rate()`` /
+    TimescaleDB ``delta/duration`` idiom over irregular samples:
+    (last − first) / observed span, scaled to per-hour units.
+
+    min_by/max_by over the (ts, messageId) event-order struct — ONE
+    partial-aggregating HashAggregate, no window sort (same plan shape
+    as ``latest_reading``/``candlestick``); the division is the only
+    float op, guarded against zero-width spans (single-sample days →
+    NULL rate, count still reported).
+    """
+    order = F.struct("ts", "messageId")
+    v = F.col(value)
+    span_us = F.unix_micros(F.max("ts")) - F.unix_micros(F.min("ts"))
+    return (
+        sensor.groupBy(
+            "id", F.date_trunc("day", F.col("ts")).alias("day")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_readings"),
+            F.min_by(v, order).alias("first_v"),
+            F.max_by(v, order).alias("last_v"),
+            span_us.alias("_span_us"),
+        )
+        .select(
+            "id",
+            "day",
+            "n_readings",
+            F.when(
+                F.col("_span_us") > 0,
+                F.round(
+                    (F.col("last_v") - F.col("first_v")).cast("double")
+                    * 3600000000.0
+                    / F.col("_span_us").cast("double"),
+                    6,
+                ),
+            ).alias("temp_rate_per_hour"),
+        )
+    )

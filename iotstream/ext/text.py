@@ -365,3 +365,43 @@ def gopher_quality(
         & (F.col("symbol_ratio") <= max_symbol_ratio)
     )
     return sig.withColumn("keep", keep)
+
+def tfidf_top_terms(docs: DataFrame, k: int = 3) -> DataFrame:
+    """Per-document top-k TF-IDF terms — the classic corpus-salience
+    scorer (keyword extraction / boilerplate spotting at pipeline
+    scale). Score is the exact-rational variant tf · N / df (monotone
+    in tf·idf for ranking; no log, so the only float op is the final
+    division — engine-portable to the oracle bit-for-bit).
+
+    Scale: tf is one (doc,word) shuffle with map-side combine; df
+    re-aggregates the vocabulary-sized tf output; N is a 1-row
+    broadcast; the vocabulary-sized df table broadcast-joins back onto
+    tf (the corpus-sized side never reshuffles); the final top-k is a
+    row_number over (doc_id) — one shuffle, partition = one document's
+    vocabulary. Ties broken lexicographically.
+    """
+    from pyspark.sql.window import Window
+
+    tok = docs.select("doc_id", F.explode(tokens()).alias("word"))
+    tf = tok.groupBy("doc_id", "word").agg(F.count(F.lit(1)).alias("tf"))
+    df = tf.groupBy("word").agg(F.count(F.lit(1)).alias("df"))
+    n = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    scored = (
+        tf.join(F.broadcast(df), "word")
+        .join(F.broadcast(n))
+        .select(
+            "doc_id",
+            "word",
+            "tf",
+            "df",
+            F.round(
+                (F.col("tf") * F.col("n_docs")).cast("double") / F.col("df"), 6
+            ).alias("tfidf"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("tfidf"), F.asc("word"))
+    return (
+        scored.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= k)
+        .drop("_rn")
+    )

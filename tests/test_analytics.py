@@ -120,3 +120,40 @@ def test_rolling_range_frame_is_tie_stable(spark):
         for r in ev.select("event_id", F.count(F.lit(1)).over(w).alias("n")).collect()
     }
     assert got == {1: 2, 2: 2, 3: 3, 4: 1}
+
+
+def test_scd2_opens_interval_only_on_change(spark):
+    from iotstream.ext.analytics import scd2_history
+
+    ev = _ev(
+        spark,
+        [(0, 1, "view"), (1, 1, "view"), (2, 1, "click"), (3, 1, "view")],
+    )
+    rows = sorted(scd2_history(ev).collect(), key=lambda r: r.valid_from)
+    assert [r.status for r in rows] == ["view", "click", "view"]
+    # Each interval closes exactly where the next opens.
+    assert rows[0].valid_to == rows[1].valid_from
+    assert rows[1].valid_to == rows[2].valid_from
+    assert [r.is_current for r in rows] == [False, False, True]
+
+
+def test_rfm_extremes_get_best_and_worst_segments(spark):
+    from iotstream.ext.analytics import rfm_segments
+
+    # 8 users; user 7 is most recent + most frequent + highest spend,
+    # user 0 oldest/least/lowest → segments 444 and 111.
+    rows = []
+    eid = 0
+    for u in range(8):
+        for k in range(u + 1):
+            rows.append((eid, T0 + dt.timedelta(hours=u * 10 + k), u,
+                         "purchase", float(10 * (u + 1))))
+            eid += 1
+    ev = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double",
+    )
+    out = {r.user_id: r for r in rfm_segments(ev).collect()}
+    assert out[7].segment == "444" and out[0].segment == "111"
+    assert out[7].frequency == 8 and out[7].monetary == 8 * 80.0

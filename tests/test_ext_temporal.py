@@ -186,3 +186,58 @@ def test_ewma_matches_pandas_reference(spark):
         .round(6)
     )
     pd.testing.assert_frame_equal(got, expect, check_like=True)
+
+
+def _sensor_mid(spark, rows):
+    """rows: (id, minute_offset, temperature) — includes messageId."""
+    return spark.createDataFrame(
+        [
+            (i, f"{i}-{n}", T0 + dt.timedelta(minutes=m), (v, 0))
+            for n, (i, m, v) in enumerate(rows)
+        ],
+        "id string, messageId string, ts timestamp, "
+        "metrics struct<temperature long, humidity long>",
+    )
+
+
+def test_time_weighted_avg_weights_by_hold_time(spark):
+    from iotstream.ext.temporal import time_weighted_avg
+
+    # Readings at 0h/1h/4h: 10 held 1 h, 40 held 3 h; the final sample
+    # gets zero weight (bucket integral ends at the last point).
+    df = _sensor_mid(spark, [("s", 0, 10), ("s", 60, 40), ("s", 240, 99)])
+    out = time_weighted_avg(df).collect()
+    assert len(out) == 1
+    assert out[0].n_readings == 3
+    assert out[0].twa_temperature == (10 * 1 + 40 * 3) / 4
+
+
+def test_time_weighted_avg_single_sample_degenerates_to_value(spark):
+    from iotstream.ext.temporal import time_weighted_avg
+
+    out = time_weighted_avg(_sensor_mid(spark, [("s", 0, 37)])).collect()
+    assert out[0].twa_temperature == 37.0 and out[0].n_readings == 1
+
+
+def test_interpolate_linear_interior_gap(spark):
+    from iotstream.ext.temporal import interpolate_linear
+
+    # Observations in 60-min buckets 0 and 3 → buckets 1, 2 are the
+    # straight line between 10 and 40.
+    df = _sensor_mid(spark, [("s", 0, 10), ("s", 180, 40)])
+    rows = sorted(
+        interpolate_linear(df, bucket_width="60 minutes").collect(),
+        key=lambda r: r.bucket,
+    )
+    assert [r.temperature for r in rows] == [10.0, 20.0, 30.0, 40.0]
+    assert [r.filled for r in rows] == [False, True, True, False]
+
+
+def test_rate_of_change_per_hour_units_and_null_guard(spark):
+    from iotstream.ext.temporal import rate_of_change
+
+    df = _sensor_mid(spark, [("a", 0, 10), ("a", 120, 20), ("b", 0, 50)])
+    out = {r.id: r for r in rate_of_change(df).collect()}
+    assert out["a"].temp_rate_per_hour == 5.0  # +10 over 2 h
+    assert out["b"].temp_rate_per_hour is None  # zero-width span
+    assert out["b"].n_readings == 1

@@ -137,3 +137,33 @@ def test_gopher_quality_rules_fire_individually(spark):
     )
     out = {r["doc_id"]: r["keep"] for r in gopher_quality(df).collect()}
     assert out == {1: False, 2: True, 3: False, 4: False, 5: False}
+
+
+def test_tfidf_rare_terms_outrank_ubiquitous_ones(spark):
+    from iotstream.ext.text import tfidf_top_terms
+
+    docs = spark.createDataFrame(
+        [
+            (1, "common rare common"),
+            (2, "common other"),
+            (3, "common zebra"),
+        ],
+        "doc_id bigint, text string",
+    )
+    out = {r.doc_id: r for r in tfidf_top_terms(docs, k=1).collect()}
+    # 'common' is in every doc (idf=1); each doc's unique word wins.
+    assert out[1].word == "rare" and out[2].word == "other"
+    assert out[3].word == "zebra"
+    # Exact-rational score: tf * N / df = 1 * 3 / 1.
+    assert out[1].tfidf == 3.0 and out[1].df == 1
+
+
+def test_tfidf_ties_break_lexicographically_and_k_caps(spark):
+    from iotstream.ext.text import tfidf_top_terms
+
+    docs = spark.createDataFrame(
+        [(1, "bb aa cc dd"), (2, "x")], "doc_id bigint, text string"
+    )
+    words = [r.word for r in tfidf_top_terms(docs, k=3).collect()
+             if r.doc_id == 1]
+    assert words == ["aa", "bb", "cc"]  # all score 2.0; lexicographic
