@@ -431,8 +431,19 @@ def q_corpus_curate(spark, sf_dir):
 
 def q_tokenize_encode(spark, sf_dir):
     """Corpus → ordered token-id arrays against the built vocab (OOV →
-    0): broadcast dictionary lookup, one reassembly shuffle."""
-    return xtext.tokenize_encode(load_table(spark, sf_dir, "documents"))
+    0): broadcast dictionary lookup, one reassembly shuffle. The
+    declared projection flattens the id array to a space-joined string
+    so the driver's canonicalizer (which sorts column values) can hash
+    it — pandas can't sort list-typed cells."""
+    enc = xtext.tokenize_encode(load_table(spark, sf_dir, "documents"))
+    return enc.select(
+        "doc_id",
+        F.array_join(F.col("token_ids").cast("array<string>"), " ").alias(
+            "token_ids_str"
+        ),
+        "n_tokens",
+        "n_oov",
+    )
 
 
 def q_scrub_repetition(spark, sf_dir):
@@ -1348,10 +1359,103 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    """Declaration order is the driver's check order (first 50 get the
+    full oracle gate per round). Round-3 window = 6 regression keepers
+    for the r2 fixes (flagship + window family rep, the two repaired
+    streaming queries, the two repaired oracle-plumbing queries) + 44
+    queries that have never had a driver verdict (TPC-H pack, temporal
+    pack, analytics pack, multimodal). Previously-green-stable queries
+    follow; oracle-less rows-only entries are last so they never occupy
+    a gradeable slot."""
     return {
+        # --- regression keepers (green or repaired in r2; stay in window)
         "flagship": q_flagship,
-        "filter_validity": q_filter_validity,
         "window_max": q_window_max,
+        "streaming_window_agg": q_streaming_window_agg,
+        "streaming_sessionize": q_streaming_sessionize,
+        "tokenize_encode": q_tokenize_encode,
+        "sequence_pack": q_sequence_pack,
+        # --- NTZ-repaired, never driver-checked
+        "streaming_interval_join": q_streaming_interval_join,
+        "streaming_dedup_wm": q_streaming_dedup_wm,
+        "time_weighted_avg": q_time_weighted_avg,
+        "rate_of_change": q_rate_of_change,
+        # --- TPC-H shape pack (ext/tpch.py): Q2,Q4,Q7-Q17,Q19-Q21
+        "order_priority_check": xtpch.order_priority_check,
+        "cross_nation_volume": xtpch.cross_nation_volume,
+        "market_share": xtpch.market_share,
+        "product_profit": xtpch.product_profit,
+        "returned_item_revenue": xtpch.returned_item_revenue,
+        "priority_line_counts": xtpch.priority_line_counts,
+        "customer_order_distribution": xtpch.customer_order_distribution,
+        "promo_revenue": xtpch.promo_revenue,
+        "top_supplier": xtpch.top_supplier,
+        "parts_supplier_count": xtpch.parts_supplier_count,
+        "small_qty_revenue": xtpch.small_qty_revenue,
+        "disjunctive_revenue": xtpch.disjunctive_revenue,
+        "excess_supply_suppliers": xtpch.excess_supply_suppliers,
+        "waiting_supplier_blame": xtpch.waiting_supplier_blame,
+        "min_cost_supplier": xtpch.min_cost_supplier,
+        "important_stock": xtpch.important_stock,
+        # --- temporal pack
+        "interpolate_linear": q_interpolate_linear,
+        "gapfill_locf": q_gapfill_locf,
+        "asof_join": q_asof_join,
+        "interval_join": q_interval_join,
+        "latest_reading": q_latest_reading,
+        "candlestick": q_candlestick,
+        "temp_delta": q_temp_delta,
+        # --- analytics pack
+        "zscore_anomaly": q_zscore_anomaly,
+        "funnel": q_funnel,
+        "cohort_retention": q_cohort_retention,
+        "activity_reconcile": q_activity_reconcile,
+        "scd2_history": q_scd2_history,
+        "rfm_segments": q_rfm_segments,
+        "tfidf_top_terms": q_tfidf_top_terms,
+        "cube_docs": q_cube_docs,
+        "pivot_event_types": q_pivot_event_types,
+        "grouping_sets_volume": q_grouping_sets_volume,
+        # --- multimodal + scale-pattern + streaming twins
+        "multimodal_ingest": q_multimodal_ingest,
+        "multimodal_resize": q_multimodal_resize,
+        "salted_join": q_salted_join,
+        "streaming_dedup": q_streaming_dedup,
+        "streaming_enrich": q_streaming_enrich,
+        "neardup_editdist": q_neardup_editdist,
+        "decontaminate_ngram": q_decontaminate_ngram,
+        # ---------- position 51+: remaining never-checked (round-4 window)
+        "embedding_label_stats": q_embedding_label_stats,
+        "intersect_users": q_intersect_users,
+        "shipping_priority": q_shipping_priority,
+        "enrichment_join": q_enrichment_join,
+        "topk_per_group": q_topk_per_group,
+        "revenue_forecast": q_revenue_forecast,
+        "pricing_summary": q_pricing_summary,
+        "revenue_rollup": q_revenue_rollup,
+        "local_supplier_volume": q_local_supplier_volume,
+        "large_quantity_orders": q_large_quantity_orders,
+        "dormant_customers": q_dormant_customers,
+        "continuous_rollup": q_continuous_rollup,
+        "rolling_5min_count": q_rolling_5min_count,
+        "user_value_deciles": q_user_value_deciles,
+        "props_extract": q_props_extract,
+        "mad_outliers": q_mad_outliers,
+        "props_variant": q_props_variant,
+        "temp_humidity_corr": q_temp_humidity_corr,
+        "temp_histogram": q_temp_histogram,
+        "gopher_quality": q_gopher_quality,
+        "pydatasource_sensor": q_pydatasource_sensor,
+        "trending_event_types": q_trending_event_types,
+        "rolling_active_users": q_rolling_active_users,
+        "revenue_share": q_revenue_share,
+        **(
+            {"streaming_status_change": q_streaming_status_change}
+            if _HAS_PROTOBUF
+            else {}
+        ),
+        # ---------- stable green in r2
+        "filter_validity": q_filter_validity,
         "window_min": q_window_min,
         "window_avg": q_window_avg,
         "hopping_window_max": q_hopping_window_max,
@@ -1361,10 +1465,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "clean_stream_json": q_clean_stream_json,
         "raw_archive_projection": q_raw_archive_projection,
         "throughput_count": q_throughput_count,
-        "streaming_window_agg": q_streaming_window_agg,
         "stateful_quality_monitor": q_stateful_quality_monitor,
         "sessionize": q_sessionize,
-        "streaming_sessionize": q_streaming_sessionize,
         "distinct_users": q_distinct_users,
         "high_value_purchasers": q_high_value_purchasers,
         "ksql_max_table": q_ksql_max_table,
@@ -1387,98 +1489,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "length_percentiles": q_length_percentiles,
         "scrub_numbers": q_scrub_numbers,
         "corpus_curate": q_corpus_curate,
-        "sequence_pack": q_sequence_pack,
-        "tokenize_encode": q_tokenize_encode,
         "scrub_repetition": q_scrub_repetition,
         "df_token_filter": q_df_token_filter,
         "decontaminate": q_decontaminate,
         "neardup_jaccard": q_neardup_jaccard,
+        "similarity_topk": q_similarity_topk,
+        "neardup_embedding": q_neardup_embedding,
+        # ---------- rows-only by design (no oracle can grade these)
         "neardup_minhash": q_neardup_minhash,
         "simhash": q_simhash,
-        "similarity_topk": q_similarity_topk,
         "similarity_topk_lsh": q_similarity_topk_lsh,
         "similarity_topk_ivf": q_similarity_topk_ivf,
-        "neardup_embedding": q_neardup_embedding,
         "neardup_embedding_lsh": q_neardup_embedding_lsh,
-        "embedding_label_stats": q_embedding_label_stats,
-        "multimodal_ingest": q_multimodal_ingest,
         "multimodal_decode": q_multimodal_decode,
-        "salted_join": q_salted_join,
-        "streaming_dedup": q_streaming_dedup,
-        "streaming_enrich": q_streaming_enrich,
-        "streaming_interval_join": q_streaming_interval_join,
-        "cube_docs": q_cube_docs,
-        "hll_distinct": q_hll_distinct,
-        "pivot_event_types": q_pivot_event_types,
-        "intersect_users": q_intersect_users,
-        "quantile_sketch": q_quantile_sketch,
-        "asof_join": q_asof_join,
-        "interval_join": q_interval_join,
-        "gapfill_locf": q_gapfill_locf,
-        "latest_reading": q_latest_reading,
-        "candlestick": q_candlestick,
-        "temp_delta": q_temp_delta,
-        "zscore_anomaly": q_zscore_anomaly,
-        "funnel": q_funnel,
-        "cohort_retention": q_cohort_retention,
-        "activity_reconcile": q_activity_reconcile,
-        "shipping_priority": q_shipping_priority,
-        "enrichment_join": q_enrichment_join,
-        "topk_per_group": q_topk_per_group,
-        "revenue_forecast": q_revenue_forecast,
-        "pricing_summary": q_pricing_summary,
-        "revenue_rollup": q_revenue_rollup,
-        "local_supplier_volume": q_local_supplier_volume,
-        "large_quantity_orders": q_large_quantity_orders,
-        "dormant_customers": q_dormant_customers,
-        "decontaminate_ngram": q_decontaminate_ngram,
-        "continuous_rollup": q_continuous_rollup,
-        "rolling_5min_count": q_rolling_5min_count,
-        "grouping_sets_volume": q_grouping_sets_volume,
-        "user_value_deciles": q_user_value_deciles,
-        "props_extract": q_props_extract,
-        "mad_outliers": q_mad_outliers,
-        "props_variant": q_props_variant,
-        "neardup_editdist": q_neardup_editdist,
-        "ewma_smooth": q_ewma_smooth,
-        **(
-            {"streaming_status_change": q_streaming_status_change}
-            if _HAS_PROTOBUF
-            else {}
-        ),
-        "temp_humidity_corr": q_temp_humidity_corr,
-        "temp_histogram": q_temp_histogram,
-        "gopher_quality": q_gopher_quality,
-        "pydatasource_sensor": q_pydatasource_sensor,
-        "trending_event_types": q_trending_event_types,
-        "rolling_active_users": q_rolling_active_users,
-        "revenue_share": q_revenue_share,
-        "multimodal_resize": q_multimodal_resize,
         "multimodal_features": q_multimodal_features,
-        # TPC-H shape completion (ext/tpch.py): Q2,Q4,Q7-Q17,Q19-Q21
-        "order_priority_check": xtpch.order_priority_check,
-        "cross_nation_volume": xtpch.cross_nation_volume,
-        "market_share": xtpch.market_share,
-        "product_profit": xtpch.product_profit,
-        "returned_item_revenue": xtpch.returned_item_revenue,
-        "priority_line_counts": xtpch.priority_line_counts,
-        "customer_order_distribution": xtpch.customer_order_distribution,
-        "promo_revenue": xtpch.promo_revenue,
-        "top_supplier": xtpch.top_supplier,
-        "parts_supplier_count": xtpch.parts_supplier_count,
-        "small_qty_revenue": xtpch.small_qty_revenue,
-        "disjunctive_revenue": xtpch.disjunctive_revenue,
-        "excess_supply_suppliers": xtpch.excess_supply_suppliers,
-        "waiting_supplier_blame": xtpch.waiting_supplier_blame,
-        "min_cost_supplier": xtpch.min_cost_supplier,
-        "important_stock": xtpch.important_stock,
-        "time_weighted_avg": q_time_weighted_avg,
-        "interpolate_linear": q_interpolate_linear,
-        "rate_of_change": q_rate_of_change,
-        "scd2_history": q_scd2_history,
-        "rfm_segments": q_rfm_segments,
-        "tfidf_top_terms": q_tfidf_top_terms,
-        "streaming_dedup_wm": q_streaming_dedup_wm,
+        "hll_distinct": q_hll_distinct,
+        "quantile_sketch": q_quantile_sketch,
+        "ewma_smooth": q_ewma_smooth,
     }
 
 
@@ -1850,10 +1877,11 @@ def oracle_sql() -> dict[str, str]:
                                   AS n_tokens
                        FROM documents),
             o AS (SELECT doc_id, n_tokens,
-                         coalesce(sum(n_tokens) OVER (
+                         CAST(coalesce(sum(n_tokens) OVER (
                              ORDER BY doc_id
                              ROWS BETWEEN UNBOUNDED PRECEDING
-                                      AND 1 PRECEDING), 0) AS token_offset
+                                      AND 1 PRECEDING), 0) AS BIGINT)
+                             AS token_offset
                   FROM n)
             SELECT doc_id, n_tokens, token_offset,
                    CAST(floor(token_offset / 512) AS BIGINT) AS chunk_first,
@@ -1874,7 +1902,8 @@ def oracle_sql() -> dict[str, str]:
             e AS (SELECT p.doc_id, p.i, coalesce(v.token_id, 0) AS tid
                   FROM p LEFT JOIN v ON p.w[p.i] = v.word)
             SELECT doc_id,
-                   list(tid ORDER BY i) AS token_ids,
+                   string_agg(CAST(tid AS VARCHAR), ' ' ORDER BY i)
+                       AS token_ids_str,
                    count(*) AS n_tokens,
                    CAST(sum(CASE WHEN tid = 0 THEN 1 ELSE 0 END) AS BIGINT)
                        AS n_oov

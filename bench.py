@@ -62,6 +62,7 @@ def main() -> int:
     # query session has GC/scheduling noise of ±1-2 s per query; min-of-2
     # keeps round-over-round comparisons meaningful.
     timings: dict[str, float] = {}
+    errors: dict[str, str] = {}
     for name, fn in entrymod.queries().items():
         try:
             fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
@@ -78,6 +79,7 @@ def main() -> int:
         except Exception as e:  # noqa: BLE001
             print(f"bench error in {name}: {type(e).__name__}: {e}", file=sys.stderr)
             timings[name] = -1.0
+            errors[name] = f"{type(e).__name__}: {e}"[:300]
 
     ok = {k: v for k, v in timings.items() if v >= 0}
     out = {
@@ -87,6 +89,8 @@ def main() -> int:
         "queries": timings,
         "sf": sf,
     }
+    if errors:
+        out["errors"] = errors
 
     # End-to-end streaming ingest throughput: the reference's full
     # topology (JSON payload stream → parse → pre-filter raw archive +
@@ -122,8 +126,11 @@ def main() -> int:
     except Exception as e:  # noqa: BLE001
         print(f"bench ingest error: {type(e).__name__}: {e}", file=sys.stderr)
 
+    # Always rc:0 with parseable JSON — a broken query is reported in
+    # "errors"/-1.0 timings, never by failing the whole harness (the
+    # driver records nothing from a nonzero exit).
     print(json.dumps(out))
-    return 0 if len(ok) == len(timings) else 1
+    return 0
 
 
 if __name__ == "__main__":

@@ -290,13 +290,17 @@ def interpolate_linear(
     smoother sibling; every interior gap has both neighbors because the
     span is anchored at observed endpoints).
 
-    Scale shape identical to ``gapfill_locf``: skeleton generated from
-    each sensor's own span (no driver calendar), every shuffle keyed on
-    id, and the two IGNORE-NULLS windows (last-observation-backward,
-    next-observation-forward) share one (id, bucket) sort. The
-    interpolation itself is arithmetic over (value, epoch-seconds)
-    pairs — exact integers for x, one float expression for y, rounded
-    to 6 on both engines.
+    Scale shape: the heavy lifting happens on the OBSERVED rows, never
+    the densified output. One (id, bucket) aggregate, one lead() window
+    over observed buckets (orders of magnitude fewer rows than the
+    dense skeleton), then each consecutive-observation segment explodes
+    its own gap with the slope already attached — a narrow map. The
+    dense series is produced, not sorted: no window ever scans the
+    skeleton, and the old spans/skeleton/join subtree (which recomputed
+    the aggregate and ran two opposite unbounded frames over the 1M-row
+    dense set) is gone. Interpolation arithmetic is exact-integer in x
+    (epoch seconds), one float expression in y, rounded to 6 on both
+    engines.
     """
     n_min = int(bucket_width.split()[0]) if bucket_width[0].isdigit() else 1
     step = F.expr(f"interval {n_min} minute")
@@ -307,46 +311,51 @@ def interpolate_linear(
     obs = sensor.groupBy(F.col("id"), bucket.alias("bucket")).agg(
         F.round(F.avg(value), 6).alias("obs_v")
     )
-    spans = obs.groupBy("id").agg(
-        F.min("bucket").alias("lo"), F.max("bucket").alias("hi")
+    # Each observed bucket pairs with the sensor's NEXT observed bucket;
+    # the segment [bucket, nxt_bucket) owns every dense output row in it
+    # (the final observation owns just itself), so segments partition the
+    # output and the explode below cannot duplicate or drop a bucket.
+    w = Window.partitionBy("id").orderBy("bucket")
+    seg = obs.select(
+        "id",
+        F.col("bucket").alias("seg_start"),
+        "obs_v",
+        F.lead("bucket").over(w).alias("nxt_bucket"),
+        F.lead("obs_v").over(w).alias("nxt_v"),
     )
-    skel = spans.select(
-        "id", F.explode(F.sequence("lo", "hi", step)).alias("bucket")
+    seg_end = F.coalesce(
+        F.timestamp_seconds(
+            F.unix_timestamp("nxt_bucket") - F.lit(60 * n_min)
+        ),
+        F.col("seg_start"),
     )
-    dense = skel.join(obs, ["id", "bucket"], "left").withColumn(
-        "x", F.unix_timestamp("bucket")
+    dense = seg.select(
+        "id",
+        "obs_v",
+        "nxt_v",
+        F.unix_timestamp("seg_start").alias("x0"),
+        F.unix_timestamp("nxt_bucket").alias("x1"),
+        F.explode(F.sequence(F.col("seg_start"), seg_end, step)).alias(
+            "bucket"
+        ),
     )
-    back = (
-        Window.partitionBy("id")
-        .orderBy("bucket")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    fwd = (
-        Window.partitionBy("id")
-        .orderBy("bucket")
-        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
-    )
-    obs_x = F.when(F.col("obs_v").isNotNull(), F.col("x"))
-    prev_v = F.last("obs_v", ignorenulls=True).over(back)
-    prev_x = F.last(obs_x, ignorenulls=True).over(back)
-    next_v = F.first("obs_v", ignorenulls=True).over(fwd)
-    next_x = F.first(obs_x, ignorenulls=True).over(fwd)
+    x = F.unix_timestamp("bucket")
+    is_obs = x == F.col("x0")
     # floor(x·1e6 + 0.5)/1e6 instead of round(x, 6): engines disagree on
     # round() when the interpolated double sits exactly on a 7th-decimal
     # tie (Java rounds the shortest decimal repr, DuckDB the scaled
     # float); this explicit IEEE chain is bit-identical everywhere.
     # Values are non-negative (sensor temperatures), so floor == HALF_UP.
-    raw = prev_v + (next_v - prev_v) * (
-        (F.col("x") - prev_x).cast("double") / (next_x - prev_x).cast("double")
+    raw = F.col("obs_v") + (F.col("nxt_v") - F.col("obs_v")) * (
+        (x - F.col("x0")).cast("double")
+        / (F.col("x1") - F.col("x0")).cast("double")
     )
     interp = F.floor(raw * 1000000.0 + F.lit(0.5)) / 1000000.0
     return dense.select(
         "id",
         "bucket",
-        F.when(F.col("obs_v").isNotNull(), F.col("obs_v"))
-        .otherwise(interp)
-        .alias("temperature"),
-        F.col("obs_v").isNull().alias("filled"),
+        F.when(is_obs, F.col("obs_v")).otherwise(interp).alias("temperature"),
+        (~is_obs).alias("filled"),
     )
 
 

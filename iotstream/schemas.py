@@ -80,8 +80,16 @@ def load_events_raw(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def normalize_ns_timestamp(df: DataFrame, col: str = "ts") -> DataFrame:
-    if dict(df.dtypes).get(col) in ("bigint", "long"):
+    """Normalize the fixture ``ts`` column to TimestampType regardless of
+    how the reader surfaced TIMESTAMP(NANOS): as bigint nanos (with
+    ``nanosAsLong``) or as TIMESTAMP_NTZ (newer readers ignore the legacy
+    conf). Watermarks and ``unix_micros`` require TimestampType; under the
+    session-UTC discipline (``use_utc``) the NTZ→TZ cast is a value no-op."""
+    dtype = dict(df.dtypes).get(col)
+    if dtype in ("bigint", "long"):
         return df.withColumn(col, F.timestamp_micros(F.expr(f"{col} div 1000")))
+    if dtype == "timestamp_ntz":
+        return df.withColumn(col, F.col(col).cast("timestamp"))
     return df
 
 
