@@ -1256,6 +1256,40 @@ def q_streaming_status_change(spark, sf_dir):
         return run_status_changes_final(spark, sensor, tmp)
 
 
+def q_status_change(spark, sf_dir):
+    """T5 semantics with a driver verdict despite the protobuf gate:
+    batch lag() twin of the transformWithStateInPandas status-change
+    detector (iotstream/streaming/stateful.py StatusChangeProcessor) —
+    per-sensor valid↔invalid transitions in (ts, messageId) order, the
+    first reading per sensor emitted with NULL prev_status. Identical
+    output contract to the streaming variant; one window pass keyed on
+    the sensor id."""
+    from pyspark.sql.window import Window
+
+    flat = _sensor(spark, sf_dir).select(
+        "id",
+        "ts",
+        "messageId",
+        F.col("metrics.temperature").alias("temperature"),
+        F.col("metrics.humidity").alias("humidity"),
+    )
+    status = F.when(
+        ((F.col("temperature") == 0) & (F.col("humidity") == 0))
+        | ((F.col("temperature") >= 50) & (F.col("humidity") >= 100)),
+        F.lit("invalid"),
+    ).otherwise(F.lit("valid"))
+    w = Window.partitionBy("id").orderBy("ts", "messageId")
+    edges = (
+        flat.withColumn("status", status)
+        .withColumn("prev_status", F.lag("status").over(w))
+        .filter(
+            F.col("prev_status").isNull()
+            | (F.col("prev_status") != F.col("status"))
+        )
+    )
+    return edges.select("id", "ts", "messageId", "prev_status", "status")
+
+
 def q_ewma_smooth(spark, sf_dir):
     """applyInPandas recursive smoother — no SQL twin (the recursion is
     inexpressible in DuckDB SQL short of a recursive CTE per row);
@@ -1419,12 +1453,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- multimodal + scale-pattern + streaming twins
         "multimodal_ingest": q_multimodal_ingest,
         "multimodal_resize": q_multimodal_resize,
-        "salted_join": q_salted_join,
+        "status_change": q_status_change,
         "streaming_dedup": q_streaming_dedup,
         "streaming_enrich": q_streaming_enrich,
         "neardup_editdist": q_neardup_editdist,
         "decontaminate_ngram": q_decontaminate_ngram,
         # ---------- position 51+: remaining never-checked (round-4 window)
+        "salted_join": q_salted_join,
         "embedding_label_stats": q_embedding_label_stats,
         "intersect_users": q_intersect_users,
         "shipping_priority": q_shipping_priority,
@@ -2348,6 +2383,20 @@ def oracle_sql() -> dict[str, str]:
             WHERE levenshtein(a.prefix, b.prefix) <= 10""",
         # ewma_smooth: recursive smoother, not SQL-expressible — rows-only
         # by design; exact pandas parity in tests/test_ext_temporal.py.
+        "status_change": f"""
+            WITH sensor AS ({cte}),
+            s AS (SELECT id, ts, "messageId",
+                         CASE WHEN (temperature = 0 AND humidity = 0)
+                                OR (temperature >= 50 AND humidity >= 100)
+                              THEN 'invalid' ELSE 'valid' END AS status
+                  FROM sensor),
+            l AS (SELECT id, ts, "messageId", status,
+                         lag(status) OVER (PARTITION BY id
+                                           ORDER BY ts, "messageId")
+                             AS prev_status
+                  FROM s)
+            SELECT id, ts, "messageId", prev_status, status FROM l
+            WHERE prev_status IS NULL OR prev_status <> status""",
         **({} if not _HAS_PROTOBUF else {"streaming_status_change": f"""
             WITH sensor AS ({cte}),
             s AS (SELECT id, ts, "messageId",

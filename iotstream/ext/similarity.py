@@ -131,22 +131,44 @@ def similarity_topk_expr(
     )
 
 
-def neardup_embedding(emb: DataFrame, threshold: float = 0.4) -> DataFrame:
+#: Hard cap on the broadcast side of the exact kernel. 500k rows × a
+#: 128-dim float64 vector ≈ 512 MB — the upper edge of what a broadcast
+#: variable should ever hold. Corpora past this must use the bucketed
+#: ``neardup_embedding_lsh`` path, whose per-bucket matrices stay
+#: executor-sized at ANY corpus size.
+NEARDUP_EXACT_MAX_ROWS = 500_000
+
+
+def neardup_embedding(
+    emb: DataFrame,
+    threshold: float = 0.4,
+    max_broadcast_rows: int = NEARDUP_EXACT_MAX_ROWS,
+) -> DataFrame:
     """Embedding-cosine near-dup pairs (exact), as a distributed block
     matmul: one side is broadcast as a dense float64 matrix, the other
     streams through Arrow-batched ``mapInPandas``, each batch doing a
     single BLAS matmul instead of millions of interpreted per-pair dot
     products (~10× over expression-based pairing).
 
-    100 TB shape: the broadcast side here is the whole (small) corpus;
-    at scale the same kernel runs per LSH bucket (``lsh_buckets``) so
-    each block's candidate matrix stays executor-sized.
+    100 TB shape: the broadcast side is BOUNDED — the collect is
+    limit()-guarded and raises past ``max_broadcast_rows`` with a
+    pointer at ``neardup_embedding_lsh``, which runs the same BLAS
+    kernel per LSH bucket so no matrix ever exceeds executor memory.
+    The exact kernel is for query/eval-set-sized corpora; it can never
+    silently pull an unbounded table onto the driver.
     """
     import numpy as np
     import pandas as pd
 
     spark = emb.sparkSession
-    pdf = emb.select("vec_id", "embedding").toPandas()
+    pdf = emb.select("vec_id", "embedding").limit(max_broadcast_rows + 1).toPandas()
+    if len(pdf) > max_broadcast_rows:
+        raise ValueError(
+            f"neardup_embedding broadcasts the corpus as a dense matrix and "
+            f"is capped at {max_broadcast_rows} rows; this input exceeds it. "
+            f"Use neardup_embedding_lsh (bucketed, executor-sized blocks) "
+            f"for large corpora."
+        )
     ids = pdf["vec_id"].to_numpy()
     mat = np.stack(pdf["embedding"].to_numpy()).astype("float64")
     nrm = np.sqrt((mat * mat).sum(axis=1))
