@@ -233,6 +233,25 @@ def test_interpolate_linear_interior_gap(spark):
     assert [r.filled for r in rows] == [False, True, True, False]
 
 
+def test_interpolate_linear_single_observation_and_adjacent(spark):
+    from iotstream.ext.temporal import interpolate_linear
+
+    # Sensor "a": one observation → exactly one output row, not filled.
+    # Sensor "b": observations in adjacent buckets → no synthetic rows.
+    df = _sensor_mid(
+        spark, [("a", 0, 7), ("b", 0, 10), ("b", 60, 20)]
+    )
+    rows = sorted(
+        interpolate_linear(df, bucket_width="60 minutes").collect(),
+        key=lambda r: (r.id, r.bucket),
+    )
+    assert [(r.id, r.temperature, r.filled) for r in rows] == [
+        ("a", 7.0, False),
+        ("b", 10.0, False),
+        ("b", 20.0, False),
+    ]
+
+
 def test_rate_of_change_per_hour_units_and_null_guard(spark):
     from iotstream.ext.temporal import rate_of_change
 
