@@ -49,6 +49,10 @@ def connected_components(
                 .groupBy("b")
                 .agg(F.min("label").alias("nbr_label"))
             )
+            # The convergence flag rides along in the propagation select
+            # (labels only ever DECREASE, so changed ⟺ nbr_label < label)
+            # and is counted off the already-materialized checkpoint — no
+            # extra old-vs-new join per round.
             new_labels = (
                 labels.join(nbr, labels["node"] == nbr["b"], "left")
                 .select(
@@ -57,16 +61,12 @@ def connected_components(
                         labels["label"],
                         F.coalesce(F.col("nbr_label"), labels["label"]),
                     ).alias("label"),
+                    (F.col("nbr_label") < labels["label"]).alias("_changed"),
                 )
                 .localCheckpoint()  # materialize: bounded lineage per round
             )
-            changed = (
-                new_labels.alias("n")
-                .join(labels.alias("o"), "node")
-                .filter(F.col("n.label") != F.col("o.label"))
-                .count()
-            )
-            labels = new_labels
+            changed = new_labels.filter(F.col("_changed")).count()
+            labels = new_labels.drop("_changed")
             if changed == 0:
                 break
     finally:
