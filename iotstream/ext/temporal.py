@@ -196,25 +196,77 @@ def continuous_rollup(sensor: DataFrame) -> DataFrame:
 def ewma_smooth(sensor: DataFrame, alpha: float = 0.2) -> DataFrame:
     """Per-sensor exponentially weighted moving average — the
     recursive smoother (s_i = α·x_i + (1−α)·s_{i−1}) that SQL window
-    frames cannot express. Runs as ``applyInPandas`` per sensor id:
-    Arrow-batched, one shuffle on id, each group processed as a
-    single in-memory timeline (per-sensor history fits an executor —
-    same contract as every per-key window here). Recursion is done by
-    pandas' C ewm kernel, not a Python row loop."""
-    import pandas as pd
+    frames cannot express.
 
-    def _ewma(pdf: "pd.DataFrame") -> "pd.DataFrame":
-        pdf = pdf.sort_values(["ts", "messageId"])
-        pdf["ewma_t"] = (
-            pdf["temperature"].ewm(alpha=alpha, adjust=False).mean().round(6)
-        )
-        return pdf[["id", "messageId", "ts", "temperature", "ewma_t"]]
+    Shape: ONE shuffle (repartition by id + sortWithinPartitions), then
+    ``mapInPandas`` streams each partition's Arrow batches through
+    pandas' C *grouped* ewm kernel — one kernel call per batch covering
+    every sensor in it, instead of one Python round-trip per sensor
+    (IoT cardinalities mean thousands of tiny groups; per-group
+    ``applyInPandas`` pays frame-construction overhead 1000×). A sensor
+    whose timeline spans batch boundaries continues exactly via a
+    carried seed row: ewm(adjust=False) starts at its first value, so
+    prepending the previous batch's (unrounded) smoothed value replays
+    the recursion bit-for-bit. State is O(sensors-per-partition)
+    floats — no group ever needs to fit in memory whole, which is
+    strictly weaker than the usual per-key-history contract."""
+    import pandas as pd
 
     flat = sensor.select(
         "id", "messageId", "ts", F.col("metrics.temperature").alias("temperature")
     )
-    return flat.groupBy("id").applyInPandas(
-        _ewma,
+    spark = sensor.sparkSession
+    n = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    rep = flat.repartition(n, "id").sortWithinPartitions("id", "ts", "messageId")
+
+    def smooth(batches):
+        carry: dict = {}  # id -> last smoothed value (unrounded)
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            seeds = [s for s in pdf["id"].unique() if s in carry]
+            if seeds:
+                seed_df = pd.DataFrame(
+                    {
+                        "id": seeds,
+                        "messageId": "",
+                        "ts": pd.NaT,
+                        "temperature": 0,
+                        "_x": [carry[s] for s in seeds],
+                        "_seed": True,
+                    }
+                )
+                work = pd.concat(
+                    [seed_df, pdf.assign(_x=pdf["temperature"].astype("float64"), _seed=False)],
+                    ignore_index=True,
+                )
+            else:
+                work = pdf.assign(_x=pdf["temperature"].astype("float64"), _seed=False)
+            # Grouped C kernel: seed rows sort first within their group
+            # (concat order), so each group's recursion resumes from the
+            # carried state; row order within groups is already (ts,
+            # messageId) from sortWithinPartitions.
+            s = (
+                work.groupby("id", sort=False)["_x"]
+                .ewm(alpha=alpha, adjust=False)
+                .mean()
+                .reset_index(level=0, drop=True)
+            )
+            work["_s"] = s
+            carry.update(work.groupby("id", sort=False)["_s"].last().to_dict())
+            out = work[~work["_seed"]]
+            yield pd.DataFrame(
+                {
+                    "id": out["id"],
+                    "messageId": out["messageId"],
+                    "ts": out["ts"],
+                    "temperature": out["temperature"],
+                    "ewma_t": out["_s"].round(6),
+                }
+            )
+
+    return rep.mapInPandas(
+        smooth,
         "id string, messageId string, ts timestamp, "
         "temperature bigint, ewma_t double",
     )
