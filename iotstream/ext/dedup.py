@@ -309,7 +309,19 @@ def neardup_editdist(
     scales with block density, never corpus². The O(prefix_len²)
     levenshtein kernel runs JVM-side on a fixed-length prefix, and the
     cheap length-delta prune (|Δn_chars| ≤ max_dist, a lower bound on
-    edit distance) drops most pairs before it."""
+    edit distance) drops most pairs before it.
+
+    Two plan-shape guards learned from .explain(): (1) Catalyst pushes
+    the ``dist <= max_dist`` filter INTO the join condition, so the
+    levenshtein runs in the join's probe stage — a post-join
+    repartition can never parallelize it. The probe side itself is
+    round-robin repartitioned (explicit numbered repartition, which AQE
+    will not coalesce away on small inputs), spreading the quadratic
+    per-block pair expansion evenly even for hot blocks. (2) The
+    threshold form ``levenshtein(a, b, max_dist)`` bounds the DP band
+    to O(max_dist·n) and returns -1 past the bound — survivors carry
+    their exact distance, everything else short-circuits."""
+    n = int(docs.sparkSession.conf.get("spark.sql.shuffle.partitions"))
     pick = docs.select(
         "doc_id",
         "source",
@@ -317,7 +329,10 @@ def neardup_editdist(
         (F.col("n_chars") / bucket_chars).cast("long").alias("bucket"),
         F.substring("text", 1, prefix_len).alias("prefix"),
     )
-    a, b = pick.alias("a"), pick.alias("b")
+    a, b = pick.repartition(n).alias("a"), pick.alias("b")
+    dist = F.levenshtein(
+        F.col("a.prefix"), F.col("b.prefix"), max_dist
+    ).cast("long")
     return (
         a.join(
             b,
@@ -332,9 +347,7 @@ def neardup_editdist(
         .select(
             F.col("a.doc_id").alias("doc_a"),
             F.col("b.doc_id").alias("doc_b"),
-            F.levenshtein(F.col("a.prefix"), F.col("b.prefix"))
-            .cast("long")
-            .alias("dist"),
+            dist.alias("dist"),
         )
-        .filter(F.col("dist") <= max_dist)
+        .filter(F.col("dist") >= 0)
     )

@@ -38,6 +38,33 @@ def test_minhash_recall_vs_exact(spark):
     assert recall >= 0.8, f"LSH recall {recall:.2f} too low"
 
 
+def test_neardup_editdist_blocking_and_threshold(spark):
+    """Pairs must share (source, length-bucket) AND pass the length
+    prune; survivors report their exact prefix edit distance, pairs
+    past the threshold are dropped (the bounded kernel returns -1)."""
+    from pyspark.sql import Row
+
+    from iotstream.ext.dedup import neardup_editdist
+
+    docs = spark.createDataFrame(
+        [
+            # same block: 2-char mutation → dist 2
+            Row(doc_id=1, source="web", n_chars=40, text="abcdefghij" * 4),
+            Row(doc_id=2, source="web", n_chars=40, text="abXdefghiY" * 1 + "abcdefghij" * 3),
+            # same block but totally different text → dist > max_dist, dropped
+            Row(doc_id=3, source="web", n_chars=41, text="zzzzzzzzzz" * 4 + "z"),
+            # identical text, different source → blocked apart, no pair
+            Row(doc_id=4, source="pdf", n_chars=40, text="abcdefghij" * 4),
+        ]
+    )
+    got = {
+        (r.doc_a, r.doc_b): r.dist
+        for r in neardup_editdist(docs, max_dist=5, bucket_chars=32).collect()
+    }
+    assert set(got) == {(1, 2)}
+    assert got[(1, 2)] == 2  # the X and Y substitutions
+
+
 def test_simhash_separates_neardups_from_random_pairs(spark):
     """SimHash is noisy on short docs (few shingles → few votes per
     bit), so assert the *distribution* property that makes it usable:
