@@ -446,6 +446,13 @@ def q_tokenize_encode(spark, sf_dir):
     )
 
 
+def q_lm_bigram_xent(spark, sf_dir):
+    """CCNet-style LM quality: per-doc cross-entropy under an add-one-
+    smoothed corpus bigram model — bigram stream joins its own count
+    table on the bigram key, vocabulary-sized sides broadcast."""
+    return xtext.lm_bigram_xent(load_table(spark, sf_dir, "documents"))
+
+
 def q_scrub_repetition(spark, sf_dir):
     """Consecutive-duplicate-token collapse via indexed HOF filter —
     zero-shuffle narrow map."""
@@ -1459,6 +1466,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "neardup_editdist": q_neardup_editdist,
         "decontaminate_ngram": q_decontaminate_ngram,
         # ---------- position 51+: remaining never-checked (round-4 window)
+        "lm_bigram_xent": q_lm_bigram_xent,
         "salted_join": q_salted_join,
         "embedding_label_stats": q_embedding_label_stats,
         "intersect_users": q_intersect_users,
@@ -1960,6 +1968,28 @@ def oracle_sql() -> dict[str, str]:
             g AS (SELECT w[i] || ' ' || w[i+1] AS ngram FROM idx)
             SELECT ngram, count(*) AS cnt FROM g
             GROUP BY ngram HAVING count(*) >= 5""",
+        "lm_bigram_xent": """
+            WITH t AS (SELECT doc_id, string_split(text, ' ') AS w
+                       FROM documents
+                       WHERE len(string_split(text, ' ')) >= 2),
+            idx AS (SELECT doc_id, w, unnest(range(1, len(w))) AS i FROM t),
+            big AS (SELECT doc_id, w[i] AS ctx,
+                           w[i] || ' ' || w[i+1] AS ngram
+                    FROM idx),
+            c2 AS (SELECT ngram, count(*) AS c2 FROM big GROUP BY ngram),
+            c1 AS (SELECT ctx, count(*) AS c1 FROM big GROUP BY ctx),
+            v AS (SELECT count(DISTINCT tok) AS v
+                  FROM (SELECT unnest(string_split(text, ' ')) AS tok
+                        FROM documents)),
+            s AS (SELECT b.doc_id,
+                         -ln(CAST(c2.c2 + 1 AS DOUBLE)
+                             / CAST(c1.c1 + v.v AS DOUBLE)) AS nll
+                  FROM big b
+                  JOIN c2 USING (ngram)
+                  JOIN c1 USING (ctx)
+                  CROSS JOIN v)
+            SELECT doc_id, count(*) AS n_bigrams, round(avg(nll), 6) AS xent
+            FROM s GROUP BY doc_id""",
         "length_percentiles": """
             SELECT lang, count(*) AS n_docs,
                    round(quantile_cont(n_chars, 0.5), 6) AS p50_chars,

@@ -405,3 +405,46 @@ def tfidf_top_terms(docs: DataFrame, k: int = 3) -> DataFrame:
         .filter(F.col("_rn") <= k)
         .drop("_rn")
     )
+
+
+def lm_bigram_xent(docs: DataFrame, col: str = "text") -> DataFrame:
+    """CCNet-style language-model quality scoring: per-document
+    cross-entropy under an add-one-smoothed bigram model trained on the
+    corpus itself — the LM-filtering pass (Wenzek et al., CCNet) that
+    ranks documents by how "language-like" they are; high xent marks
+    boilerplate/noise for the curation gate.
+
+    p(w2|w1) = (c(w1 w2) + 1) / (c(w1 ·) + V), xent = mean −ln p over
+    the document's bigram instances (documents with <2 tokens are
+    excluded, like every n-gram op here).
+
+    Scale: the corpus-sized bigram stream joins its own count table
+    keyed on the bigram — both sides shuffle on the same key, no
+    broadcast of anything corpus-sized; the context-count table and the
+    1-row vocabulary size are vocabulary-sized → broadcast. The only
+    float ops are the final ln and mean (rounded to 6); all counts stay
+    exact integers.
+    """
+    big = _word_ngrams(docs, 2, col).select(
+        "doc_id", "ngram", F.substring_index("ngram", " ", 1).alias("ctx")
+    )
+    c2 = big.groupBy("ngram").agg(F.count(F.lit(1)).alias("c2"))
+    c1 = big.groupBy("ctx").agg(F.count(F.lit(1)).alias("c1"))
+    vocab = docs.select(F.explode(tokens(col)).alias("w")).agg(
+        F.count_distinct("w").alias("v")
+    )
+    nll = -F.log(
+        (F.col("c2") + 1).cast("double")
+        / (F.col("c1") + F.col("v")).cast("double")
+    )
+    return (
+        big.join(c2, "ngram")
+        .join(F.broadcast(c1), "ctx")
+        .join(F.broadcast(vocab))
+        .select("doc_id", nll.alias("nll"))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.round(F.avg("nll"), 6).alias("xent"),
+        )
+    )

@@ -167,3 +167,27 @@ def test_tfidf_ties_break_lexicographically_and_k_caps(spark):
     words = [r.word for r in tfidf_top_terms(docs, k=3).collect()
              if r.doc_id == 1]
     assert words == ["aa", "bb", "cc"]  # all score 2.0; lexicographic
+
+
+def test_lm_bigram_xent_hand_computed(spark):
+    """Add-one bigram model on a 3-doc corpus, hand-verified:
+    V=5 (a,b,x,y,solo — the <2-token doc still contributes vocabulary);
+    doc 1 bigrams {a b ×3, b a ×2}, doc 2 {x y ×1};
+    p(a b)=4/8, p(b a)=3/7, p(x y)=2/6."""
+    import math
+
+    from iotstream.ext.text import lm_bigram_xent
+
+    docs = spark.createDataFrame(
+        [(1, "a b a b a b"), (2, "x y"), (3, "solo")],
+        "doc_id bigint, text string",
+    )
+    out = {r.doc_id: r for r in lm_bigram_xent(docs).collect()}
+    assert set(out) == {1, 2}  # <2-token doc excluded
+    assert out[1].n_bigrams == 5 and out[2].n_bigrams == 1
+    want1 = round(-(3 * math.log(4 / 8) + 2 * math.log(3 / 7)) / 5, 6)
+    want2 = round(-math.log(2 / 6), 6)
+    assert out[1].xent == want1
+    assert out[2].xent == want2
+    # the repetitive doc is more predictable → lower cross-entropy
+    assert out[1].xent < out[2].xent
