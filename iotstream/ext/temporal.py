@@ -136,25 +136,38 @@ def gapfill_locf(
     obs = sensor.groupBy(F.col("id"), bucket.alias("bucket")).agg(
         F.round(F.avg(value), 6).alias("obs_v")
     )
-    spans = obs.groupBy("id").agg(
-        F.min("bucket").alias("lo"), F.max("bucket").alias("hi")
+    # Segment formulation (same shape as interpolate_linear): each
+    # observed bucket owns [bucket, next observed bucket) and the
+    # carried value is constant across the segment, so the dense series
+    # is PRODUCED by a narrow explode over observed rows — one lead()
+    # window over the (small) observed set, no skeleton join and no
+    # IGNORE-NULLS window over the (large) densified output.
+    w = Window.partitionBy("id").orderBy("bucket")
+    seg = obs.select(
+        "id",
+        F.col("bucket").alias("seg_start"),
+        "obs_v",
+        F.lead("bucket").over(w).alias("nxt_bucket"),
     )
-    skel = spans.select(
-        "id", F.explode(F.sequence("lo", "hi", step)).alias("bucket")
+    seg_end = F.coalesce(
+        F.timestamp_seconds(
+            F.unix_timestamp("nxt_bucket") - F.lit(60 * n_min)
+        ),
+        F.col("seg_start"),
     )
-    w = (
-        Window.partitionBy("id")
-        .orderBy("bucket")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    dense = seg.select(
+        "id",
+        "obs_v",
+        F.col("seg_start"),
+        F.explode(F.sequence(F.col("seg_start"), seg_end, step)).alias(
+            "bucket"
+        ),
     )
-    return (
-        skel.join(obs, ["id", "bucket"], "left")
-        .select(
-            "id",
-            "bucket",
-            F.last("obs_v", ignorenulls=True).over(w).alias("temperature"),
-            F.col("obs_v").isNull().alias("filled"),
-        )
+    return dense.select(
+        "id",
+        "bucket",
+        F.col("obs_v").alias("temperature"),
+        (F.col("bucket") != F.col("seg_start")).alias("filled"),
     )
 
 
