@@ -1085,6 +1085,17 @@ def q_multimodal_features(spark, sf_dir):
     return extract_features(attach_media(docs))
 
 
+def q_multimodal_frame_sample(spark, sf_dir):
+    """Frame sampling (every 4th frame index) over the deterministic
+    fake-decoded n_frames — sequence + HOF filter + explode, no UDF, so
+    the decode→frame-sample chain is oracle-checkable like resize
+    (payloads are ASCII: n_bytes == n_chars)."""
+    from iotstream.ext.multimodal import sample_frames
+
+    docs = load_table(spark, sf_dir, "documents")
+    return sample_frames(decode_media(attach_media(docs), fake=True))
+
+
 def q_pydatasource_sensor(spark, sf_dir):
     """S1 on the Spark 4 Python DataSource API: the registered
     'sensorgen' source, partition-sharded with range-filter pushdown
@@ -1467,6 +1478,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontaminate_ngram": q_decontaminate_ngram,
         # ---------- position 51+: remaining never-checked (round-4 window)
         "lm_bigram_xent": q_lm_bigram_xent,
+        "multimodal_frame_sample": q_multimodal_frame_sample,
         "salted_join": q_salted_join,
         "embedding_label_stats": q_embedding_label_stats,
         "intersect_users": q_intersect_users,
@@ -2490,6 +2502,12 @@ def oracle_sql() -> dict[str, str]:
                    CAST(greatest(floor(width * scale), 1) AS BIGINT) AS out_width,
                    CAST(greatest(floor(height * scale), 1) AS BIGINT) AS out_height
             FROM s""",
+        "multimodal_frame_sample": """
+            WITH d AS (SELECT doc_id, (n_chars % 24) + 1 AS n_frames
+                       FROM documents),
+            i AS (SELECT doc_id, unnest(range(0, n_frames)) AS frame_idx
+                  FROM d)
+            SELECT doc_id, frame_idx FROM i WHERE frame_idx % 4 = 0""",
         # multimodal_features: Arrow mapInPandas byte histogram —
         # rows-only; exact numpy parity in tests/test_ext_text_multimodal.py.
         "trending_event_types": """
