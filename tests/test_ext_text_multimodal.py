@@ -52,7 +52,16 @@ def test_decode_fake_plumbing(spark):
     assert len(rows) == 50
     assert all(1 <= r.width <= 640 and 1 <= r.height <= 480 for r in rows)
     frames = sample_frames(decoded, every_nth=4)
-    assert frames.count() > 0
+    nf = {r.doc_id: r.n_frames for r in rows}
+    sampled = frames.collect()
+    assert sampled
+    # exactly every 4th index, within each doc's decoded frame range
+    assert all(r.frame_idx % 4 == 0 and 0 <= r.frame_idx < nf[r.doc_id]
+               for r in sampled)
+    per_doc = {d: 0 for d in nf}
+    for r in sampled:
+        per_doc[r.doc_id] += 1
+    assert all(per_doc[d] == (nf[d] + 3) // 4 for d in nf)
 
 
 def test_decode_real_path_is_explicit_stub(spark):
