@@ -199,7 +199,7 @@ def q_streaming_window_agg(spark, sf_dir):
     raw_schema = load_events_raw(spark, sf_dir).schema  # ts as raw nanos
     stream = FileStreamSource(table_path(sf_dir, "events"), raw_schema).load(spark)
     valid = validity_filter(sensorize(normalize_ns_timestamp(stream)))
-    with scoped_shuffle_partitions(spark, 16):
+    with scoped_shuffle_partitions(spark, 8):
         return windowed_agg_final_state(
             spark, valid, "ts", ["id"], F.col("metrics.temperature")
         )
@@ -254,7 +254,7 @@ def q_stateful_quality_monitor(spark, sf_dir):
     raw_schema = load_events_raw(spark, sf_dir).schema
     stream = FileStreamSource(table_path(sf_dir, "events"), raw_schema).load(spark)
     sensor = sensorize(normalize_ns_timestamp(stream))
-    with scoped_shuffle_partitions(spark, 16):
+    with scoped_shuffle_partitions(spark, 8):
         return run_quality_monitor_final(spark, sensor)
 
 
@@ -282,7 +282,7 @@ def q_streaming_sessionize(spark, sf_dir):
     stream = normalize_ns_timestamp(
         FileStreamSource(table_path(sf_dir, "events"), raw_schema).load(spark)
     ).select("user_id", "ts")
-    with scoped_shuffle_partitions(spark, 16):
+    with scoped_shuffle_partitions(spark, 8):
         return run_session_window_final(spark, stream, key="user_id")
 
 
@@ -608,7 +608,7 @@ def q_streaming_dedup(spark, sf_dir):
         .dropDuplicates(["event_id"])
     )
     sink = ParquetUpsertSink(key_cols=["event_id"])
-    with scoped_shuffle_partitions(spark, 16):
+    with scoped_shuffle_partitions(spark, 8):
         writer = deduped.writeStream.outputMode("append").foreachBatch(sink.writer())
         run_available_now(writer)
     return sink.to_df(spark)
@@ -631,7 +631,7 @@ def q_streaming_enrich(spark, sf_dir):
     dim = load_table(spark, sf_dir, "customer").select(
         F.col("c_custkey").alias("user_id"), "c_mktsegment"
     )
-    with scoped_shuffle_partitions(spark, 16):
+    with scoped_shuffle_partitions(spark, 8):
         return enrich_against_dim_final(
             spark, stream, dim, "user_id", "c_mktsegment"
         )
@@ -670,7 +670,7 @@ def q_streaming_interval_join(spark, sf_dir):
         F.col("ts").alias("r_ts"),
         F.col("value").alias("follow_value"),
     )
-    with scoped_shuffle_partitions(spark, 16):
+    with scoped_shuffle_partitions(spark, 8):
         pairs = interval_join_pairs(
             spark, left, right, "user_id", left_ts="e_ts", right_ts="r_ts"
         )
@@ -1270,7 +1270,7 @@ def q_streaming_status_change(spark, sf_dir):
     stream = FileStreamSource(table_path(sf_dir, "events"), raw_schema).load(spark)
     sensor = sensorize(normalize_ns_timestamp(stream))
     tmp = tempfile.mkdtemp(prefix="iotstream-status-")
-    with scoped_shuffle_partitions(spark, 16):
+    with scoped_shuffle_partitions(spark, 8):
         return run_status_changes_final(spark, sensor, tmp)
 
 
@@ -1397,7 +1397,7 @@ def q_streaming_dedup_wm(spark, sf_dir):
         .dropDuplicatesWithinWatermark(["event_id"])
     )
     sink = ParquetUpsertSink(key_cols=["event_id"])
-    with scoped_shuffle_partitions(spark, 16):
+    with scoped_shuffle_partitions(spark, 8):
         writer = deduped.writeStream.outputMode("append").foreachBatch(sink.writer())
         run_available_now(writer)
     return sink.to_df(spark)
