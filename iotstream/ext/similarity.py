@@ -320,60 +320,56 @@ def similarity_topk_lsh(
     )
 
 
-# L2 distance of row vector `v` to each entry of the broadcast centroid
-# array `cs`, then lexicographic array_min over (d, list_id) structs.
-_ARGMIN_CELL = (
-    "array_min(transform(cs, c -> struct("
-    "aggregate(zip_with(v, c.centroid, (x, cc) -> (x - cc) * (x - cc)), "
-    "CAST(0.0 AS DOUBLE), (s, x) -> s + x) AS d, "
-    "c.list_id AS list_id))).list_id"
-)
-
-
 def ivf_centroids(
-    emb: DataFrame, nlist: int = 8, iters: int = 2
+    emb: DataFrame, nlist: int = 8, iters: int = 2, train_cap: int = 100_000
 ) -> tuple[DataFrame, DataFrame]:
-    """IVF coarse quantizer: start from hash-partitioned assignment and
-    run ``iters`` Lloyd refinements, entirely as DataFrame ops
-    (posexplode → per-dimension mean → regroup). Returns
-    (centroids(list_id, centroid double[]), assigned(vec_id, v, list_id))."""
+    """IVF coarse quantizer, split the way production IVF builds are:
+    the CODEBOOK trains on a bounded sample driver-side (numpy Lloyd —
+    exactly how FAISS trains an IVF quantizer: the training set is a
+    sample by design, capped at ``train_cap`` rows), then the FULL
+    corpus is assigned to its nearest cell in one distributed
+    Arrow/BLAS ``mapInPandas`` pass. The earlier all-DataFrame Lloyd
+    (posexplode → per-dim mean → interpreted argmin crossJoin, per
+    iteration) spent seconds of fixed job overhead on a codebook that
+    is driver-sized by definition. Init and tie-breaks match the old
+    formulation (vec_id % nlist seed; argmin takes the lowest list_id),
+    and empty cells drop out of the codebook the same way. Returns
+    (centroids(list_id, centroid double[]), assigned(vec_id, v,
+    list_id))."""
+    import numpy as np
+
     spark = emb.sparkSession
     e = emb.select("vec_id", as_double_vec("embedding", "v"))
-    assigned = e.withColumn("list_id", F.pmod(F.col("vec_id"), F.lit(nlist)))
+    sample = e.limit(train_cap).toPandas()
+    ids = sample["vec_id"].to_numpy()
+    mat = np.stack(sample["v"].to_numpy()).astype("float64")
+
+    def _means(lab):
+        present = np.unique(lab)
+        return present, np.stack([mat[lab == l].mean(axis=0) for l in present])
+
+    lab = ids % nlist
     for _ in range(iters):
-        cents = (
-            assigned.select("list_id", F.posexplode("v").alias("pos", "x"))
-            .groupBy("list_id", "pos")
-            .agg(F.avg("x").alias("m"))
-            .groupBy("list_id")
-            .agg(F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("pm"))
-            .select("list_id", F.expr("transform(pm, p -> p.m)").alias("centroid"))
-        )
-        # Materialize the centroids (nlist×dim doubles — driver-sized by
-        # definition, like any k-means quantizer's codebook). Without
-        # this each Lloyd iteration's lineage re-derives ALL previous
-        # iterations: plan cost grows exponentially with `iters`.
-        cents = spark.createDataFrame(cents.collect(), cents.schema)
-        # Nearest-centroid assignment entirely MAP-SIDE: all nlist
-        # centroids ride in as one broadcast row, argmin = array_min
-        # over (distance, list_id) structs (lexicographic = same
-        # tie-break as ORDER BY d, list_id). No shuffle, no window —
-        # the N×nlist expansion never materializes off-core.
-        cents_row = cents.agg(
-            F.collect_list(F.struct("list_id", "centroid")).alias("cs")
-        )
-        assigned = (
-            e.crossJoin(F.broadcast(cents_row))
-            .withColumn("list_id", F.expr(_ARGMIN_CELL))
-            .select("vec_id", "v", "list_id")
-        )
-    cents = (
-        assigned.select("list_id", F.posexplode("v").alias("pos", "x"))
-        .groupBy("list_id", "pos")
-        .agg(F.avg("x").alias("m"))
-        .groupBy("list_id")
-        .agg(F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("pm"))
-        .select("list_id", F.expr("transform(pm, p -> p.m)").alias("centroid"))
+        present, cmat = _means(lab)
+        d = ((mat[:, None, :] - cmat[None, :, :]) ** 2).sum(axis=2)
+        lab = present[d.argmin(axis=1)]
+    present, cmat = _means(lab)
+
+    cents = spark.createDataFrame(
+        [(int(l), cmat[i].tolist()) for i, l in enumerate(present)],
+        "list_id bigint, centroid array<double>",
+    )
+
+    def assign(batches):
+        for pdf in batches:
+            m = np.stack(pdf["v"].to_numpy()).astype("float64")
+            d = ((m[:, None, :] - cmat[None, :, :]) ** 2).sum(axis=2)
+            pdf = pdf.copy()
+            pdf["list_id"] = present[d.argmin(axis=1)]
+            yield pdf[["vec_id", "v", "list_id"]]
+
+    assigned = e.mapInPandas(
+        assign, schema="vec_id bigint, v array<double>, list_id bigint"
     )
     return cents, assigned
 
