@@ -69,3 +69,20 @@ def test_lsh_blocked_neardup_recall(spark):
     lsh = {(r.id_a, r.id_b) for r in neardup_embedding_lsh(emb, 0.4).collect()}
     assert lsh <= exact          # precision 1.0 by construction
     assert len(lsh & exact) / len(exact) >= 0.9
+
+
+def test_neardup_embedding_exact_kernel_is_bounded(spark):
+    """The exact kernel must refuse to broadcast an unbounded corpus:
+    past max_broadcast_rows it raises with a pointer at the LSH path
+    instead of silently collecting the table to the driver."""
+    import pytest
+
+    from iotstream.ext.similarity import neardup_embedding
+    from iotstream.schemas import load_table
+    from tests.conftest import SF_DIR
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    with pytest.raises(ValueError, match="neardup_embedding_lsh"):
+        neardup_embedding(emb, max_broadcast_rows=10)
+    # under the cap the kernel still runs
+    assert neardup_embedding(emb, threshold=0.99).count() >= 0
