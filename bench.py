@@ -126,10 +126,45 @@ def main() -> int:
     except Exception as e:  # noqa: BLE001
         print(f"bench ingest error: {type(e).__name__}: {e}", file=sys.stderr)
 
+    # The driver captures only the TAIL (~2000 chars) of stdout: a
+    # 127-entry "queries" map made every prior round's line unparseable
+    # ("parsed": null in BENCH_r1-r3). The complete per-query map is
+    # written to BENCH_FULL.json at the repo root; stdout carries ONE
+    # compact JSON line that always fits the capture window — same
+    # metric/value/unit/sf contract, "queries" trimmed to the flagship
+    # plus the slowest entries, plus distribution stats.
+    repo_root = os.path.dirname(os.path.abspath(__file__))
+    with open(os.path.join(repo_root, "BENCH_FULL.json"), "w") as f:
+        json.dump(out, f, indent=1, sort_keys=True)
+
+    slowest = sorted(ok, key=ok.get, reverse=True)[:20]
+    head = {n: timings[n] for n in slowest}
+    if "flagship" in timings:
+        head["flagship"] = timings["flagship"]
+    compact = {
+        "metric": out["metric"],
+        "value": out["value"],
+        "unit": "sec",
+        "queries": head,
+        "sf": sf,
+        "n_queries": len(timings),
+        "n_errors": len(errors),
+        "sub_second": sum(1 for v in ok.values() if v < 1.0),
+        "full": "BENCH_FULL.json",
+    }
+    if "streaming_ingest_events_per_sec" in out:
+        compact["streaming_ingest_events_per_sec"] = out[
+            "streaming_ingest_events_per_sec"
+        ]
+    if errors:
+        compact["errors"] = {
+            k: v[:80] for k, v in list(errors.items())[:3]
+        }
+
     # Always rc:0 with parseable JSON — a broken query is reported in
     # "errors"/-1.0 timings, never by failing the whole harness (the
     # driver records nothing from a nonzero exit).
-    print(json.dumps(out))
+    print(json.dumps(compact))
     return 0
 
 

@@ -2,6 +2,8 @@
 
 from __future__ import annotations
 
+from pyspark.sql import functions as F
+
 from iotstream.ext.similarity import (
     similarity_topk,
     similarity_topk_ivf,
@@ -86,3 +88,34 @@ def test_neardup_embedding_exact_kernel_is_bounded(spark):
         neardup_embedding(emb, max_broadcast_rows=10)
     # under the cap the kernel still runs
     assert neardup_embedding(emb, threshold=0.99).count() >= 0
+
+
+def test_ivf_empty_corpus_returns_empty(spark):
+    """An empty corpus must yield empty centroids/assignment/top-k
+    frames — not an np.stack crash ('need at least one array')."""
+    from iotstream.ext.similarity import ivf_centroids
+
+    emb = load_table(spark, SF_DIR, "embeddings").filter("vec_id < 0")
+    cents, assigned = ivf_centroids(emb, nlist=4)
+    assert cents.count() == 0
+    assert assigned.count() == 0
+    assert assigned.columns == ["vec_id", "v", "list_id"]
+    topk = similarity_topk_ivf(emb, n_queries=5, k=3)
+    assert topk.count() == 0
+    assert topk.columns == ["query_id", "vec_id", "cosine", "rank"]
+
+
+def test_ivf_training_sample_is_order_independent(spark):
+    """The codebook trains on a deterministic hash-ordered sample, so
+    shuffling the corpus's physical row order must not change the
+    trained centroids (a scan-order limit() would)."""
+    import numpy as np
+
+    from iotstream.ext.similarity import _ivf_codebook
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    a_ids, a_cmat = _ivf_codebook(emb, nlist=4, iters=2, train_cap=50)
+    shuffled = emb.orderBy(F.desc("vec_id")).repartition(7)
+    b_ids, b_cmat = _ivf_codebook(shuffled, nlist=4, iters=2, train_cap=50)
+    assert list(a_ids) == list(b_ids)
+    np.testing.assert_allclose(a_cmat, b_cmat)
