@@ -298,23 +298,83 @@ def similarity_topk_lsh(
 ) -> DataFrame:
     """ANN variant: candidates limited to the query's LSH bucket, then
     exact cosine + top-k within it. Recall < 1 by construction; pytest
-    asserts recall vs the exact baseline (multi-probe raises recall)."""
-    bucketed = lsh_buckets(emb, nbits)
-    q = bucketed.filter(F.col("vec_id") < n_queries).select(
-        F.col("vec_id").alias("query_id"),
-        F.col("v").alias("qv"),
-        F.col("bucket").alias("qbucket"),
-    )
-    sims = (
-        bucketed.join(
-            F.broadcast(q),
-            (F.col("bucket") == F.col("qbucket")) & (F.col("vec_id") != F.col("query_id")),
+    asserts recall vs the exact baseline (multi-probe raises recall).
+
+    Same single-pass BLAS shape as ``similarity_topk``/``..._ivf``: the
+    hyperplane matrix (``lsh_buckets``' exact xxhash64-derived planes,
+    materialized once via a 1-row local job) and the bounded query set
+    ship as a broadcast; the corpus streams through ONE Arrow
+    ``mapInPandas`` pass that computes batch buckets and the cosine
+    matrix with two matmuls, masks each query to its own bucket, and
+    prunes to a lossless local top-k. Replaces the bucket-equality
+    broadcast join with an interpreted HOF cosine per candidate — no
+    join, no shuffle of vectors, one corpus scan. (Projection sums are
+    BLAS-ordered rather than the HOF's sequential order; a projection
+    within float-epsilon of 0 may flip bucket — recall-neutral.)"""
+    import numpy as np
+    import pandas as pd
+
+    spark = emb.sparkSession
+    out_schema = "query_id bigint, vec_id bigint, cosine double"
+    head = emb.select("embedding").head()
+    if head is None:
+        return spark.createDataFrame([], out_schema + ", rank int")
+    dim = len(head[0])
+    planes = np.array(
+        spark.range(1)
+        .selectExpr(
+            f"transform(sequence(0, {nbits - 1}), b -> "
+            f"transform(sequence(0, {dim - 1}), j -> "
+            "CAST(pmod(xxhash64(b, j), 2000003) AS DOUBLE) / 1000001.0 - 1.0)) AS p"
         )
-        .select("query_id", "vec_id", cosine("v", "qv").alias("cosine"))
+        .head()[0]
     )
+    bits_w = (1 << np.arange(nbits)).astype("int64")
+
+    qpdf = (
+        emb.filter(F.col("vec_id") < n_queries)
+        .select("vec_id", "embedding")
+        .toPandas()
+        .sort_values("vec_id")
+    )
+    if qpdf.empty:
+        return spark.createDataFrame([], out_schema + ", rank int")
+    qids = qpdf["vec_id"].to_numpy()
+    qmat = np.stack(qpdf["embedding"].to_numpy()).astype("float64")
+    qnrm = np.sqrt((qmat * qmat).sum(axis=1))
+    qbuck = ((qmat @ planes.T > 0) * bits_w).sum(axis=1)
+    b = spark.sparkContext.broadcast((qids, qmat, qnrm, qbuck))
+
+    def block(batches):
+        bqids, bqmat, bqnrm, bqbuck = b.value
+        for pa in batches:
+            if pa.empty:
+                continue
+            ids = pa["vec_id"].to_numpy()
+            mat = np.stack(pa["embedding"].to_numpy()).astype("float64")
+            nrm = np.sqrt((mat * mat).sum(axis=1))
+            buck = ((mat @ planes.T > 0) * bits_w).sum(axis=1)
+            cos = (mat @ bqmat.T) / np.outer(nrm, bqnrm)  # rows × queries
+            out = []
+            for j, qid in enumerate(bqids):
+                mask = (buck == bqbuck[j]) & (ids != qid)
+                cand_ids, cand_cos = ids[mask], cos[mask, j]
+                if len(cand_ids) > k:
+                    idx = np.lexsort((cand_ids, -cand_cos))[:k]
+                    cand_ids, cand_cos = cand_ids[idx], cand_cos[idx]
+                if len(cand_ids):
+                    out.append(
+                        pd.DataFrame(
+                            {"query_id": qid, "vec_id": cand_ids, "cosine": cand_cos}
+                        )
+                    )
+            if out:
+                yield pd.concat(out, ignore_index=True)
+
+    cands = emb.select("vec_id", "embedding").mapInPandas(block, schema=out_schema)
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("vec_id"))
     return (
-        sims.withColumn("rank", F.row_number().over(w))
+        cands.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select("query_id", "vec_id", F.round("cosine", 6).alias("cosine"), "rank")
     )
