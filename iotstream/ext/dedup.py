@@ -259,9 +259,13 @@ def dedup_report(
 
     from iotstream.ext.similarity import neardup_embedding
 
-    # canonical via min-over-text window: one scan + one shuffle, no
-    # groupBy-then-join-back second scan of the corpus.
-    canonical = F.min("doc_id").over(Window.partitionBy("text"))
+    # canonical via min-over-key window: one scan + one shuffle, no
+    # groupBy-then-join-back second scan of the corpus. The window key
+    # is sha256(text), not text itself — the shuffle then carries a
+    # 32-byte digest per row instead of the full document body
+    # (256-bit collisions are negligible at any corpus size; the same
+    # narrow-shuffle trade the module header describes for dedup keys).
+    canonical = F.min("doc_id").over(Window.partitionBy(F.sha2("text", 256)))
     base = docs.select(
         "doc_id",
         canonical.alias("canonical_id"),
