@@ -970,15 +970,21 @@ def q_rolling_5min_count(spark, sf_dir):
     trailing 5 minutes — the sliding-lookback rate limiter / burst
     detector. RANGE (value-based) frames are tie-stable: rows with
     equal timestamps are frame peers in both engines, so the result is
-    deterministic under any shuffle order. One shuffle on user_id."""
+    deterministic under any shuffle order. One shuffle on user_id.
+
+    The frame key is ``unix_micros`` — FULL timestamp precision, so the
+    [t-5min, t] boundary is the oracle's. ``unix_timestamp`` (seconds)
+    truncates sub-second digits and silently widens the frame for
+    events whose distance is within 1s of the boundary — invisible at
+    sf0.01, caught by the sf0.1 sweep."""
     from pyspark.sql.window import Window
 
     use_utc(spark)
     ev = load_table(spark, sf_dir, "events")
     w = (
         Window.partitionBy("user_id")
-        .orderBy(F.unix_timestamp("ts"))
-        .rangeBetween(-300, 0)
+        .orderBy(F.unix_micros("ts"))
+        .rangeBetween(-300_000_000, 0)
     )
     return ev.select(
         "event_id",
