@@ -4,7 +4,13 @@ Runs every ``queries()`` entry on Spark and its ``oracle_sql()`` twin on
 DuckDB over the same fixture dir, then compares row count, sorted column
 names, and values (rows sorted, order-insensitive). Usage:
 
-    python tools/check_oracle.py [sf_dir] [query ...]
+    python tools/check_oracle.py [--tz=America/New_York] [sf_dir] [query ...]
+
+Sweep at MULTIPLE scale factors: boundary-precision bugs hide below
+data density (a seconds-truncated RANGE frame key diverged from its
+full-precision oracle only at sf0.1), and ``--tz`` smokes out queries
+missing ``use_utc``. Exit code 1 on any failure — don't pipe through
+filters that mask it.
 """
 
 from __future__ import annotations
@@ -41,8 +47,16 @@ def frame_key(cols, rows):
 
 
 def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = set(sys.argv[2:])
+    # --tz=ZONE runs the Spark session under a hostile timezone (the
+    # driver's is unknown); queries must self-normalize via use_utc.
+    args = sys.argv[1:]
+    tz = "UTC"
+    for a in list(args):
+        if a.startswith("--tz="):
+            tz = a.split("=", 1)[1]
+            args.remove(a)
+    sf_dir = args[0] if args else "/root/testdata/sf0.01"
+    only = set(args[1:])
 
     from pyspark.sql import SparkSession
 
@@ -50,7 +64,7 @@ def main() -> int:
         SparkSession.builder.master("local[8]")
         .appName("oracle-check")
         .config("spark.sql.shuffle.partitions", "8")
-        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.session.timeZone", tz)
         .config("spark.ui.enabled", "false")
         .getOrCreate()
     )
