@@ -2399,7 +2399,7 @@ def oracle_sql() -> dict[str, str]:
             FROM totals""",
         "props_extract": """
             SELECT event_type, count(*) AS n_events,
-                   SUM(CAST(props->>'$.k' AS BIGINT)) AS sum_k,
+                   CAST(SUM(CAST(props->>'$.k' AS BIGINT)) AS BIGINT) AS sum_k,
                    MAX(CAST(props->>'$.k' AS BIGINT)) AS max_k
             FROM events GROUP BY event_type""",
         "mad_outliers": f"""
