@@ -78,6 +78,9 @@ def main() -> int:
     for name, fn in queries.items():
         if only and name not in only:
             continue
+        # Re-pin the requested TZ before EVERY query: use_utc from an
+        # earlier query would otherwise mask a missing use_utc here.
+        spark.conf.set("spark.sql.session.timeZone", tz)
         try:
             sdf = fn(spark, sf_dir)
             srows = sdf.collect()
