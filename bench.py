@@ -133,9 +133,12 @@ def main() -> int:
     # compact JSON line that always fits the capture window — same
     # metric/value/unit/sf contract, "queries" trimmed to the flagship
     # plus the slowest entries, plus distribution stats.
-    repo_root = os.path.dirname(os.path.abspath(__file__))
-    with open(os.path.join(repo_root, "BENCH_FULL.json"), "w") as f:
-        json.dump(out, f, indent=1, sort_keys=True)
+    try:
+        repo_root = os.path.dirname(os.path.abspath(__file__))
+        with open(os.path.join(repo_root, "BENCH_FULL.json"), "w") as f:
+            json.dump(out, f, indent=1, sort_keys=True)
+    except OSError as e:  # never let the artifact write fail the bench
+        print(f"bench: BENCH_FULL.json write failed: {e}", file=sys.stderr)
 
     slowest = sorted(ok, key=ok.get, reverse=True)[:20]
     head = {n: timings[n] for n in slowest}
