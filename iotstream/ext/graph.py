@@ -34,6 +34,18 @@ def connected_components(
     ``edges`` is undirected input (each pair once); ``nodes`` supplies
     the full vertex set so isolated nodes form singleton clusters.
     Returns (node, cluster_id).
+
+    Convergence needs one round per hop of the longest min-label
+    propagation path, so iterations ≈ the dup-graph DIAMETER. Near-dup
+    graphs are shallow by nature (dups cluster around a canonical, they
+    don't chain), so a handful of rounds suffices at any corpus size.
+    An ADVERSARIAL path graph (a-b-c-d-... with ids descending) needs
+    diameter rounds: past ``max_iter`` this returns the partially
+    propagated labels — components are then split too fine, never
+    merged wrongly (labels only ever decrease toward the true min).
+    Raise ``max_iter`` or switch to a pointer-doubling formulation
+    (O(log d) rounds, at 2× the join width) if diameters that deep are
+    expected.
     """
     adj = (
         edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
