@@ -1,8 +1,11 @@
 """Bench harness — times every declared query at the bench scale factor.
 
-Prints ONE JSON line:
+Prints ONE compact JSON line:
     {"metric": ..., "value": <total sec>, "unit": "sec",
-     "queries": {name: sec, ...}, "sf": <float>}
+     "queries": {<headline subset>: sec, ...}, "sf": <float>,
+     "n_queries": N, "errors": [...]}
+(stdout carries only the headline-query subset to keep the line small;
+the FULL per-query timing map is written to BENCH_FULL.json alongside.)
 
 Env: SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1),
      SPARK_GRAFT_CPUS   (default 32).

@@ -261,8 +261,8 @@ def dedup_report(
 
     # canonical via min-over-key window: one scan + one shuffle, no
     # groupBy-then-join-back second scan of the corpus. The window key
-    # is sha256(text), not text itself — the shuffle then carries a
-    # 32-byte digest per row instead of the full document body
+    # is sha2(text, 256), not text itself — the shuffle then carries a
+    # 64-char hex digest per row instead of the full document body
     # (256-bit collisions are negligible at any corpus size; the same
     # narrow-shuffle trade the module header describes for dedup keys).
     canonical = F.min("doc_id").over(Window.partitionBy(F.sha2("text", 256)))

@@ -60,6 +60,10 @@ def main() -> int:
     for name, fn in entrymod.queries().items():
         if name not in oracles or (only and name not in only):
             continue
+        # Re-pin per query: a query calling use_utc leaves the session
+        # in UTC, which would mask missing use_utc in later queries
+        # when run under --tz (same fix as check_oracle.py).
+        spark.conf.set("spark.sql.session.timeZone", tz)
         try:
             sdf = fn(spark, sf_dir).toPandas()
             odf = con.sql(oracles[name]).df()
@@ -67,10 +71,17 @@ def main() -> int:
             issues.append(name)
             print(f"FAIL  {name}: {type(e).__name__}: {e}")
             continue
+        # Columns with NULLs are excluded: toPandas() widens a nullable
+        # int64 with NULLs to float64, a pandas artifact the driver's
+        # value-hash gate does not see — comparing kinds there would be
+        # a false positive.
         bad = [
             (c, kind(sdf[c].dtype), kind(odf[c].dtype))
             for c in sdf.columns
-            if c in odf.columns and kind(sdf[c].dtype) != kind(odf[c].dtype)
+            if c in odf.columns
+            and not sdf[c].isna().any()
+            and not odf[c].isna().any()
+            and kind(sdf[c].dtype) != kind(odf[c].dtype)
         ]
         if bad:
             issues.append(name)

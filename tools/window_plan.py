@@ -8,6 +8,15 @@ the checked window, and its best driver verdict so far — so each
 round's reorder can promote never-green queries and keep regression
 guards without bookkeeping by hand.
 
+It is also STALENESS-AWARE: a green grade from round N is only as good
+as the code that round graded. For every query whose best verdict is a
+PASS, the tool checks (a) whether the query's registered function
+source in ``__spark_entry__.py`` differs from the version at the
+grading commit and (b) whether any ``iotstream`` module the function
+uses (directly, or one import-hop deep) changed since that commit. A
+green-but-stale grade (the r4 ``dedup_report`` case: implementation
+rewritten in r4, last graded r2) is flagged for re-grading.
+
 Usage: python tools/window_plan.py
 """
 
@@ -16,24 +25,129 @@ from __future__ import annotations
 import glob
 import json
 import os
+import re
+import subprocess
 import sys
 
-sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
 
 WINDOW = 50
+
+# Driver/judge artifacts — churn in these never makes a grade stale.
+_ARTIFACT_RE = re.compile(
+    r"^(CORRECTNESS_|BENCH_|VERDICT|ADVICE|README|COVERAGE|PLANS|PROGRESS"
+    r"|SURVEY|BASELINE|TESTDATA|FIXTURES|PAPERS|SNIPPETS|tests/|tools/)"
+)
+
+
+def _git(*args: str) -> str:
+    return subprocess.run(
+        ["git", *args], cwd=REPO, capture_output=True, text=True, check=False
+    ).stdout
+
+
+def _round_num(path: str) -> int:
+    m = re.search(r"r(\d+)", os.path.basename(path))
+    return int(m.group(1)) if m else -1
+
+
+def _grade_commit(round_path: str) -> str:
+    """Commit that recorded this round's CORRECTNESS file — the grading
+    ran against (the snapshot parent of) this commit, and nothing but
+    driver artifacts lands between snapshot and record."""
+    return _git(
+        "log", "-1", "--format=%H", "--", os.path.basename(round_path)
+    ).strip()
+
+
+def _entry_aliases(entry_src: str) -> dict[str, str]:
+    """alias -> dotted module, from `from iotstream.x import y as alias`
+    and `from iotstream.x import y` at the top of __spark_entry__."""
+    aliases: dict[str, str] = {}
+    for m in re.finditer(
+        r"^from (iotstream[\w.]*) import ([\w, ()\n]+?)(?=\n\S|\n$)",
+        entry_src,
+        re.M,
+    ):
+        base, names = m.group(1), m.group(2)
+        for part in re.split(r"[,\n()]+", names):
+            part = part.strip()
+            if not part:
+                continue
+            if " as " in part:
+                name, alias = (s.strip() for s in part.split(" as "))
+            else:
+                name = alias = part
+            dotted = f"{base}.{name}"
+            aliases[alias] = (
+                dotted if _module_file(dotted) else base
+            )  # symbol import → owning module
+    return aliases
+
+
+def _module_file(dotted: str) -> str | None:
+    rel = dotted.replace(".", "/")
+    for cand in (f"{rel}.py", f"{rel}/__init__.py"):
+        if os.path.exists(os.path.join(REPO, cand)):
+            return cand
+    return None
+
+
+def _func_source(entry_src: str, func_name: str) -> str | None:
+    """Extract one top-level `def func_name(...)` block by indentation."""
+    m = re.search(rf"^def {re.escape(func_name)}\(.*?(?=^\S)", entry_src, re.M | re.S)
+    return m.group(0) if m else None
+
+
+def _modules_used(
+    func_src: str, aliases: dict[str, str], helper_srcs: dict[str, str]
+) -> set[str]:
+    """iotstream module FILES a query function touches: alias refs +
+    inline `from iotstream...` imports + entry-level helper calls, then
+    one transitive hop through each module's own iotstream imports."""
+    mods: set[str] = set()
+    frontier = set(re.findall(r"from (iotstream[\w.]*) import", func_src))
+    for alias, dotted in aliases.items():
+        if re.search(rf"\b{re.escape(alias)}\b", func_src):
+            frontier.add(dotted)
+    for helper, src in helper_srcs.items():
+        if re.search(rf"\b{re.escape(helper)}\(", func_src):
+            frontier |= _modules_used(src, aliases, {})
+            frontier.update(re.findall(r"from (iotstream[\w.]*) import", src))
+    for dotted in frontier:
+        f = _module_file(dotted) or _module_file(
+            dotted.rsplit(".", 1)[0] if "." in dotted else dotted
+        )
+        if f:
+            mods.add(f)
+    # one import-hop: the modules those modules pull in
+    for f in list(mods):
+        try:
+            src = open(os.path.join(REPO, f)).read()
+        except OSError:
+            continue
+        for dotted in re.findall(r"from (iotstream[\w.]*) import", src):
+            g = _module_file(dotted)
+            if g:
+                mods.add(g)
+    return mods
 
 
 def main() -> int:
     import __spark_entry__ as entrymod
 
-    order = list(entrymod.queries().keys())
+    qmap = entrymod.queries()
+    order = list(qmap.keys())
     oracles = set(entrymod.oracle_sql().keys())
 
     # Rank verdicts PASS > rows-only > FAIL and keep the best across
-    # rounds, so a later rows-only/pass result upgrades an earlier FAIL.
+    # rounds (numeric round order — lexicographic would let r9 shadow
+    # r10), so a later rows-only/pass result upgrades an earlier FAIL.
     RANK = {"FAIL": 0, "rows-only": 1, "PASS": 2}
-    best: dict[str, tuple[int, str]] = {}
-    for path in sorted(glob.glob("CORRECTNESS_r*.json")):
+    rounds = sorted(glob.glob(os.path.join(REPO, "CORRECTNESS_r*.json")), key=_round_num)
+    best: dict[str, tuple[int, str, int]] = {}
+    for path in rounds:
         data = json.load(open(path))
         for name, res in data.items():
             if res.get("hash_match"):
@@ -42,10 +156,10 @@ def main() -> int:
                 kind = "rows-only"
             else:
                 kind = "FAIL"
-            entry = (RANK[kind], f"{kind} ({os.path.basename(path)})")
+            entry = (RANK[kind], f"{kind} ({os.path.basename(path)})", _round_num(path))
             if name not in best or entry[0] >= best[name][0]:
                 best[name] = entry
-    verdict = {name: label for name, (_, label) in best.items()}
+    verdict = {name: label for name, (_, label, _) in best.items()}
 
     never = [q for q in order if q not in verdict and q in oracles]
     in_window_never = [q for q in never if order.index(q) < WINDOW]
@@ -60,9 +174,70 @@ def main() -> int:
           " — promote these next round:")
     for q in out_window_never:
         print(f"  {order.index(q):3d} {q}")
+
+    # ---- staleness: green grades older than the code they graded ----
+    entry_path = os.path.join(REPO, "__spark_entry__.py")
+    entry_now = open(entry_path).read()
+    aliases = _entry_aliases(entry_now)
+    helper_srcs = {
+        h: src
+        for h in ("_sensor", "_valid", "_flat", "load_table", "sensorize")
+        if (src := _func_source(entry_now, h))
+    }
+    grade_commits = {_round_num(p): _grade_commit(p) for p in rounds}
+    changed_since: dict[int, set[str]] = {}
+    entry_then: dict[int, str] = {}
+    for rn, commit in grade_commits.items():
+        if not commit:
+            continue
+        diff = _git("diff", "--name-only", commit, "HEAD")
+        changed_since[rn] = {
+            f for f in diff.splitlines() if f and not _ARTIFACT_RE.match(f)
+        }
+        entry_then[rn] = _git("show", f"{commit}:__spark_entry__.py")
+
+    stale: list[tuple[str, str, str]] = []
+    for q in order:
+        if q not in best or best[q][0] != RANK["PASS"]:
+            continue
+        rn = best[q][2]
+        if rn not in changed_since:
+            continue
+        fname = getattr(qmap[q], "__name__", "<lambda>")
+        fsrc_now = (
+            _func_source(entry_now, fname) if fname != "<lambda>" else None
+        ) or ""
+        reasons = []
+        if fname != "<lambda>" and rn in entry_then:
+            fsrc_then = _func_source(entry_then[rn], fname)
+            if fsrc_then is not None and fsrc_then != fsrc_now:
+                reasons.append("entry fn changed")
+        mods = _modules_used(fsrc_now, aliases, helper_srcs)
+        # Queries registered as module-level functions (e.g. the TPC-H
+        # pack binds xtpch.* directly) have no entry-level def — their
+        # implementing file comes from the function's own __module__.
+        owner = getattr(qmap[q], "__module__", "")
+        if owner.startswith("iotstream"):
+            f = _module_file(owner)
+            if f:
+                mods.add(f)
+        touched = sorted(mods & changed_since[rn])
+        if touched:
+            reasons.append("module(s): " + ", ".join(touched))
+        if reasons:
+            stale.append((q, verdict[q], "; ".join(reasons)))
+
+    print(f"\ngreen grades now STALE — code changed since grading round "
+          f"({len(stale)}); put these in the window:")
+    for q, v, why in stale:
+        pos = order.index(q)
+        mark = "in-window" if pos < WINDOW else "OUT-of-window"
+        print(f"  {pos:3d} {q}  {v}  [{mark}]  {why}")
+
     print("\nwindow slots spent on already-green queries:")
+    stale_names = {q for q, _, _ in stale}
     for q in order[:WINDOW]:
-        if verdict.get(q, "").startswith("PASS"):
+        if verdict.get(q, "").startswith("PASS") and q not in stale_names:
             print(f"  {order.index(q):3d} {q}  {verdict[q]}")
     return 0
 
