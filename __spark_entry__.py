@@ -378,6 +378,28 @@ def q_dedup_clusters(spark, sf_dir):
     return comp.select(F.col("node").alias("doc_id"), "cluster_id")
 
 
+def q_dedup_clusters_lsh(spark, sf_dir):
+    """The 100 TB dedup-cluster path, end to end: MinHash signatures →
+    LSH band buckets → exact Jaccard verify on candidates only →
+    connected components. No all-pairs step anywhere: candidate count
+    scales with band-bucket density, component rounds with dup-graph
+    diameter. Oracle is the same recursive-CTE closure over the exact
+    J≥0.5 pair graph — verified-LSH pairs equal it whenever banding
+    recall is 1, which holds deterministically on this corpus (fixture
+    dups all sit at J≥0.89, where 8-band/r=4 collision probability is
+    1-(1-0.89⁴)⁸ ≈ 0.9998 per pair and the fixed xxhash64 seeds make
+    the outcome reproducible; `tests/test_graph.py` asserts LSH-feed vs
+    exact-feed cluster equality)."""
+    from iotstream.ext.graph import connected_components
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 2000)
+    pairs = xdedup.neardup_minhash(docs, threshold=0.5).select("doc_a", "doc_b")
+    comp = connected_components(
+        pairs, docs.select("doc_id"), src="doc_a", dst="doc_b", node="doc_id"
+    )
+    return comp.select(F.col("node").alias("doc_id"), "cluster_id")
+
+
 def q_dataset_split(spark, sf_dir):
     """Deterministic train/val/test assignment via an engine-portable
     multiplicative hash — stable under corpus growth (no reshuffling
@@ -1264,18 +1286,16 @@ def q_streaming_status_change(spark, sf_dir):
     per-sensor valid↔invalid edge detector, drained availableNow;
     emitted transitions are oracle-checked against the batch lag()
     formulation of the same predicate."""
-    import tempfile
-
     from iotstream.schemas import load_events_raw, normalize_ns_timestamp
     from iotstream.sources import FileStreamSource
-    from iotstream.streaming import scoped_shuffle_partitions
+    from iotstream.streaming import ephemeral_dir, scoped_shuffle_partitions
     from iotstream.streaming.stateful import run_status_changes_final
 
     use_utc(spark)
     raw_schema = load_events_raw(spark, sf_dir).schema
     stream = FileStreamSource(table_path(sf_dir, "events"), raw_schema).load(spark)
     sensor = sensorize(normalize_ns_timestamp(stream))
-    tmp = tempfile.mkdtemp(prefix="iotstream-status-")
+    tmp = ephemeral_dir("iotstream-status-")
     with scoped_shuffle_partitions(spark, 8):
         return run_status_changes_final(spark, sensor, tmp)
 
@@ -1418,19 +1438,75 @@ def entry(spark: SparkSession) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Declaration order is the driver's check order (first 50 get the
-    full oracle gate per round). Round-4 window = the 27 oracle-backed
-    queries that have never had a driver verdict (r2's analytics/joins/
-    profiling packs that rotated out when the TPC-H/temporal packs
-    rotated in, plus r3's lm_bigram_xent / multimodal_frame_sample),
-    the repaired priority_line_counts (oracle BIGINT-cast fix, r3's
-    only fail), and 22 regression guards: this round's sink-swap query
-    (streaming_window_agg now runs on ParquetUpsertSink), the r3-
-    repaired families, and r2-only-green queries getting a second
-    verdict. Previously-green-stable queries follow; oracle-less
-    rows-only entries are last so they never occupy a gradeable
-    slot."""
+    full oracle gate per round). Round-5 window = the 25 green-but-
+    STALE queries flagged by tools/window_plan.py (implementing
+    modules changed after their grading round — led by dedup_report,
+    rewritten in r4 but last graded r2) plus the new dedup_clusters_lsh
+    composition, the four r2-only-green window aggregates, eight
+    regression guards on code touched in r4/r5 (dedup/similarity
+    kernels, graph convergence warning, streaming sink swap), and a
+    twelve-query r3 rotation so no green verdict ages past two rounds.
+    Previously-green-stable queries follow; oracle-less rows-only
+    entries are last so they never occupy a gradeable slot."""
     return {
-        # --- never driver-graded (27): r2 analytics/joins/profiling pack
+        # --- r5 window A (26): green-but-STALE re-grades — implementing
+        # modules changed after the grading round (tools/window_plan.py),
+        # led by dedup_report (r4 rewrite, last graded r2) and the new
+        # LSH-fed cluster composition
+        "dedup_report": q_dedup_report,
+        "dedup_clusters_lsh": q_dedup_clusters_lsh,
+        "streaming_dedup": q_streaming_dedup,
+        "streaming_enrich": q_streaming_enrich,
+        "neardup_editdist": q_neardup_editdist,
+        "json_parse": q_json_parse,
+        "distinct_users": q_distinct_users,
+        "high_value_purchasers": q_high_value_purchasers,
+        "top_events": q_top_events,
+        "word_counts": q_word_counts,
+        "token_stats": q_token_stats,
+        "quality_score": q_quality_score,
+        "lang_id": q_lang_id,
+        "doc_fingerprint": q_doc_fingerprint,
+        "dq_report": q_dq_report,
+        "dataset_split": q_dataset_split,
+        "stratified_sample": q_stratified_sample,
+        "doc_chunks": q_doc_chunks,
+        "vocab_build": q_vocab_build,
+        "ngram_counts": q_ngram_counts,
+        "length_percentiles": q_length_percentiles,
+        "scrub_numbers": q_scrub_numbers,
+        "corpus_curate": q_corpus_curate,
+        "scrub_repetition": q_scrub_repetition,
+        "df_token_filter": q_df_token_filter,
+        "decontaminate": q_decontaminate,
+        # --- r5 window B (4): r2-only-green refresh
+        "window_min": q_window_min,
+        "window_avg": q_window_avg,
+        "hopping_window_max": q_hopping_window_max,
+        "rolling_avg": q_rolling_avg,
+        # --- r5 window C (8): guards on code touched in r4/r5
+        "dedup_clusters": q_dedup_clusters,
+        "neardup_jaccard": q_neardup_jaccard,
+        "dedup_exact": q_dedup_exact,
+        "neardup_embedding": q_neardup_embedding,
+        "similarity_topk": q_similarity_topk,
+        "streaming_window_agg": q_streaming_window_agg,
+        "streaming_interval_join": q_streaming_interval_join,
+        "streaming_dedup_wm": q_streaming_dedup_wm,
+        # --- r5 window D (12): r3-green rotation
+        "order_priority_check": xtpch.order_priority_check,
+        "cross_nation_volume": xtpch.cross_nation_volume,
+        "market_share": xtpch.market_share,
+        "product_profit": xtpch.product_profit,
+        "returned_item_revenue": xtpch.returned_item_revenue,
+        "asof_join": q_asof_join,
+        "interval_join": q_interval_join,
+        "funnel": q_funnel,
+        "cohort_retention": q_cohort_retention,
+        "interpolate_linear": q_interpolate_linear,
+        "gapfill_locf": q_gapfill_locf,
+        "time_weighted_avg": q_time_weighted_avg,
+        # ---------- position 51+: previously green, rotated out
         "lm_bigram_xent": q_lm_bigram_xent,
         "multimodal_frame_sample": q_multimodal_frame_sample,
         "salted_join": q_salted_join,
@@ -1458,16 +1534,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "trending_event_types": q_trending_event_types,
         "rolling_active_users": q_rolling_active_users,
         "revenue_share": q_revenue_share,
-        # --- repaired this round (r3's only fail: oracle HUGEINT cast)
         "priority_line_counts": xtpch.priority_line_counts,
-        # --- regression guards (22): r4 sink swap + r3 repairs + r2-only-green
-        "streaming_window_agg": q_streaming_window_agg,
         "flagship": q_flagship,
         "tokenize_encode": q_tokenize_encode,
         "sequence_pack": q_sequence_pack,
         "streaming_sessionize": q_streaming_sessionize,
-        "streaming_dedup_wm": q_streaming_dedup_wm,
-        "streaming_interval_join": q_streaming_interval_join,
         "stateful_quality_monitor": q_stateful_quality_monitor,
         "window_max": q_window_max,
         "filter_validity": q_filter_validity,
@@ -1478,17 +1549,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sessionize": q_sessionize,
         "ksql_max_table": q_ksql_max_table,
         "synthetic_sensor_stream": q_synthetic_sensor_stream,
-        "dedup_exact": q_dedup_exact,
-        "dedup_clusters": q_dedup_clusters,
-        "neardup_jaccard": q_neardup_jaccard,
-        "neardup_embedding": q_neardup_embedding,
-        "similarity_topk": q_similarity_topk,
-        # ---------- position 51+: green in r3, rotated out
-        "order_priority_check": xtpch.order_priority_check,
-        "cross_nation_volume": xtpch.cross_nation_volume,
-        "market_share": xtpch.market_share,
-        "product_profit": xtpch.product_profit,
-        "returned_item_revenue": xtpch.returned_item_revenue,
         "customer_order_distribution": xtpch.customer_order_distribution,
         "promo_revenue": xtpch.promo_revenue,
         "top_supplier": xtpch.top_supplier,
@@ -1499,18 +1559,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "waiting_supplier_blame": xtpch.waiting_supplier_blame,
         "min_cost_supplier": xtpch.min_cost_supplier,
         "important_stock": xtpch.important_stock,
-        "interpolate_linear": q_interpolate_linear,
-        "gapfill_locf": q_gapfill_locf,
-        "asof_join": q_asof_join,
-        "interval_join": q_interval_join,
         "latest_reading": q_latest_reading,
         "candlestick": q_candlestick,
         "temp_delta": q_temp_delta,
-        "time_weighted_avg": q_time_weighted_avg,
         "rate_of_change": q_rate_of_change,
         "zscore_anomaly": q_zscore_anomaly,
-        "funnel": q_funnel,
-        "cohort_retention": q_cohort_retention,
         "activity_reconcile": q_activity_reconcile,
         "scd2_history": q_scd2_history,
         "rfm_segments": q_rfm_segments,
@@ -1521,42 +1574,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_ingest": q_multimodal_ingest,
         "multimodal_resize": q_multimodal_resize,
         "status_change": q_status_change,
-        "streaming_dedup": q_streaming_dedup,
-        "streaming_enrich": q_streaming_enrich,
-        "neardup_editdist": q_neardup_editdist,
         "decontaminate_ngram": q_decontaminate_ngram,
         **(
             {"streaming_status_change": q_streaming_status_change}
             if _HAS_PROTOBUF
             else {}
         ),
-        # ---------- stable green in r2
-        "window_min": q_window_min,
-        "window_avg": q_window_avg,
-        "hopping_window_max": q_hopping_window_max,
-        "rolling_avg": q_rolling_avg,
-        "json_parse": q_json_parse,
-        "distinct_users": q_distinct_users,
-        "high_value_purchasers": q_high_value_purchasers,
-        "top_events": q_top_events,
-        "word_counts": q_word_counts,
-        "token_stats": q_token_stats,
-        "quality_score": q_quality_score,
-        "lang_id": q_lang_id,
-        "doc_fingerprint": q_doc_fingerprint,
-        "dq_report": q_dq_report,
-        "dedup_report": q_dedup_report,
-        "dataset_split": q_dataset_split,
-        "stratified_sample": q_stratified_sample,
-        "doc_chunks": q_doc_chunks,
-        "vocab_build": q_vocab_build,
-        "ngram_counts": q_ngram_counts,
-        "length_percentiles": q_length_percentiles,
-        "scrub_numbers": q_scrub_numbers,
-        "corpus_curate": q_corpus_curate,
-        "scrub_repetition": q_scrub_repetition,
-        "df_token_filter": q_df_token_filter,
-        "decontaminate": q_decontaminate,
         # ---------- rows-only by design (no oracle can grade these)
         "neardup_minhash": q_neardup_minhash,
         "simhash": q_simhash,
@@ -1574,6 +1597,30 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 _SENSOR_FLAT = (
     'SELECT id, "messageId", "timestamp", temperature, humidity FROM sensor'
 )
+
+_CLUSTERS_ORACLE = """
+            WITH RECURSIVE
+            d AS (SELECT doc_id, text FROM documents WHERE doc_id < 2000),
+            t AS (SELECT doc_id, string_split(text, ' ') AS w FROM d),
+            idx AS (SELECT doc_id, w, unnest(range(1, len(w) - 1)) AS i FROM t),
+            sh AS (SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS g
+                   FROM idx),
+            sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+            inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+                      FROM sh a JOIN sh b ON a.g = b.g AND a.doc_id < b.doc_id
+                      GROUP BY 1, 2),
+            jp AS (SELECT doc_a, doc_b
+                   FROM inter JOIN sz sa ON sa.doc_id = doc_a
+                              JOIN sz sb ON sb.doc_id = doc_b
+                   WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= 0.5),
+            e AS (SELECT doc_a AS a, doc_b AS b FROM jp
+                  UNION SELECT doc_b, doc_a FROM jp),
+            reach(node, label) AS (
+              SELECT doc_id, doc_id FROM d
+              UNION
+              SELECT e.b, r.label FROM reach r JOIN e ON r.node = e.a)
+            SELECT node AS doc_id, min(label) AS cluster_id
+            FROM reach GROUP BY node"""
 
 _JACCARD_ORACLE = """
 WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents
@@ -1878,29 +1925,11 @@ def oracle_sql() -> dict[str, str]:
             FROM base b
             LEFT JOIN nd ON b.doc_id = nd.doc_id
             LEFT JOIN ed ON b.doc_id = ed.id""",
-        "dedup_clusters": """
-            WITH RECURSIVE
-            d AS (SELECT doc_id, text FROM documents WHERE doc_id < 2000),
-            t AS (SELECT doc_id, string_split(text, ' ') AS w FROM d),
-            idx AS (SELECT doc_id, w, unnest(range(1, len(w) - 1)) AS i FROM t),
-            sh AS (SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS g
-                   FROM idx),
-            sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
-            inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
-                      FROM sh a JOIN sh b ON a.g = b.g AND a.doc_id < b.doc_id
-                      GROUP BY 1, 2),
-            jp AS (SELECT doc_a, doc_b
-                   FROM inter JOIN sz sa ON sa.doc_id = doc_a
-                              JOIN sz sb ON sb.doc_id = doc_b
-                   WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= 0.5),
-            e AS (SELECT doc_a AS a, doc_b AS b FROM jp
-                  UNION SELECT doc_b, doc_a FROM jp),
-            reach(node, label) AS (
-              SELECT doc_id, doc_id FROM d
-              UNION
-              SELECT e.b, r.label FROM reach r JOIN e ON r.node = e.a)
-            SELECT node AS doc_id, min(label) AS cluster_id
-            FROM reach GROUP BY node""",
+        "dedup_clusters": _CLUSTERS_ORACLE,
+        # verified-LSH pairs == exact J>=0.5 pairs on this corpus
+        # (banding recall 1 at the fixture's J>=0.89 dup density) —
+        # same reachability closure grades both feeds.
+        "dedup_clusters_lsh": _CLUSTERS_ORACLE,
         "dataset_split": """
             WITH b AS (SELECT doc_id, lang,
                               ((doc_id % 1000003) * 2654435761) % 1000 AS bucket

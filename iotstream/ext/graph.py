@@ -17,8 +17,15 @@ co-located; driver sees only the scalar convergence count per round.
 
 from __future__ import annotations
 
+import warnings
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+
+class ConvergenceWarning(UserWarning):
+    """Raised (as a warning) when an iterative operator exits its
+    round budget before reaching a fixed point."""
 
 
 def connected_components(
@@ -54,6 +61,7 @@ def connected_components(
         .persist()
     )
     labels = nodes.select(F.col(node).alias("node"), F.col(node).alias("label"))
+    changed = 0
     try:
         for _ in range(max_iter):
             nbr = (
@@ -83,4 +91,17 @@ def connected_components(
                 break
     finally:
         adj.unpersist()
+    if changed > 0:
+        # Labels were still moving when the round budget ran out: some
+        # components are split too fine (never wrongly merged — labels
+        # only decrease toward the true min). Silent under-merge is a
+        # data-quality bug at scale, so say it out loud.
+        warnings.warn(
+            f"connected_components stopped after max_iter={max_iter} rounds "
+            f"with {changed} labels still changing — components may be "
+            "split too fine (never wrongly merged). Raise max_iter or use "
+            "a pointer-doubling formulation for graphs this deep.",
+            ConvergenceWarning,
+            stacklevel=2,
+        )
     return labels.select("node", F.col("label").alias("cluster_id"))
