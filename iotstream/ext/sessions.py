@@ -63,12 +63,10 @@ def run_session_window_final(
     full-precision microsecond gap is STRICTLY greater than the
     threshold; session_end = last event + gap.
     """
-    import tempfile
-
-    from iotstream.streaming import run_available_now
+    from iotstream.streaming import ephemeral_dir, run_available_now
 
     agg = session_window_stream(stream, key=key, gap=gap, watermark=watermark)
-    out = tempfile.mkdtemp(prefix="iotstream-sessions-")
+    out = ephemeral_dir("iotstream-sessions-")
 
     def _overwrite(df, _epoch):
         df.write.mode("overwrite").parquet(out)

@@ -108,10 +108,10 @@ class ParquetUpsertSink:
     with no rows ever collected to the driver."""
 
     def __init__(self, key_cols: list[str], path: str | None = None):
-        import tempfile
+        from iotstream.streaming import ephemeral_dir
 
         self.key_cols = key_cols
-        self.path = path or tempfile.mkdtemp(prefix="iotstream-upsert-")
+        self.path = path or ephemeral_dir("iotstream-upsert-")
         self._got_batch = False
 
     def writer(self) -> Callable[[DataFrame, int], None]:

@@ -19,10 +19,24 @@
 
 from __future__ import annotations
 
+import os
 import tempfile
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+
+
+def ephemeral_dir(prefix: str) -> str:
+    """Scratch dir for ONE-SHOT drains (checkpoints/spill sinks that
+    are read back once and never revisited): prefer tmpfs (/dev/shm)
+    so per-micro-batch commit fsyncs never hit disk — durability buys
+    nothing for a throwaway dir, and the commit-log fsync is a fixed
+    per-batch cost on every drained test/bench query. Durable
+    production queries pass their own ``checkpointLocation`` and are
+    unaffected."""
+    shm = "/dev/shm"
+    base = shm if os.path.isdir(shm) and os.access(shm, os.W_OK) else None
+    return tempfile.mkdtemp(prefix=prefix, dir=base)
 
 from iotstream.operators.windows import tumbling_agg
 from iotstream.sinks import ParquetUpsertSink
@@ -36,7 +50,7 @@ def run_available_now(writer, checkpoint: str | None = None):
     """Start a writeStream with availableNow trigger and block until all
     available input is processed. Returns the finished query."""
     if checkpoint is None:
-        checkpoint = tempfile.mkdtemp(prefix="iotstream-ckpt-")
+        checkpoint = ephemeral_dir("iotstream-ckpt-")
     q = (
         writer.option("checkpointLocation", checkpoint)
         .trigger(availableNow=True)

@@ -21,13 +21,15 @@ Scale notes (100 TB / 1000 executors):
 
 from __future__ import annotations
 
-import tempfile
-
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from iotstream.sinks import ParquetUpsertSink
-from iotstream.streaming import UNBOUNDED_WATERMARK, run_available_now
+from iotstream.streaming import (
+    UNBOUNDED_WATERMARK,
+    ephemeral_dir,
+    run_available_now,
+)
 
 
 def enrich_against_dim_final(
@@ -76,7 +78,7 @@ def interval_join_pairs(
         & (F.col(right_ts) <= F.col(left_ts) + F.expr(max_gap))
     )
     joined = lw.join(rw, cond, "inner").drop(rw[key])
-    out_dir = tempfile.mkdtemp(prefix="iotstream-ssj-")
+    out_dir = ephemeral_dir("iotstream-ssj-")
     writer = (
         joined.writeStream.outputMode("append")
         .format("parquet")
