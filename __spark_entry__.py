@@ -1503,10 +1503,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "interval_join": q_interval_join,
         "funnel": q_funnel,
         "cohort_retention": q_cohort_retention,
+        "streaming_sessionize": q_streaming_sessionize,
+        "stateful_quality_monitor": q_stateful_quality_monitor,
+        "sessionize": q_sessionize,
+        # ---------- position 51+: previously green, rotated out
         "interpolate_linear": q_interpolate_linear,
         "gapfill_locf": q_gapfill_locf,
         "time_weighted_avg": q_time_weighted_avg,
-        # ---------- position 51+: previously green, rotated out
         "lm_bigram_xent": q_lm_bigram_xent,
         "multimodal_frame_sample": q_multimodal_frame_sample,
         "salted_join": q_salted_join,
@@ -1538,15 +1541,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "flagship": q_flagship,
         "tokenize_encode": q_tokenize_encode,
         "sequence_pack": q_sequence_pack,
-        "streaming_sessionize": q_streaming_sessionize,
-        "stateful_quality_monitor": q_stateful_quality_monitor,
         "window_max": q_window_max,
         "filter_validity": q_filter_validity,
         "json_roundtrip": q_json_roundtrip,
         "clean_stream_json": q_clean_stream_json,
         "raw_archive_projection": q_raw_archive_projection,
         "throughput_count": q_throughput_count,
-        "sessionize": q_sessionize,
         "ksql_max_table": q_ksql_max_table,
         "synthetic_sensor_stream": q_synthetic_sensor_stream,
         "customer_order_distribution": xtpch.customer_order_distribution,

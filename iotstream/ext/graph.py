@@ -35,6 +35,7 @@ def connected_components(
     dst: str = "dst",
     node: str = "node",
     max_iter: int = 25,
+    shortcut: bool = False,
 ) -> DataFrame:
     """Label every node with the MIN node id reachable from it.
 
@@ -50,9 +51,17 @@ def connected_components(
     diameter rounds: past ``max_iter`` this returns the partially
     propagated labels — components are then split too fine, never
     merged wrongly (labels only ever decrease toward the true min).
-    Raise ``max_iter`` or switch to a pointer-doubling formulation
-    (O(log d) rounds, at 2× the join width) if diameters that deep are
-    expected.
+
+    ``shortcut=True`` adds a pointer-doubling step per round — after
+    propagating over edges, each node also adopts its LABEL'S label
+    (label chains halve every round, the classic parallel-CC
+    shortcutting trick), so rounds drop from O(diameter) to
+    O(log diameter) at the cost of one extra self-join on the label
+    key per round. Same fixed point, same monotone-decrease invariant
+    (a node's label is always the id of some node in its own
+    component, so shortcutting can never cross components). Use it
+    when deep chains are plausible; the default single-join form wins
+    on the shallow graphs near-dup detection actually produces.
     """
     adj = (
         edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
@@ -70,21 +79,39 @@ def connected_components(
                 .agg(F.min("label").alias("nbr_label"))
             )
             # The convergence flag rides along in the propagation select
-            # (labels only ever DECREASE, so changed ⟺ nbr_label < label)
-            # and is counted off the already-materialized checkpoint — no
-            # extra old-vs-new join per round.
-            new_labels = (
-                labels.join(nbr, labels["node"] == nbr["b"], "left")
-                .select(
-                    labels["node"],
-                    F.least(
-                        labels["label"],
-                        F.coalesce(F.col("nbr_label"), labels["label"]),
-                    ).alias("label"),
-                    (F.col("nbr_label") < labels["label"]).alias("_changed"),
-                )
-                .localCheckpoint()  # materialize: bounded lineage per round
+            # (labels only ever DECREASE, so changed ⟺ new < old) and is
+            # counted off the already-materialized checkpoint — no extra
+            # old-vs-new join per round.
+            prop = labels.join(nbr, labels["node"] == nbr["b"], "left").select(
+                labels["node"],
+                labels["label"].alias("_old"),
+                F.least(
+                    labels["label"],
+                    F.coalesce(F.col("nbr_label"), labels["label"]),
+                ).alias("label"),
             )
+            if shortcut:
+                # Pointer doubling: adopt label(label). The label table
+                # covers every node, so the lookup join is an equi-join
+                # on the label key; left + coalesce guards the (already
+                # minimal) nodes whose label row carries no improvement.
+                lab2 = prop.select(
+                    F.col("node").alias("_ln"), F.col("label").alias("_ll")
+                )
+                prop = prop.join(
+                    lab2, prop["label"] == lab2["_ln"], "left"
+                ).select(
+                    "node",
+                    "_old",
+                    F.least(
+                        F.col("label"), F.coalesce("_ll", "label")
+                    ).alias("label"),
+                )
+            new_labels = prop.select(
+                "node",
+                "label",
+                (F.col("label") < F.col("_old")).alias("_changed"),
+            ).localCheckpoint()  # materialize: bounded lineage per round
             changed = new_labels.filter(F.col("_changed")).count()
             labels = new_labels.drop("_changed")
             if changed == 0:
@@ -99,8 +126,9 @@ def connected_components(
         warnings.warn(
             f"connected_components stopped after max_iter={max_iter} rounds "
             f"with {changed} labels still changing — components may be "
-            "split too fine (never wrongly merged). Raise max_iter or use "
-            "a pointer-doubling formulation for graphs this deep.",
+            "split too fine (never wrongly merged). Raise max_iter or pass "
+            "shortcut=True (pointer doubling, O(log diameter) rounds) for "
+            "graphs this deep.",
             ConvergenceWarning,
             stacklevel=2,
         )
