@@ -1444,8 +1444,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     rewritten in r4 but last graded r2) plus the new dedup_clusters_lsh
     composition, the four r2-only-green window aggregates, eight
     regression guards on code touched in r4/r5 (dedup/similarity
-    kernels, graph convergence warning, streaming sink swap), and a
-    twelve-query r3 rotation so no green verdict ages past two rounds.
+    kernels, graph convergence warning, streaming sink swap), a
+    nine-query r3 rotation, and the three streaming queries whose
+    scratch-dir plumbing moved to tmpfs this round — so no green
+    verdict ages past two rounds.
     Previously-green-stable queries follow; oracle-less rows-only
     entries are last so they never occupy a gradeable slot."""
     return {
