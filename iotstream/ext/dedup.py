@@ -245,19 +245,26 @@ def dedup_report(
     emb: DataFrame,
     jaccard_threshold: float = 0.5,
     cosine_threshold: float = 0.4,
+    blocked: bool = False,
 ) -> DataFrame:
     """Composed per-document dedup decision sheet: exact-dup canonical
     assignment + near-dup flags from BOTH text (shingle Jaccard) and
     embedding (cosine) channels — what a curation pipeline actually
     consumes (one verdict per doc, not three pair lists).
 
-    Correctness composition of the exact kernels; at 100 TB swap the
-    two pair generators for their blocked twins (neardup_minhash /
-    neardup_embedding_lsh) — the report shape is unchanged.
+    ``blocked=False`` composes the exact kernels (the oracle path);
+    ``blocked=True`` swaps both pair generators for their blocked
+    100 TB twins — MinHash+LSH-candidates→exact-verify for text and
+    hyperplane-LSH-buckets→BLAS-verify for embeddings — with the
+    report shape unchanged. Both twins verify candidates with the
+    same exact predicate, so blocked flags are always a SUBSET of the
+    exact ones (no false positives), equal whenever banding recall is
+    1 — `tests/test_ext_dedup.py` asserts text-channel equality and
+    ≥0.9 embedding-channel recall on the fixture corpus.
     """
     from pyspark.sql import Window
 
-    from iotstream.ext.similarity import neardup_embedding
+    from iotstream.ext.similarity import neardup_embedding, neardup_embedding_lsh
 
     # canonical via min-over-key window: one scan + one shuffle, no
     # groupBy-then-join-back second scan of the corpus. The window key
@@ -271,14 +278,20 @@ def dedup_report(
         canonical.alias("canonical_id"),
         (F.col("doc_id") != canonical).alias("is_exact_dup"),
     )
-    jp = neardup_jaccard_exact(docs, threshold=jaccard_threshold)
+    if blocked:
+        jp = neardup_minhash(docs, threshold=jaccard_threshold)
+    else:
+        jp = neardup_jaccard_exact(docs, threshold=jaccard_threshold)
     near = (
         jp.select(F.col("doc_a").alias("doc_id"))
         .union(jp.select("doc_b"))
         .distinct()
         .withColumn("has_near_dup", F.lit(True))
     )
-    ep = neardup_embedding(emb, threshold=cosine_threshold)
+    if blocked:
+        ep = neardup_embedding_lsh(emb, threshold=cosine_threshold)
+    else:
+        ep = neardup_embedding(emb, threshold=cosine_threshold)
     embd = (
         ep.select(F.col("id_a").alias("doc_id"))
         .union(ep.select("id_b"))

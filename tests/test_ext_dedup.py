@@ -85,3 +85,37 @@ def test_simhash_separates_neardups_from_random_pairs(spark):
     avg_near = sum(near) / len(near)
     avg_rand = sum(rand) / len(rand)
     assert avg_near < avg_rand - 4, (avg_near, avg_rand)
+
+
+def test_dedup_report_blocked_equals_exact(spark):
+    """The 100 TB report path: blocked=True swaps both pair generators
+    for their LSH twins (MinHash+LSH text, hyperplane-LSH embedding),
+    each verifying candidates with the exact predicate. On the fixture
+    corpus the text channel matches the exact report exactly (dups sit
+    at J>=0.89, banding recall 1); the probabilistic embedding channel
+    must flag a subset of the exact flags (verify rejects any false
+    candidate) at >=0.9 doc-level recall."""
+    from iotstream.ext.dedup import dedup_report
+    from pyspark.sql import functions as F
+
+    docs = load_table(spark, SF_DIR, "documents").filter(F.col("doc_id") < 2000)
+    emb = load_table(spark, SF_DIR, "embeddings").filter(F.col("vec_id") < 2000)
+
+    def rows(df):
+        return {r.doc_id: tuple(r) for r in df.collect()}
+
+    exact = rows(dedup_report(docs, emb))
+    blocked = rows(dedup_report(docs, emb, blocked=True))
+    assert blocked.keys() == exact.keys()
+    # doc_id, canonical_id, is_exact_dup, has_near_dup identical
+    assert {k: v[:4] for k, v in blocked.items()} == {
+        k: v[:4] for k, v in exact.items()
+    }
+    # embedding channel: no false positives, bounded false negatives
+    exact_flagged = {k for k, v in exact.items() if v[4]}
+    blocked_flagged = {k for k, v in blocked.items() if v[4]}
+    assert blocked_flagged <= exact_flagged
+    assert len(blocked_flagged) >= 0.9 * len(exact_flagged)
+    # the sheet is non-trivial: fixture has near-dups on both channels
+    assert any(v[3] for v in exact.values())
+    assert exact_flagged
