@@ -103,11 +103,25 @@ def minhash_signature(exploded: DataFrame, num_hashes: int = 32) -> DataFrame:
     )
 
 
-def lsh_candidate_pairs(signed: DataFrame, bands: int = 8) -> DataFrame:
+def lsh_candidate_pairs(
+    signed: DataFrame, bands: int = 8, max_bucket: int | None = None
+) -> DataFrame:
     """Band the signature and emit candidate pairs per matching band
     bucket. Shuffle key = (band index, band hash): only documents that
     collide in ≥1 band are ever paired — candidate count scales with
-    true near-dup density, not corpus size²."""
+    true near-dup density, not corpus size².
+
+    ``max_bucket`` is the skew guard for the one way this goes
+    quadratic at 100 TB: a mega-bucket (a viral document duplicated
+    millions of times, or a degenerate signature) makes its
+    within-bucket join bucket²-sized. Buckets larger than the cap are
+    DROPPED from candidate generation — standard LSH-dedup practice,
+    because a bucket that size is either an exact-dup cluster (already
+    collapsed by the exact-dedup pass that should precede near-dup)
+    or hash-degenerate noise. Capped buckets trade recall only among
+    documents that collide with >max_bucket others; pairs they share
+    through OTHER bands are unaffected. Default None keeps the exact
+    semantics for oracle-graded runs."""
     rows = F.expr("size(signature)")  # rows per band = num_hashes/bands
     banded = signed.select(
         "doc_id",
@@ -120,6 +134,18 @@ def lsh_candidate_pairs(signed: DataFrame, bands: int = 8) -> DataFrame:
             )
         ).alias("bb"),
     ).select("doc_id", "bb.band", "bb.bucket")
+    if max_bucket is not None:
+        # one extra agg on the same (band, bucket) key the join shuffles
+        # on — no new shuffle shape, and the count table is tiny (one
+        # row per bucket).
+        sizes = banded.groupBy("band", "bucket").agg(
+            F.count(F.lit(1)).alias("_bsz")
+        )
+        banded = (
+            banded.join(sizes, ["band", "bucket"])
+            .filter(F.col("_bsz") <= max_bucket)
+            .drop("_bsz")
+        )
     a = banded.alias("a")
     b = banded.alias("b")
     return (
@@ -166,14 +192,19 @@ def neardup_minhash(
     threshold: float = 0.5,
     num_hashes: int = 32,
     bands: int = 8,
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """E2 scale path: MinHash+LSH candidates → exact Jaccard verify.
     With 32 hashes / 8 bands (r=4), collision prob at J=0.5 per band is
     0.5⁴=6.25% → ≥1-of-8 bands ≈ 40%;  at J=0.9 ≈ 99.6% — tune
-    bands/hashes per corpus. Returns pairs with verified J ≥ threshold."""
+    bands/hashes per corpus. Returns pairs with verified J ≥ threshold.
+    ``max_bucket`` passes through to the skew guard in
+    ``lsh_candidate_pairs``."""
     fanned = fan_out(docs)
     ex = exploded_shingles(fanned, dedup=False)  # min() ignores repeats
-    cands = lsh_candidate_pairs(minhash_signature(ex, num_hashes), bands)
+    cands = lsh_candidate_pairs(
+        minhash_signature(ex, num_hashes), bands, max_bucket=max_bucket
+    )
     j = _jaccard(cands, with_shingles(fanned))
     return j.filter(F.col("jaccard") >= threshold).select(
         "doc_a", "doc_b", F.round("jaccard", 6).alias("jaccard")

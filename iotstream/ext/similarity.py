@@ -200,6 +200,7 @@ def neardup_embedding_lsh(
     threshold: float = 0.4,
     nbits: int = 4,
     tables: int = 16,
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """E2/E3 scale path for embedding near-dup: NEVER all-pairs.
     ``tables`` independent hyperplane-LSH tables of ``nbits`` bits
@@ -209,7 +210,16 @@ def neardup_embedding_lsh(
     (1-θ/π)^nbits, across tables 1-(1-p)^L — at cosine 0.45 with
     (4 bits, 16 tables) recall ≈ 0.95 (pytest asserts vs the exact
     kernel). Work scales with Σ bucket², bounded by data density —
-    the exact kernel's N² never appears at any corpus size."""
+    the exact kernel's N² never appears at any corpus size.
+
+    ``max_bucket`` guards the Σ bucket² term against skew: a (table,
+    bucket) group bigger than the cap (mass-duplicated embedding, or a
+    region of embedding space the hyperplanes fail to split) lands in
+    ONE applyInPandas group and its verify matmul is bucket² — so
+    over-cap groups are dropped from candidate generation, same
+    rationale and trade as ``lsh_candidate_pairs``: pairs those
+    vectors share through OTHER tables still surface. Default None
+    keeps exact semantics for graded runs."""
     import numpy as np
     import pandas as pd
 
@@ -244,6 +254,17 @@ def neardup_embedding_lsh(
     tabbed = emb.select("vec_id", "embedding").mapInPandas(
         assign, schema="vec_id bigint, v array<double>, t int, bucket bigint"
     )
+    if max_bucket is not None:
+        # same (t, bucket) key the applyInPandas groups on — one extra
+        # agg, no new shuffle shape; the size table is one row/bucket.
+        sizes = tabbed.groupBy("t", "bucket").agg(
+            F.count(F.lit(1)).alias("_bsz")
+        )
+        tabbed = (
+            tabbed.join(sizes, ["t", "bucket"])
+            .filter(F.col("_bsz") <= max_bucket)
+            .drop("_bsz")
+        )
 
     def block(pdf: pd.DataFrame) -> pd.DataFrame:
         ids = pdf["vec_id"].to_numpy()

@@ -119,3 +119,58 @@ def test_dedup_report_blocked_equals_exact(spark):
     # the sheet is non-trivial: fixture has near-dups on both channels
     assert any(v[3] for v in exact.values())
     assert exact_flagged
+
+
+def test_lsh_max_bucket_drops_mega_buckets_only(spark):
+    """Skew guard: a mass-duplicated document floods every band bucket
+    it touches; with max_bucket set those buckets stop generating
+    candidates, while pairs in small buckets are untouched."""
+    from pyspark.sql import functions as F
+
+    from iotstream.ext.dedup import (
+        exploded_shingles,
+        fan_out,
+        lsh_candidate_pairs,
+        minhash_signature,
+    )
+
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    rows = [(i, base) for i in range(40)]  # 40 identical docs → mega bucket
+    rows += [
+        (100, "one two three four five six seven eight nine ten"),
+        (101, "one two three four five six seven eight nine eleven"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id bigint, text string")
+    signed = minhash_signature(exploded_shingles(fan_out(docs), dedup=False))
+
+    unguarded = lsh_candidate_pairs(signed).collect()
+    guarded = lsh_candidate_pairs(signed, max_bucket=10).collect()
+    mega = {(r.doc_a, r.doc_b) for r in unguarded if r.doc_a < 100}
+    small = {(r.doc_a, r.doc_b) for r in unguarded if r.doc_a >= 100}
+    assert len(mega) == 40 * 39 // 2  # unguarded: full quadratic blow-up
+    gm = {(r.doc_a, r.doc_b) for r in guarded if r.doc_a < 100}
+    gs = {(r.doc_a, r.doc_b) for r in guarded if r.doc_a >= 100}
+    assert not gm  # mega bucket suppressed
+    assert gs == small  # small-bucket pairs untouched
+
+
+def test_embedding_lsh_max_bucket_guard(spark):
+    """Same guard on the embedding path: over-cap (table, bucket)
+    groups stop pairing; under-cap dup pairs survive."""
+    from iotstream.ext.similarity import neardup_embedding_lsh
+
+    # 30 identical vectors (mega bucket in every table) + one close
+    # pair pointing the other way
+    rows = [(i, [1.0, 0.0, 0.0, 0.0]) for i in range(30)]
+    rows += [(100, [0.0, 1.0, 0.05, 0.0]), (101, [0.0, 1.0, 0.0, 0.05])]
+    emb = spark.createDataFrame(rows, "vec_id bigint, embedding array<double>")
+    unguarded = {
+        (r.id_a, r.id_b)
+        for r in neardup_embedding_lsh(emb, threshold=0.9).collect()
+    }
+    guarded = {
+        (r.id_a, r.id_b)
+        for r in neardup_embedding_lsh(emb, threshold=0.9, max_bucket=10).collect()
+    }
+    assert (100, 101) in unguarded and len(unguarded) > 1
+    assert guarded == {(100, 101)}
