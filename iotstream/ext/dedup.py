@@ -135,14 +135,16 @@ def lsh_candidate_pairs(
         ).alias("bb"),
     ).select("doc_id", "bb.band", "bb.bucket")
     if max_bucket is not None:
-        # one extra agg on the same (band, bucket) key the join shuffles
-        # on — no new shuffle shape, and the count table is tiny (one
-        # row per bucket).
-        sizes = banded.groupBy("band", "bucket").agg(
-            F.count(F.lit(1)).alias("_bsz")
-        )
+        # Window count over the (band, bucket) partition the pair join
+        # shuffles on anyway: ONE pass over the banded rows — an
+        # agg+join-back would re-evaluate the whole minhash lineage for
+        # the count side, a full extra corpus scan at the scale this
+        # guard exists for.
+        from pyspark.sql import Window
+
+        _bsz = F.count(F.lit(1)).over(Window.partitionBy("band", "bucket"))
         banded = (
-            banded.join(sizes, ["band", "bucket"])
+            banded.withColumn("_bsz", _bsz)
             .filter(F.col("_bsz") <= max_bucket)
             .drop("_bsz")
         )

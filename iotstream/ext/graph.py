@@ -70,7 +70,7 @@ def connected_components(
         .persist()
     )
     labels = nodes.select(F.col(node).alias("node"), F.col(node).alias("label"))
-    changed = 0
+    converged = False
     try:
         for _ in range(max_iter):
             nbr = (
@@ -115,18 +115,23 @@ def connected_components(
             changed = new_labels.filter(F.col("_changed")).count()
             labels = new_labels.drop("_changed")
             if changed == 0:
+                converged = True
                 break
     finally:
         adj.unpersist()
-    if changed > 0:
-        # Labels were still moving when the round budget ran out: some
-        # components are split too fine (never wrongly merged — labels
-        # only decrease toward the true min). Silent under-merge is a
-        # data-quality bug at scale, so say it out loud.
+    if not converged:
+        # A fixed point was never OBSERVED within the round budget
+        # (labels moved in the final round, or max_iter <= 0 ran no
+        # rounds at all): components MAY be split too fine — never
+        # wrongly merged, labels only decrease toward the true min.
+        # If the graph's diameter is exactly max_iter this is a false
+        # alarm (the last round did converge, unverifiably so without
+        # one more round); silent under-merge at scale is the worse
+        # failure, so warn on the uncertainty.
         warnings.warn(
-            f"connected_components stopped after max_iter={max_iter} rounds "
-            f"with {changed} labels still changing — components may be "
-            "split too fine (never wrongly merged). Raise max_iter or pass "
+            f"connected_components finished max_iter={max_iter} rounds "
+            "without observing a fixed point — components may be split "
+            "too fine (never wrongly merged). Raise max_iter or pass "
             "shortcut=True (pointer doubling, O(log diameter) rounds) for "
             "graphs this deep.",
             ConvergenceWarning,

@@ -255,13 +255,14 @@ def neardup_embedding_lsh(
         assign, schema="vec_id bigint, v array<double>, t int, bucket bigint"
     )
     if max_bucket is not None:
-        # same (t, bucket) key the applyInPandas groups on — one extra
-        # agg, no new shuffle shape; the size table is one row/bucket.
-        sizes = tabbed.groupBy("t", "bucket").agg(
-            F.count(F.lit(1)).alias("_bsz")
-        )
+        # Window count over the (t, bucket) partition applyInPandas
+        # groups on anyway: one pass — an agg+join-back would run the
+        # mapInPandas hyperplane assignment twice.
+        from pyspark.sql import Window
+
+        _bsz = F.count(F.lit(1)).over(Window.partitionBy("t", "bucket"))
         tabbed = (
-            tabbed.join(sizes, ["t", "bucket"])
+            tabbed.withColumn("_bsz", _bsz)
             .filter(F.col("_bsz") <= max_bucket)
             .drop("_bsz")
         )

@@ -26,16 +26,30 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 
+#: Don't place scratch on tmpfs unless this much is free: drain sinks
+#: hold real (read-back-once) parquet output, and a container-default
+#: 64 MB /dev/shm would ENOSPC queries that worked fine on /tmp.
+_SHM_MIN_FREE = 8 << 30
+
+
 def ephemeral_dir(prefix: str) -> str:
     """Scratch dir for ONE-SHOT drains (checkpoints/spill sinks that
     are read back once and never revisited): prefer tmpfs (/dev/shm)
     so per-micro-batch commit fsyncs never hit disk — durability buys
     nothing for a throwaway dir, and the commit-log fsync is a fixed
-    per-batch cost on every drained test/bench query. Durable
-    production queries pass their own ``checkpointLocation`` and are
-    unaffected."""
+    per-batch cost on every drained test/bench query. Falls back to
+    the normal temp dir when /dev/shm is missing, read-only, or too
+    small (Docker defaults it to 64 MB). Durable production queries
+    pass their own ``checkpointLocation`` and are unaffected."""
     shm = "/dev/shm"
-    base = shm if os.path.isdir(shm) and os.access(shm, os.W_OK) else None
+    base = None
+    if os.path.isdir(shm) and os.access(shm, os.W_OK):
+        try:
+            st = os.statvfs(shm)
+            if st.f_bavail * st.f_frsize >= _SHM_MIN_FREE:
+                base = shm
+        except OSError:
+            pass
     return tempfile.mkdtemp(prefix=prefix, dir=base)
 
 from iotstream.operators.windows import tumbling_agg

@@ -36,6 +36,8 @@ def _load(path: str) -> dict[str, float]:
     data = json.load(open(path))
     if "parsed" in data:  # driver capture wraps the stdout line
         data = data["parsed"] or {}  # None when the capture truncated
+    # bench.py records -1.0 for errored queries: keep the sentinel out
+    # of the min()/ratio math but surface it as ERRORED.
     return dict(data.get("queries") or {})
 
 
@@ -63,9 +65,16 @@ def main() -> int:
         vals = series[q]
         latest_col = next(c for c in reversed(cols) if c in vals)
         latest = vals[latest_col]
-        prior = [v for c, v in vals.items() if c != latest_col and v is not None]
+        prior = [
+            v
+            for c, v in vals.items()
+            if c != latest_col and v is not None and v >= 0
+        ]
         note = ""
-        if not prior:
+        if latest < 0:
+            note = "ERRORED (latest run)"
+            flagged += 1
+        elif not prior:
             note = "new"
         else:
             best = min(prior)

@@ -113,8 +113,12 @@ def _modules_used(
             frontier.add(dotted)
     for helper, src in helper_srcs.items():
         if re.search(rf"\b{re.escape(helper)}\(", func_src):
-            frontier |= _modules_used(src, aliases, {})
+            # helper bodies contribute DOTTED names to the frontier
+            # (same scan as the function source), never file paths
             frontier.update(re.findall(r"from (iotstream[\w.]*) import", src))
+            for alias, dotted in aliases.items():
+                if re.search(rf"\b{re.escape(alias)}\b", src):
+                    frontier.add(dotted)
     for dotted in frontier:
         f = _module_file(dotted) or _module_file(
             dotted.rsplit(".", 1)[0] if "." in dotted else dotted
@@ -208,9 +212,12 @@ def main() -> int:
             _func_source(entry_now, fname) if fname != "<lambda>" else None
         ) or ""
         reasons = []
-        if fname != "<lambda>" and rn in entry_then:
+        if fname != "<lambda>" and fsrc_now and rn in entry_then:
             fsrc_then = _func_source(entry_then[rn], fname)
-            if fsrc_then is not None and fsrc_then != fsrc_now:
+            # None = the function did not exist under this name at the
+            # grading round (renamed/new implementation) — that IS a
+            # change, not a pass.
+            if fsrc_then != fsrc_now:
                 reasons.append("entry fn changed")
         mods = _modules_used(fsrc_now, aliases, helper_srcs)
         # Queries registered as module-level functions (e.g. the TPC-H
