@@ -22,10 +22,18 @@ def fan_out(df: DataFrame) -> DataFrame:
     """Small single-file fixture scans arrive as ONE partition, which
     serializes every CPU-bound derivation downstream onto one core.
     Round-robin repartition to the session's parallelism first — the
-    shuffle is tiny next to the shingle/hash work it parallelizes. (At
-    real scale the scan already has thousands of splits and this is a
-    no-op choice, governed by spark.sql.files.maxPartitionBytes.)"""
-    return df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+    shuffle is tiny next to the shingle/hash work it parallelizes.
+
+    GUARDED: only fans out when the scan actually has fewer splits
+    than the session's parallelism. At real scale the scan already has
+    thousands of splits (governed by spark.sql.files.maxPartitionBytes)
+    and an unconditional ``repartition`` would be a full-corpus shuffle
+    for nothing. The split count comes from driver-side file listing
+    (``.rdd.getNumPartitions()`` on a pure scan/filter plan — no job)."""
+    parallelism = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() >= parallelism:
+        return df
+    return df.repartition(parallelism)
 
 
 def dedup_exact(docs: DataFrame, key: str = "text") -> DataFrame:
