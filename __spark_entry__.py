@@ -1335,9 +1335,11 @@ def q_status_change(spark, sf_dir):
 
 
 def q_ewma_smooth(spark, sf_dir):
-    """applyInPandas recursive smoother — no SQL twin (the recursion is
-    inexpressible in DuckDB SQL short of a recursive CTE per row);
-    rows-only driver check, exact parity vs pandas in pytest."""
+    """mapInPandas recursive smoother, oracle-checked: the DuckDB twin
+    replays the identical IEEE recursion via a recursive CTE (pandas
+    ewm(adjust=False) normalizes by 0.8+0.2 == exactly 1.0, so both
+    engines compute 0.8*prev + 0.2*x in the same order); exact pandas
+    parity also covered in pytest."""
     from iotstream.ext.temporal import ewma_smooth
 
     return ewma_smooth(_sensor(spark, sf_dir))
@@ -1500,7 +1502,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cross_nation_volume": xtpch.cross_nation_volume,
         "market_share": xtpch.market_share,
         "product_profit": xtpch.product_profit,
-        "returned_item_revenue": xtpch.returned_item_revenue,
+        "ewma_smooth": q_ewma_smooth,
         "asof_join": q_asof_join,
         "interval_join": q_interval_join,
         "funnel": q_funnel,
@@ -1509,6 +1511,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stateful_quality_monitor": q_stateful_quality_monitor,
         "sessionize": q_sessionize,
         # ---------- position 51+: previously green, rotated out
+        "returned_item_revenue": xtpch.returned_item_revenue,
         "interpolate_linear": q_interpolate_linear,
         "gapfill_locf": q_gapfill_locf,
         "time_weighted_avg": q_time_weighted_avg,
@@ -1592,7 +1595,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_features": q_multimodal_features,
         "hll_distinct": q_hll_distinct,
         "quantile_sketch": q_quantile_sketch,
-        "ewma_smooth": q_ewma_smooth,
     }
 
 
@@ -2461,8 +2463,28 @@ def oracle_sql() -> dict[str, str]:
              AND a.doc_id < b.doc_id
              AND abs(a.n_chars - b.n_chars) <= 10
             WHERE levenshtein(a.prefix, b.prefix) <= 10""",
-        # ewma_smooth: recursive smoother, not SQL-expressible — rows-only
-        # by design; exact pandas parity in tests/test_ext_temporal.py.
+        # ewma_smooth: the recursion replays exactly in a recursive CTE —
+        # pandas ewm(adjust=False) computes (0.8*prev + 0.2*x)/(0.8+0.2)
+        # where the denominator is exactly 1.0 in IEEE double, so the
+        # same-order SQL arithmetic is bit-identical (verified at
+        # sf0.001/0.01/0.1); round(6) on both sides.
+        "ewma_smooth": f"""
+            WITH RECURSIVE sensor AS ({cte}),
+            o AS (SELECT id, "messageId", ts, temperature,
+                         row_number() OVER (PARTITION BY id
+                                            ORDER BY ts, "messageId") AS rn
+                  FROM sensor),
+            r(id, "messageId", ts, temperature, rn, s) AS (
+              SELECT id, "messageId", ts, temperature, rn,
+                     CAST(temperature AS DOUBLE)
+              FROM o WHERE rn = 1
+              UNION ALL
+              SELECT o.id, o."messageId", o.ts, o.temperature, o.rn,
+                     (1 - 0.2) * r.s + 0.2 * CAST(o.temperature AS DOUBLE)
+              FROM o JOIN r ON o.id = r.id AND o.rn = r.rn + 1)
+            SELECT id, "messageId", ts, temperature,
+                   round(s, 6) AS ewma_t
+            FROM r""",
         "status_change": f"""
             WITH sensor AS ({cte}),
             s AS (SELECT id, ts, "messageId",
