@@ -585,6 +585,10 @@ def q_multimodal_ingest(spark, sf_dir):
 
 
 def q_multimodal_decode(spark, sf_dir):
+    """Arrow-batched decode pass (deterministic fake codec), oracle-
+    checked: the stand-in derives dimensions from payload byte length,
+    and fixture payloads are ASCII (n_bytes == n_chars), so the DuckDB
+    twin is plain length arithmetic."""
     media = attach_media(load_table(spark, sf_dir, "documents"))
     return decode_media(media, fake=True)
 
@@ -1107,10 +1111,14 @@ def q_multimodal_resize(spark, sf_dir):
 
 def q_multimodal_features(spark, sf_dir):
     """Arrow-batched byte-histogram features per payload (the real
-    feature-extract slot; engine-side numpy, rows-only check with exact
-    numpy parity in pytest)."""
+    feature-extract slot; engine-side numpy). The declared projection
+    posexplodes the 16-bin array to (doc_id, bin, feature) scalar rows
+    so the driver can hash it; the oracle recomputes the histogram from
+    ASCII char codes with the kernel's half-up 6-decimal rounding."""
     docs = load_table(spark, sf_dir, "documents")
-    return extract_features(attach_media(docs))
+    return extract_features(attach_media(docs)).select(
+        "doc_id", F.posexplode("features").alias("bin", "feature")
+    )
 
 
 def q_multimodal_frame_sample(spark, sf_dir):
@@ -1446,8 +1454,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     rewritten in r4 but last graded r2) plus the new dedup_clusters_lsh
     composition, the four r2-only-green window aggregates, eight
     regression guards on code touched in r4/r5 (dedup/similarity
-    kernels, graph convergence warning, streaming sink swap), a
-    nine-query r3 rotation, and the three streaming queries whose
+    kernels, graph convergence warning, streaming sink swap), the
+    three queries newly graduated from rows-only to oracle-graded
+    this round (ewma_smooth, multimodal_decode, multimodal_features),
+    a six-query r3 rotation, and the three streaming queries whose
     scratch-dir plumbing moved to tmpfs this round — so no green
     verdict ages past two rounds.
     Previously-green-stable queries follow; oracle-less rows-only
@@ -1499,9 +1509,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_dedup_wm": q_streaming_dedup_wm,
         # --- r5 window D (12): r3-green rotation
         "order_priority_check": xtpch.order_priority_check,
-        "cross_nation_volume": xtpch.cross_nation_volume,
+        "multimodal_decode": q_multimodal_decode,
         "market_share": xtpch.market_share,
-        "product_profit": xtpch.product_profit,
+        "multimodal_features": q_multimodal_features,
         "ewma_smooth": q_ewma_smooth,
         "asof_join": q_asof_join,
         "interval_join": q_interval_join,
@@ -1511,6 +1521,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stateful_quality_monitor": q_stateful_quality_monitor,
         "sessionize": q_sessionize,
         # ---------- position 51+: previously green, rotated out
+        "product_profit": xtpch.product_profit,
+        "cross_nation_volume": xtpch.cross_nation_volume,
         "returned_item_revenue": xtpch.returned_item_revenue,
         "interpolate_linear": q_interpolate_linear,
         "gapfill_locf": q_gapfill_locf,
@@ -1591,8 +1603,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "similarity_topk_lsh": q_similarity_topk_lsh,
         "similarity_topk_ivf": q_similarity_topk_ivf,
         "neardup_embedding_lsh": q_neardup_embedding_lsh,
-        "multimodal_decode": q_multimodal_decode,
-        "multimodal_features": q_multimodal_features,
         "hll_distinct": q_hll_distinct,
         "quantile_sketch": q_quantile_sketch,
     }
@@ -2099,9 +2109,17 @@ def oracle_sql() -> dict[str, str]:
             WHERE md5(text) NOT IN (SELECT DISTINCT md5(text) FROM documents
                                     WHERE doc_id % 97 = 0)""",
         "neardup_jaccard": _JACCARD_ORACLE,
-        # neardup_minhash / simhash / similarity_topk_lsh / similarity_topk_ivf /
-        # multimodal_decode: engine-internal hash functions or Pandas-UDF
-        # plumbing — rows-only checks by design.
+        # neardup_minhash / simhash / similarity_topk_lsh / similarity_topk_ivf:
+        # engine-internal hash functions — rows-only checks by design.
+        # multimodal_decode: deterministic fake codec over ASCII payloads
+        # (n_bytes == n_chars) — plain length arithmetic in SQL.
+        "multimodal_decode": """
+            SELECT doc_id,
+                   'application/x-fixture-' || source AS mime,
+                   CAST(length(text) % 640 + 1 AS BIGINT) AS width,
+                   CAST(length(text) % 480 + 1 AS BIGINT) AS height,
+                   CAST(length(text) % 24 + 1 AS BIGINT) AS n_frames
+            FROM documents""",
         "similarity_topk": _TOPK_ORACLE,
         "neardup_embedding": _NEARDUP_EMB_ORACLE,
         "embedding_label_stats": """
@@ -2568,8 +2586,24 @@ def oracle_sql() -> dict[str, str]:
             i AS (SELECT doc_id, unnest(range(0, n_frames)) AS frame_idx
                   FROM d)
             SELECT doc_id, frame_idx FROM i WHERE frame_idx % 4 = 0""",
-        # multimodal_features: Arrow mapInPandas byte histogram —
-        # rows-only; exact numpy parity in tests/test_ext_text_multimodal.py.
+        # multimodal_features: byte histogram over ASCII payloads; the
+        # kernel rounds half-UP at 6 decimals (floor(x*1e6+0.5)) exactly
+        # so this integer-arithmetic twin can match it (np.round's
+        # banker's rounding diverges on 128-byte-style .xxxxxx5 ties).
+        "multimodal_features": """
+            WITH n AS (SELECT doc_id, length(text) AS n, text FROM documents),
+            i AS (SELECT doc_id, text, n, unnest(range(1, n + 1)) AS i FROM n),
+            b AS (SELECT doc_id, n,
+                         ord(substr(text, CAST(i AS INT), 1)) // 16 AS bin
+                  FROM i),
+            c AS (SELECT doc_id, bin, count(*) AS c FROM b GROUP BY 1, 2),
+            dense AS (SELECT d.doc_id, d.n, CAST(r.range AS INT) AS bin
+                      FROM n d CROSS JOIN range(16) r)
+            SELECT dense.doc_id, dense.bin,
+                   floor(COALESCE(c.c, 0) / GREATEST(dense.n, 1) * 1000000
+                         + 0.5) / 1000000 AS feature
+            FROM dense LEFT JOIN c
+              ON dense.doc_id = c.doc_id AND dense.bin = c.bin""",
         "trending_event_types": """
             WITH daily AS (SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
                                   event_type, count(*) AS n_events

@@ -159,7 +159,13 @@ def extract_features(media: DataFrame, n_bins: int = 16) -> DataFrame:
                 shift = 8 - (n_bins - 1).bit_length()  # 16 bins → top 4 bits
                 hist = np.bincount(arr >> shift, minlength=n_bins)[:n_bins]
                 total = max(len(arr), 1)
-                rows.append((hist / total).round(6).tolist())
+                # Half-UP rounding (floor(x*1e6 + 0.5)), not np.round's
+                # banker's: c/total ties at the 7th decimal exactly when
+                # total divides 2·10⁶ oddly (e.g. 128-byte payloads →
+                # …0625 fractions), and SQL engines round those half
+                # AWAY — half-up keeps the kernel oracle-portable.
+                feats_ = np.floor(hist / total * 1e6 + 0.5) / 1e6
+                rows.append(feats_.tolist())
             yield pd.DataFrame({"doc_id": pdf["doc_id"], "features": rows})
 
     return media.mapInPandas(feats, schema=FEATURE_SCHEMA)

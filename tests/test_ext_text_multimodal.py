@@ -85,7 +85,9 @@ def test_extract_features_matches_numpy_reference(spark):
     for r in docs.select("doc_id", "text").collect():
         arr = np.frombuffer(r["text"].encode(), dtype=np.uint8)
         hist = np.bincount(arr >> 4, minlength=16)[:16]
-        want = (hist / max(len(arr), 1)).round(6).tolist()
+        # half-up at the 6th decimal, matching the kernel's
+        # oracle-portable rounding (see extract_features)
+        want = (np.floor(hist / max(len(arr), 1) * 1e6 + 0.5) / 1e6).tolist()
         assert got[r["doc_id"]] == want
     assert all(len(v) == 16 for v in got.values())
     assert all(abs(sum(v) - 1.0) < 1e-4 for v in got.values())
