@@ -1030,13 +1030,19 @@ def q_grouping_sets_volume(spark, sf_dir):
 
 
 def q_user_value_deciles(spark, sf_dir):
-    """ntile/percent_rank analytic over per-user purchase totals. The
-    global-ordered window runs on the AGGREGATED frame (one row per
-    purchasing user — orders of magnitude smaller than events); for
-    key sets too large even aggregated, the scale path is
-    percentile_approx decile cutoffs + a broadcast range join, at the
-    cost of exact tile boundaries."""
-    from pyspark.sql.window import Window
+    """ntile/percent_rank analytic over per-user purchase totals,
+    computed on the DISTRIBUTED global-rank primitive (ext/ranks.py:
+    range-repartition + per-partition row_number + broadcast block
+    prefix) — exact tile boundaries with no single-partition window
+    even when the aggregated user frame itself is huge. Bit-identical
+    to the built-in ntile/percent_rank under this total order (user_id
+    tiebreaker)."""
+    from iotstream.ext.ranks import (
+        ntile_expr,
+        percent_rank_expr,
+        with_global_row_number,
+        with_scalar_total,
+    )
 
     use_utc(spark)
     totals = (
@@ -1049,12 +1055,17 @@ def q_user_value_deciles(spark, sf_dir):
             .alias("total_value")
         )
     )
-    w = Window.orderBy(F.desc("total_value"), F.asc("user_id"))
-    return totals.select(
+    ranked = with_global_row_number(
+        with_scalar_total(totals),
+        [F.desc("total_value"), F.asc("user_id")],
+        out="_rn",
+    )
+    rn, total = F.col("_rn"), F.col("_total")
+    return ranked.select(
         "user_id",
         "total_value",
-        F.ntile(10).over(w).cast("long").alias("decile"),
-        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        ntile_expr(rn, total, 10).alias("decile"),
+        F.round(percent_rank_expr(rn, total), 6).alias("pct_rank"),
     )
 
 
@@ -1500,7 +1511,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontaminate": q_decontaminate,
         # --- r5 window B (4): r2-only-green refresh
         "window_min": q_window_min,
-        "window_avg": q_window_avg,
         "hopping_window_max": q_hopping_window_max,
         "rolling_avg": q_rolling_avg,
         # --- r5 window C (8): guards on code touched in r4/r5
@@ -1513,19 +1523,26 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_interval_join": q_streaming_interval_join,
         "streaming_dedup_wm": q_streaming_dedup_wm,
         # --- r5 window D (12): r3-green rotation
-        "order_priority_check": xtpch.order_priority_check,
         "multimodal_decode": q_multimodal_decode,
         "neardup_minhash": q_neardup_minhash,
         "multimodal_features": q_multimodal_features,
         "ewma_smooth": q_ewma_smooth,
+        "streaming_sessionize": q_streaming_sessionize,
+        "stateful_quality_monitor": q_stateful_quality_monitor,
+        "sessionize": q_sessionize,
+        "user_value_deciles": q_user_value_deciles,
+        "rfm_segments": q_rfm_segments,
+        "salted_join": q_salted_join,
+        "multimodal_frame_sample": q_multimodal_frame_sample,
+        "multimodal_ingest": q_multimodal_ingest,
+        "multimodal_resize": q_multimodal_resize,
+        # ---------- position 51+: previously green, rotated out
+        "window_avg": q_window_avg,
+        "order_priority_check": xtpch.order_priority_check,
         "asof_join": q_asof_join,
         "interval_join": q_interval_join,
         "funnel": q_funnel,
         "cohort_retention": q_cohort_retention,
-        "streaming_sessionize": q_streaming_sessionize,
-        "stateful_quality_monitor": q_stateful_quality_monitor,
-        "sessionize": q_sessionize,
-        # ---------- position 51+: previously green, rotated out
         "market_share": xtpch.market_share,
         "product_profit": xtpch.product_profit,
         "cross_nation_volume": xtpch.cross_nation_volume,
@@ -1534,8 +1551,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gapfill_locf": q_gapfill_locf,
         "time_weighted_avg": q_time_weighted_avg,
         "lm_bigram_xent": q_lm_bigram_xent,
-        "multimodal_frame_sample": q_multimodal_frame_sample,
-        "salted_join": q_salted_join,
         "embedding_label_stats": q_embedding_label_stats,
         "intersect_users": q_intersect_users,
         "shipping_priority": q_shipping_priority,
@@ -1549,7 +1564,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dormant_customers": q_dormant_customers,
         "continuous_rollup": q_continuous_rollup,
         "rolling_5min_count": q_rolling_5min_count,
-        "user_value_deciles": q_user_value_deciles,
         "props_extract": q_props_extract,
         "mad_outliers": q_mad_outliers,
         "props_variant": q_props_variant,
@@ -1589,13 +1603,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "zscore_anomaly": q_zscore_anomaly,
         "activity_reconcile": q_activity_reconcile,
         "scd2_history": q_scd2_history,
-        "rfm_segments": q_rfm_segments,
         "tfidf_top_terms": q_tfidf_top_terms,
         "cube_docs": q_cube_docs,
         "pivot_event_types": q_pivot_event_types,
         "grouping_sets_volume": q_grouping_sets_volume,
-        "multimodal_ingest": q_multimodal_ingest,
-        "multimodal_resize": q_multimodal_resize,
         "status_change": q_status_change,
         "decontaminate_ngram": q_decontaminate_ngram,
         **(

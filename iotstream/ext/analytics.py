@@ -148,14 +148,18 @@ def rfm_segments(events: DataFrame) -> DataFrame:
     Frequency (purchase count), Monetary (exact decimal revenue), each
     quartiled with ntile(4) → a 3-digit segment label (4=best).
 
-    The ntile windows are global sorts — but over the PER-USER
-    AGGREGATE frame (|users| rows, already reduced by the map-side
-    combine), the same driver-sized-result precedent as
-    ``user_value_deciles``; at 100 TB the raw scan still aggregates
-    down before any single-partition sort. Ordering ties broken by
-    user_id; monetary ordered on the exact DECIMAL sum (no float
+    The three quartile ranks use the DISTRIBUTED global-rank primitive
+    (`ext/ranks.py`: range-repartition + per-partition row_number +
+    broadcast block prefix) rather than three unpartitioned ntile
+    windows — the per-user aggregate frame is |users| rows, which at
+    corpus scale is itself hundreds of millions and must never funnel
+    through one task. Bit-identical to the ntile formulation (the
+    DuckDB oracle computes it that way): orders are total (user_id
+    tiebreaker; monetary ranked on the exact DECIMAL sum — no float
     rank instability).
     """
+    from iotstream.ext.ranks import ntile_expr, with_global_row_number, with_scalar_total
+
     p = (
         events.filter(F.col("event_type") == "purchase")
         .groupBy("user_id")
@@ -165,18 +169,24 @@ def rfm_segments(events: DataFrame) -> DataFrame:
             F.sum(F.col("value").cast("decimal(12,4)")).alias("_mon"),
         )
     )
-    r_w = Window.orderBy(F.desc("last_purchase_ts"), F.asc("user_id"))
-    f_w = Window.orderBy(F.desc("frequency"), F.asc("user_id"))
-    m_w = Window.orderBy(F.desc("_mon"), F.asc("user_id"))
+    p = with_scalar_total(p)
+    p = with_global_row_number(
+        p, [F.desc("last_purchase_ts"), F.asc("user_id")], out="_r_rn"
+    )
+    p = with_global_row_number(
+        p, [F.desc("frequency"), F.asc("user_id")], out="_f_rn"
+    )
+    p = with_global_row_number(p, [F.desc("_mon"), F.asc("user_id")], out="_m_rn")
+    total = F.col("_total")
     return p.select(
         "user_id",
         "last_purchase_ts",
         "frequency",
         F.col("_mon").cast("double").alias("monetary"),
         # long casts: DuckDB's ntile yields int64, Spark's int32.
-        (F.lit(5) - F.ntile(4).over(r_w)).cast("long").alias("r_score"),
-        (F.lit(5) - F.ntile(4).over(f_w)).cast("long").alias("f_score"),
-        (F.lit(5) - F.ntile(4).over(m_w)).cast("long").alias("m_score"),
+        (F.lit(5) - ntile_expr(F.col("_r_rn"), total, 4)).alias("r_score"),
+        (F.lit(5) - ntile_expr(F.col("_f_rn"), total, 4)).alias("f_score"),
+        (F.lit(5) - ntile_expr(F.col("_m_rn"), total, 4)).alias("m_score"),
     ).withColumn(
         "segment",
         F.concat_ws("", F.col("r_score"), F.col("f_score"), F.col("m_score")),

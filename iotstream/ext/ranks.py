@@ -1,0 +1,88 @@
+"""Distributed global ranking — exact row_number / ntile / percent_rank
+over a TOTAL order without the single-partition window.
+
+``row_number() over (order by ...)`` with no partition key funnels the
+whole table through one task — the same plan shape `ext/packing.py`
+documents for prefix sums, and the last one hiding in the analytics
+pack (RFM ntiles, user-value deciles: user-level tables that reach
+hundreds of millions of rows at corpus scale). Two-level formulation:
+
+1. ``repartitionByRange`` on the sort key — partition i holds a
+   contiguous, ordered slice of the total order (boundaries come from
+   sampling; WHERE a row lands does not affect its final rank, only
+   load balance);
+2. per-partition local ``row_number`` (window partitioned by the range
+   partition id — parallel);
+3. per-partition row counts (tiny: one row per partition) prefix-summed
+   in a single-partition window over the COUNT table, broadcast back,
+   and added to the local rank.
+
+Bit-identical to the naive global window for any total order (ties
+impossible when the sort key ends in a unique column — every caller
+here appends one), with the table-sized stages fully parallel.
+``ntile``/``percent_rank`` derive from the global row number and the
+scalar total, matching Spark's built-ins exactly: ntile's first
+``N % n`` buckets take one extra row; percent_rank = (rank-1)/(N-1)
+(0.0 for a single row, and rank == row_number under a total order).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def with_global_row_number(
+    df: DataFrame,
+    order_by: list[Column],
+    out: str = "_rn",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Append exact 1-based global ``row_number`` over ``order_by``
+    (must be a total order — end it with a unique tiebreaker)."""
+    spark = df.sparkSession
+    n = num_partitions or int(spark.conf.get("spark.sql.shuffle.partitions"))
+    ranged = (
+        df.repartitionByRange(n, *order_by)
+        .withColumn("_pid", F.spark_partition_id())
+    )
+    local_w = Window.partitionBy("_pid").orderBy(*order_by)
+    local = ranged.withColumn("_lrn", F.row_number().over(local_w))
+    counts = local.groupBy("_pid").agg(F.max("_lrn").alias("_cnt"))
+    pre_w = Window.orderBy("_pid").rowsBetween(Window.unboundedPreceding, -1)
+    prefix = counts.withColumn(
+        "_off", F.coalesce(F.sum("_cnt").over(pre_w), F.lit(0))
+    ).select("_pid", "_off")
+    return (
+        local.join(F.broadcast(prefix), "_pid")
+        .withColumn(out, (F.col("_off") + F.col("_lrn")).cast("long"))
+        .drop("_pid", "_lrn", "_off")
+    )
+
+
+def ntile_expr(rn: Column, total: Column, n: int) -> Column:
+    """Spark-equivalent ``ntile(n)`` from a global row number and the
+    scalar row count: bucket sizes are total//n, with the first
+    total%n buckets taking one extra row."""
+    base = (total / n).cast("long")  # floor for non-negative totals
+    rem = total % n
+    big = (base + 1) * rem  # rows covered by the (base+1)-sized buckets
+    return (
+        F.when(rn <= big, F.ceil(rn / (base + 1)))
+        .otherwise(rem + F.ceil((rn - big) / F.greatest(base, F.lit(1))))
+        .cast("long")
+    )
+
+
+def percent_rank_expr(rn: Column, total: Column) -> Column:
+    """Spark-equivalent ``percent_rank`` under a total order (rank ==
+    row_number): (rn − 1) / (N − 1), 0.0 when N == 1."""
+    return F.when(total > 1, (rn - 1) / (total - 1)).otherwise(F.lit(0.0))
+
+
+def with_scalar_total(df: DataFrame, out: str = "_total") -> DataFrame:
+    """Broadcast the row count onto every row (scalar agg + broadcast
+    cross join — never an unpartitioned window)."""
+    total = df.select(F.count(F.lit(1)).alias(out))
+    return df.crossJoin(F.broadcast(total))

@@ -21,7 +21,6 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
-from pyspark.sql.window import Window
 
 
 def salted_join(
@@ -52,11 +51,18 @@ def salted_join(
 def key_histogram(df: DataFrame, key: str, top: int = 20) -> DataFrame:
     """The cheap pre-pass that finds candidates for ``hot_keys``: top-N
     key frequencies with their share of all rows. One partial-agg
-    shuffle; run it on a sample at extreme scale."""
+    shuffle; run it on a sample at extreme scale.
+
+    The denominator is a scalar agg broadcast back onto the counts
+    table — NOT an unpartitioned window, which would collapse the
+    whole distinct-key table (billions of rows for a user-id key at
+    corpus scale) into one task to compute a single number."""
     counts = df.groupBy(key).agg(F.count(F.lit(1)).alias("n"))
-    share = F.col("n") / F.sum("n").over(Window.partitionBy())
+    total = counts.agg(F.sum("n").alias("__total"))
     return (
-        counts.withColumn("share", F.round(share, 6))
+        counts.crossJoin(F.broadcast(total))
+        .withColumn("share", F.round(F.col("n") / F.col("__total"), 6))
+        .drop("__total")
         .orderBy(F.desc("n"), F.asc(key))
         .limit(top)
     )
