@@ -1510,9 +1510,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "df_token_filter": q_df_token_filter,
         "decontaminate": q_decontaminate,
         # --- r5 window B (4): r2-only-green refresh
-        "window_min": q_window_min,
-        "hopping_window_max": q_hopping_window_max,
-        "rolling_avg": q_rolling_avg,
         # --- r5 window C (8): guards on code touched in r4/r5
         "dedup_clusters": q_dedup_clusters,
         "neardup_jaccard": q_neardup_jaccard,
@@ -1536,13 +1533,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_frame_sample": q_multimodal_frame_sample,
         "multimodal_ingest": q_multimodal_ingest,
         "multimodal_resize": q_multimodal_resize,
+        "funnel": q_funnel,
+        "cohort_retention": q_cohort_retention,
+        "scd2_history": q_scd2_history,
         # ---------- position 51+: previously green, rotated out
+        "window_min": q_window_min,
+        "hopping_window_max": q_hopping_window_max,
+        "rolling_avg": q_rolling_avg,
         "window_avg": q_window_avg,
         "order_priority_check": xtpch.order_priority_check,
         "asof_join": q_asof_join,
         "interval_join": q_interval_join,
-        "funnel": q_funnel,
-        "cohort_retention": q_cohort_retention,
         "market_share": xtpch.market_share,
         "product_profit": xtpch.product_profit,
         "cross_nation_volume": xtpch.cross_nation_volume,
@@ -1602,7 +1603,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rate_of_change": q_rate_of_change,
         "zscore_anomaly": q_zscore_anomaly,
         "activity_reconcile": q_activity_reconcile,
-        "scd2_history": q_scd2_history,
         "tfidf_top_terms": q_tfidf_top_terms,
         "cube_docs": q_cube_docs,
         "pivot_event_types": q_pivot_event_types,
