@@ -42,6 +42,24 @@ NLJ_OK = {
     "important_stock",
     "tfidf_top_terms",
     "lm_bigram_xent",  # 1-row |V| scalar broadcast cross join
+    "user_value_deciles",  # 1-row scalar-total broadcast (ranks.py)
+    "rfm_segments",  # same
+}
+
+# Queries whose plan legitimately contains a Window over an Exchange
+# SinglePartition: the windowed input is BOUNDED BY DESIGN, not
+# table-sized — the block-prefix table of a two-level scan (one row
+# per block/partition: sequence_pack, ranks-based deciles/RFM) or a
+# dictionary-sized vocabulary rank. Everything else that windows over
+# a single-partition exchange is the scale smell ext/ranks.py exists
+# to remove.
+GLOBAL_WINDOW_OK = {
+    "sequence_pack",  # block totals table (~corpus/block_size rows)
+    "user_value_deciles",  # ranks.py per-partition counts (~shuffle width)
+    "rfm_segments",  # same, ×3 rank passes
+    "vocab_build",  # vocabulary-sized rank
+    "tokenize_encode",  # vocab rank feeding the broadcast dictionary
+    "df_token_filter",  # document-frequency vocab rank
 }
 
 
@@ -58,8 +76,47 @@ def plan_text(df) -> str:
     return buf.getvalue()
 
 
+def _single_partition_window(text: str) -> bool:
+    """True when a Window operator sits above an Exchange
+    SinglePartition in the formatted plan tree — the global-sort
+    funnel that dies on table-sized input. Parses the tree section
+    (preorder, parent = nearest shallower line) plus the per-node
+    Arguments detail."""
+    single = {
+        m.group(1)
+        for m in re.finditer(
+            r"\((\d+)\) Exchange[^\n]*\nInput.*?\nArguments: SinglePartition",
+            text,
+        )
+    }
+    if not single:
+        return False
+    # tree lines: "   +- Exchange (8)" / ":  +- Window (10)" etc.
+    nodes = []  # (depth, op, id)
+    for line in text.splitlines():
+        m = re.match(r"^([+\-:\s*]*)([A-Za-z][\w]*(?: [\w()]+)*) \((\d+)\)\s*$", line)
+        if m:
+            nodes.append((len(m.group(1)), m.group(2), m.group(3)))
+    for i, (depth, op, nid) in enumerate(nodes):
+        if nid not in single:
+            continue
+        # walk ancestors (nearest shallower lines above)
+        d = depth
+        for j in range(i - 1, -1, -1):
+            jd, jop, _ = nodes[j]
+            if jd < d:
+                d = jd
+                if jop.startswith("Window"):
+                    return True
+                if not jop.startswith(("Sort", "WindowGroupLimit")):
+                    break  # a non-window consumer (agg, limit…) — fine
+    return False
+
+
 def audit(name: str, text: str) -> list[str]:
     flags = []
+    if _single_partition_window(text) and name not in GLOBAL_WINDOW_OK:
+        flags.append("global Window over Exchange SinglePartition")
     if "CartesianProduct" in text and name not in NLJ_OK:
         flags.append("CartesianProduct")
     if "BroadcastNestedLoopJoin" in text and name not in NLJ_OK:
