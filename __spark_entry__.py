@@ -1479,7 +1479,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     Previously-green-stable queries follow; oracle-less rows-only
     entries are last so they never occupy a gradeable slot."""
     return {
-        # --- r5 window A (26): green-but-STALE re-grades — implementing
+        # --- r5 window A: green-but-STALE re-grades — implementing
         # modules changed after the grading round (tools/window_plan.py),
         # led by dedup_report (r4 rewrite, last graded r2) and the new
         # LSH-fed cluster composition
@@ -1509,8 +1509,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "scrub_repetition": q_scrub_repetition,
         "df_token_filter": q_df_token_filter,
         "decontaminate": q_decontaminate,
-        # --- r5 window B (4): r2-only-green refresh
-        # --- r5 window C (8): guards on code touched in r4/r5
+        # --- r5 window B: r2-only-green refresh (rotated to
+        # touched-code re-grades as the round progressed)
+        # --- r5 window C: guards on code touched in r4/r5
         "dedup_clusters": q_dedup_clusters,
         "neardup_jaccard": q_neardup_jaccard,
         "dedup_exact": q_dedup_exact,
@@ -1519,7 +1520,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_window_agg": q_streaming_window_agg,
         "streaming_interval_join": q_streaming_interval_join,
         "streaming_dedup_wm": q_streaming_dedup_wm,
-        # --- r5 window D (12): r3-green rotation
+        # --- r5 window D: r3 rotation + this round's touched-code
+        # re-grades and rows-only graduations
         "multimodal_decode": q_multimodal_decode,
         "neardup_minhash": q_neardup_minhash,
         "multimodal_features": q_multimodal_features,
@@ -1677,6 +1679,12 @@ SELECT doc_a, doc_b, round(jaccard, 6) AS jaccard FROM j WHERE jaccard >= 0.5
 
 _JACCARD_ORACLE_UNCAPPED = _JACCARD_ORACLE.replace(
     "FROM documents\n           WHERE doc_id < 2000", "FROM documents"
+)
+# str.replace is a silent no-op on mismatch: a whitespace-only edit to
+# _JACCARD_ORACLE would leave the minhash oracle capped, coinciding at
+# sf0.001/0.01 (all doc_id < 2000) and failing only at larger SFs.
+assert "doc_id < 2000" not in _JACCARD_ORACLE_UNCAPPED, (
+    "uncapped-jaccard derivation no longer matches _JACCARD_ORACLE"
 )
 
 _COSINE = (

@@ -5,31 +5,41 @@ over a TOTAL order without the single-partition window.
 whole table through one task — the same plan shape `ext/packing.py`
 documents for prefix sums, and the last one hiding in the analytics
 pack (RFM ntiles, user-value deciles: user-level tables that reach
-hundreds of millions of rows at corpus scale). Two-level formulation:
+hundreds of millions of rows at corpus scale). Formulation:
 
-1. ``repartitionByRange`` on the sort key — partition i holds a
-   contiguous, ordered slice of the total order (boundaries come from
-   sampling; WHERE a row lands does not affect its final rank, only
-   load balance);
-2. per-partition local ``row_number`` (window partitioned by the range
-   partition id — parallel);
-3. per-partition row counts (tiny: one row per partition) prefix-summed
+1. ``repartitionByRange`` + ``sortWithinPartitions`` on the sort key —
+   partition i holds a contiguous, ordered slice of the total order
+   (boundaries come from sampling; WHERE a row lands does not affect
+   its final rank, only load balance);
+2. per-partition local numbering via a NARROW Arrow ``mapInPandas``
+   pass (a running counter per partition, partition id from
+   ``TaskContext``) — no second table-sized shuffle, unlike a window
+   partitioned by the partition id, which Catalyst would re-shuffle
+   by hash;
+3. the numbered frame is ``localCheckpoint``-ed ONCE, then both
+   consumers (the per-partition count table and the main join side)
+   read the same materialized partitions — correctness must not
+   depend on exchange reuse deduplicating two range exchanges whose
+   sampled boundaries could otherwise differ;
+4. per-partition row counts (tiny: one row per partition) prefix-summed
    in a single-partition window over the COUNT table, broadcast back,
    and added to the local rank.
 
 Bit-identical to the naive global window for any total order (ties
 impossible when the sort key ends in a unique column — every caller
-here appends one), with the table-sized stages fully parallel.
-``ntile``/``percent_rank`` derive from the global row number and the
-scalar total, matching Spark's built-ins exactly: ntile's first
-``N % n`` buckets take one extra row; percent_rank = (rank-1)/(N-1)
-(0.0 for a single row, and rank == row_number under a total order).
+here appends one), with the table-sized stages one shuffle + one
+narrow pass. ``ntile``/``percent_rank`` derive from the global row
+number and the scalar total, matching Spark's built-ins exactly:
+ntile's first ``N % n`` buckets take one extra row; percent_rank =
+(rank-1)/(N-1) (0.0 for a single row, and rank == row_number under a
+total order).
 """
 
 from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.types import LongType, StructField, StructType
 from pyspark.sql.window import Window
 
 
@@ -40,15 +50,38 @@ def with_global_row_number(
     num_partitions: int | None = None,
 ) -> DataFrame:
     """Append exact 1-based global ``row_number`` over ``order_by``
-    (must be a total order — end it with a unique tiebreaker)."""
+    (must be a total order — end it with a unique tiebreaker).
+
+    Eager: materializes the numbered frame (``localCheckpoint``) so
+    the count table and the main output are guaranteed to see the
+    same range-partition boundaries.
+    """
+    import numpy as np
+
     spark = df.sparkSession
     n = num_partitions or int(spark.conf.get("spark.sql.shuffle.partitions"))
-    ranged = (
-        df.repartitionByRange(n, *order_by)
-        .withColumn("_pid", F.spark_partition_id())
+    ranged = df.repartitionByRange(n, *order_by).sortWithinPartitions(*order_by)
+
+    out_schema = StructType(
+        list(df.schema.fields)
+        + [StructField("_pid", LongType()), StructField("_lrn", LongType())]
     )
-    local_w = Window.partitionBy("_pid").orderBy(*order_by)
-    local = ranged.withColumn("_lrn", F.row_number().over(local_w))
+
+    def number(batches):
+        from pyspark import TaskContext
+
+        pid = TaskContext.get().partitionId()
+        seen = 0
+        for pdf in batches:
+            k = len(pdf)
+            pdf = pdf.assign(
+                _pid=np.int64(pid),
+                _lrn=np.arange(seen + 1, seen + k + 1, dtype="int64"),
+            )
+            seen += k
+            yield pdf
+
+    local = ranged.mapInPandas(number, schema=out_schema).localCheckpoint()
     counts = local.groupBy("_pid").agg(F.max("_lrn").alias("_cnt"))
     pre_w = Window.orderBy("_pid").rowsBetween(Window.unboundedPreceding, -1)
     prefix = counts.withColumn(

@@ -223,6 +223,7 @@ def ewma_smooth(sensor: DataFrame, alpha: float = 0.2) -> DataFrame:
     the recursion bit-for-bit. State is O(sensors-per-partition)
     floats — no group ever needs to fit in memory whole, which is
     strictly weaker than the usual per-key-history contract."""
+    import numpy as np
     import pandas as pd
 
     flat = sensor.select(
@@ -274,7 +275,11 @@ def ewma_smooth(sensor: DataFrame, alpha: float = 0.2) -> DataFrame:
                     "messageId": out["messageId"],
                     "ts": out["ts"],
                     "temperature": out["temperature"],
-                    "ewma_t": out["_s"].round(6),
+                    # half-UP at 6 decimals (not .round's banker's):
+                    # SQL engines round half away, and the recursive-CTE
+                    # oracle must land on the identical value when
+                    # s*1e6 sits exactly on a half-integer.
+                    "ewma_t": np.floor(out["_s"] * 1e6 + 0.5) / 1e6,
                 }
             )
 

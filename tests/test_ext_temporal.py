@@ -180,10 +180,14 @@ def test_ewma_matches_pandas_reference(spark):
         .sort_values(["id", "ts", "messageId"])
         .reset_index(drop=True)
     )
+    import numpy as np
+
     expect = flat.assign(
         ewma_t=flat.groupby("id")["temperature"]
         .transform(lambda s: s.ewm(alpha=0.2, adjust=False).mean())
-        .round(6)
+        # half-up at 6 decimals, matching the kernel's oracle-portable
+        # rounding (see ewma_smooth)
+        .transform(lambda s: np.floor(s * 1e6 + 0.5) / 1e6)
     )
     pd.testing.assert_frame_equal(got, expect, check_like=True)
 

@@ -106,10 +106,13 @@ def _single_partition_window(text: str) -> bool:
             jd, jop, _ = nodes[j]
             if jd < d:
                 d = jd
-                if jop.startswith("Window"):
+                if jop in ("Window", "WindowGroupLimit"):
                     return True
-                if not jop.startswith(("Sort", "WindowGroupLimit")):
-                    break  # a non-window consumer (agg, limit…) — fine
+                # pass through ONLY a plain Sort (exact op — a prefix
+                # match would also swallow SortAggregate/SortMergeJoin
+                # and misattribute an unrelated Window higher up)
+                if jop != "Sort":
+                    break  # a non-window consumer (agg, join, limit…)
     return False
 
 
