@@ -367,15 +367,20 @@ def q_dedup_clusters(spark, sf_dir):
     shingle-Jaccard pair graph; singletons keep their own id. Oracle
     is a recursive-CTE reachability closure."""
     from iotstream.ext.graph import connected_components
+    from iotstream.streaming import scoped_shuffle_partitions
 
     docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 2000)
     pairs = xdedup.neardup_jaccard_exact(docs, threshold=0.5).select(
         "doc_a", "doc_b"
     )
-    comp = connected_components(
-        pairs, docs.select("doc_id"), src="doc_a", dst="doc_b", node="doc_id"
-    )
-    return comp.select(F.col("node").alias("doc_id"), "cluster_id")
+    # width right-sized by the declared 2000-doc cap: every CC-round
+    # table is <=|docs| rows, and each round pays per-partition job
+    # overhead (localCheckpoint + count) that AQE cannot coalesce.
+    with scoped_shuffle_partitions(spark, 8):
+        comp = connected_components(
+            pairs, docs.select("doc_id"), src="doc_a", dst="doc_b", node="doc_id"
+        )
+        return comp.select(F.col("node").alias("doc_id"), "cluster_id")
 
 
 def q_dedup_clusters_lsh(spark, sf_dir):
@@ -391,13 +396,15 @@ def q_dedup_clusters_lsh(spark, sf_dir):
     the outcome reproducible; `tests/test_graph.py` asserts LSH-feed vs
     exact-feed cluster equality)."""
     from iotstream.ext.graph import connected_components
+    from iotstream.streaming import scoped_shuffle_partitions
 
     docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 2000)
     pairs = xdedup.neardup_minhash(docs, threshold=0.5).select("doc_a", "doc_b")
-    comp = connected_components(
-        pairs, docs.select("doc_id"), src="doc_a", dst="doc_b", node="doc_id"
-    )
-    return comp.select(F.col("node").alias("doc_id"), "cluster_id")
+    with scoped_shuffle_partitions(spark, 8):  # same cap-sized width
+        comp = connected_components(
+            pairs, docs.select("doc_id"), src="doc_a", dst="doc_b", node="doc_id"
+        )
+        return comp.select(F.col("node").alias("doc_id"), "cluster_id")
 
 
 def q_dataset_split(spark, sf_dir):
