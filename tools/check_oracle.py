@@ -4,7 +4,7 @@ Runs every ``queries()`` entry on Spark and its ``oracle_sql()`` twin on
 DuckDB over the same fixture dir, then compares row count, sorted column
 names, and values (rows sorted, order-insensitive). Usage:
 
-    python tools/check_oracle.py [--tz=America/New_York] [sf_dir] [query ...]
+    python tools/check_oracle.py [--tz=ZONE] [--window] [sf_dir] [query ...]
 
 Sweep at MULTIPLE scale factors: boundary-precision bugs hide below
 data density (a seconds-truncated RANGE frame key diverged from its
@@ -51,9 +51,13 @@ def main() -> int:
     # driver's is unknown); queries must self-normalize via use_utc.
     args = sys.argv[1:]
     tz = "UTC"
+    window = False  # --window: only the driver's first-50 gradeable slots
     for a in list(args):
         if a.startswith("--tz="):
             tz = a.split("=", 1)[1]
+            args.remove(a)
+        elif a == "--window":
+            window = True
             args.remove(a)
     sf_dir = args[0] if args else "/root/testdata/sf0.01"
     only = set(args[1:])
@@ -74,6 +78,8 @@ def main() -> int:
 
     queries = entrymod.queries()
     oracles = entrymod.oracle_sql()
+    if window:
+        queries = dict(list(queries.items())[:50])
     failures = []
     for name, fn in queries.items():
         if only and name not in only:
