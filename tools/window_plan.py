@@ -138,6 +138,142 @@ def _modules_used(
     return mods
 
 
+def _module_block(src: str, name: str) -> str | None:
+    """Top-level `def name(...)` / `class name` / `NAME =` block in a
+    module's source, by indentation."""
+    m = re.search(
+        rf"^(?:def {re.escape(name)}\(|class {re.escape(name)}\b"
+        rf"|{re.escape(name)}(?::[^=\n]+)? =).*?(?=^\S|\Z)",
+        src,
+        re.M | re.S,
+    )
+    return m.group(0) if m else None
+
+
+def _preamble(src: str) -> str:
+    """Module code outside top-level def/class blocks (imports,
+    constants, decorator-free statements) — changes here can affect
+    every resident function."""
+    out, skipping = [], False
+    for line in src.splitlines(True):
+        if re.match(r"^(def |class |@)", line):
+            skipping = True
+            continue
+        if skipping:
+            if line[:1] not in (" ", "\t", "\n", ")"):
+                skipping = False
+            else:
+                continue
+        if not skipping:
+            out.append(line)
+    return "".join(out)
+
+
+def _used_names_per_module(
+    func_src: str, aliases: dict[str, str]
+) -> dict[str, set[str]]:
+    """dotted module -> names the query function actually uses from it:
+    `from iotstream.x import a, b` names + `alias.attr` attribute refs
+    for module-object aliases."""
+    used: dict[str, set[str]] = {}
+    for m in re.finditer(
+        r"from (iotstream[\w.]*) import ([\w, ()\n]+?)(?=\n\S|\n$|\n\s*\n)",
+        func_src,
+        re.M,
+    ):
+        base, names = m.group(1), m.group(2)
+        for part in re.split(r"[,\n()]+", names):
+            part = part.strip().split(" as ")[0].strip()
+            if part:
+                used.setdefault(base, set()).add(part)
+    for alias, dotted in aliases.items():
+        for m in re.finditer(rf"\b{re.escape(alias)}\.(\w+)", func_src):
+            used.setdefault(dotted, set()).add(m.group(1))
+    return used
+
+
+def _refined_module_stale(
+    func_src: str,
+    aliases: dict[str, str],
+    changed_files: set[str],
+    commit: str,
+) -> tuple[set[str], bool]:
+    """Function-level staleness for changed module files: a flagged
+    module only makes the grade stale if (a) its preamble changed,
+    (b) a function the query actually USES changed (including one hop
+    of same-module helpers it calls), or (c) usage can't be resolved
+    (conservative). Returns (stale module files, resolved?) — when a
+    used-name set can't be determined for a changed module, falls back
+    to module-level staleness for it."""
+    stale: set[str] = set()
+    used = _used_names_per_module(func_src, aliases)
+    # map dotted -> file for lookup
+    by_file: dict[str, set[str]] = {}
+    for dotted, names in used.items():
+        f = _module_file(dotted) or _module_file(
+            dotted.rsplit(".", 1)[0] if "." in dotted else dotted
+        )
+        if f:
+            by_file.setdefault(f, set()).update(names)
+    for f in changed_files:
+        try:
+            new_src = open(os.path.join(REPO, f)).read()
+        except OSError:
+            stale.add(f)
+            continue
+        old_src = _git("show", f"{commit}:{f}")
+        if not old_src:
+            # File did not exist at the grade commit: the graded code
+            # cannot have depended on it, and any function that STARTED
+            # using it since has its own source diff — caught by the
+            # caller-side checks. Not stale by itself.
+            continue
+        names = set(by_file.get(f, set()))
+        # transitive: names imported from f by OTHER changed/used modules
+        for g in by_file:
+            if g == f:
+                continue
+            try:
+                gsrc = open(os.path.join(REPO, g)).read()
+            except OSError:
+                continue
+            dotted_f = f[:-3].replace("/", ".").removesuffix(".__init__")
+            for m in re.finditer(
+                rf"from {re.escape(dotted_f)} import ([\w, ()\n]+?)(?=\n\S|\n$)",
+                gsrc,
+                re.M,
+            ):
+                for part in re.split(r"[,\n()]+", m.group(1)):
+                    part = part.strip().split(" as ")[0].strip()
+                    if part:
+                        names.add(part)
+        if not names:
+            stale.add(f)  # can't resolve usage — conservative
+            continue
+        if _preamble(old_src) != _preamble(new_src):
+            stale.add(f)
+            continue
+        # one helper hop: same-module names called inside used blocks
+        frontier, seen = set(names), set()
+        differs = False
+        while frontier and not differs:
+            name = frontier.pop()
+            if name in seen:
+                continue
+            seen.add(name)
+            nb, ob = _module_block(new_src, name), _module_block(old_src, name)
+            if nb != ob:
+                differs = True
+                break
+            if nb:
+                for callee in re.findall(r"\b(\w+)\(", nb):
+                    if callee not in seen and _module_block(new_src, callee):
+                        frontier.add(callee)
+        if differs:
+            stale.add(f)
+    return stale
+
+
 def main() -> int:
     import __spark_entry__ as entrymod
 
@@ -228,6 +364,18 @@ def main() -> int:
             f = _module_file(owner)
             if f:
                 mods.add(f)
+        # Function-level refinement: a changed module only stales this
+        # grade if the query's actually-used functions (or the module
+        # preamble, or an unresolvable usage) changed — an edit to one
+        # resident function must not burn window slots for its
+        # siblings.
+        raw_touched = mods & changed_since[rn]
+        if raw_touched:
+            commit = grade_commits.get(rn, "")
+            refined = _refined_module_stale(
+                fsrc_now, aliases, raw_touched, commit
+            )
+            mods = refined | (mods - raw_touched)
         touched = sorted(mods & changed_since[rn])
         if touched:
             reasons.append("module(s): " + ", ".join(touched))
