@@ -197,7 +197,7 @@ def _refined_module_stale(
     aliases: dict[str, str],
     changed_files: set[str],
     commit: str,
-) -> tuple[set[str], bool]:
+) -> set[str]:
     """Function-level staleness for changed module files: a flagged
     module only makes the grade stale if (a) its preamble changed,
     (b) a function the query actually USES changed (including one hop
