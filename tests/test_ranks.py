@@ -63,3 +63,26 @@ def test_ntile_and_percent_rank_match_builtin(spark):
             .collect()
         }
         assert got == want, (n_rows, tiles)
+
+
+def test_global_row_number_across_arrow_batches(spark):
+    """The per-partition counter must continue across Arrow batches —
+    force multi-batch partitions with a tiny maxRecordsPerBatch."""
+    prev = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch")
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "7")
+    try:
+        df = _frame(spark, 200)
+        order = [F.desc("v"), F.asc("id")]
+        got = {
+            r["id"]: r["_rn"]
+            for r in with_global_row_number(df, order, num_partitions=3).collect()
+        }
+        want = {
+            r["id"]: r["rn"]
+            for r in df.withColumn(
+                "rn", F.row_number().over(Window.orderBy(*order))
+            ).collect()
+        }
+        assert got == want
+    finally:
+        spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", prev)
