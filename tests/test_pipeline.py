@@ -62,3 +62,25 @@ def test_config_from_properties(tmp_path):
     assert conf.kafka_topic == "event1"
     assert conf.mqtt_port == 1883
     assert conf.extra == {"custom_key": "x"}
+
+
+def test_ephemeral_dir_falls_back_without_shm(monkeypatch, tmp_path):
+    """Capacity/permission guard: no /dev/shm (or a tiny one) must fall
+    back to the normal temp dir instead of ENOSPC-ing drains."""
+    import os
+
+    import iotstream.streaming as st
+
+    monkeypatch.setattr(
+        os, "statvfs", lambda p: (_ for _ in ()).throw(OSError("nope"))
+    )
+    monkeypatch.setenv("TMPDIR", str(tmp_path))
+    import tempfile
+
+    tempfile.tempdir = None  # re-read TMPDIR
+    try:
+        d = st.ephemeral_dir("iotstream-test-")
+        assert d.startswith(str(tmp_path))
+        assert os.path.isdir(d)
+    finally:
+        tempfile.tempdir = None

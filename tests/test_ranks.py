@@ -86,3 +86,9 @@ def test_global_row_number_across_arrow_batches(spark):
         assert got == want
     finally:
         spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", prev)
+
+
+def test_global_row_number_empty_input(spark):
+    df = _frame(spark, 0)
+    out = with_global_row_number(df, [F.asc("id")]).collect()
+    assert out == []
