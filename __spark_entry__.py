@@ -43,6 +43,11 @@ from iotstream.sensorize import sensor_cte, sensorize
 
 DEFAULT_SF_DIR = "/root/testdata/sf0.001"
 
+#: Size of the driver's per-round oracle gate: only the first
+#: DRIVER_WINDOW entries of queries() are hash-graded. Single source of
+#: truth for tools/window_plan.py and tools/check_oracle.py --window.
+DRIVER_WINDOW = 50
+
 # ---------------------------------------------------------------- helpers
 
 def _sensor(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -79,7 +79,7 @@ def main() -> int:
     queries = entrymod.queries()
     oracles = entrymod.oracle_sql()
     if window:
-        queries = dict(list(queries.items())[:50])
+        queries = dict(list(queries.items())[: entrymod.DRIVER_WINDOW])
     failures = []
     for name, fn in queries.items():
         if only and name not in only:

@@ -32,7 +32,6 @@ import sys
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 
-WINDOW = 50
 
 # Driver/judge artifacts — churn in these never makes a grade stale.
 _ARTIFACT_RE = re.compile(
@@ -45,6 +44,29 @@ def _git(*args: str) -> str:
     return subprocess.run(
         ["git", *args], cwd=REPO, capture_output=True, text=True, check=False
     ).stdout
+
+
+_SHOW_CACHE: dict[tuple[str, str], str] = {}
+_READ_CACHE: dict[str, str | None] = {}
+
+
+def _show_cached(commit: str, path: str) -> str:
+    """Memoized `git show commit:path` — the refinement runs per
+    (query × changed file) and would otherwise spawn the identical
+    subprocess dozens of times per round."""
+    key = (commit, path)
+    if key not in _SHOW_CACHE:
+        _SHOW_CACHE[key] = _git("show", f"{commit}:{path}")
+    return _SHOW_CACHE[key]
+
+
+def _read_cached(path: str) -> str | None:
+    if path not in _READ_CACHE:
+        try:
+            _READ_CACHE[path] = open(os.path.join(REPO, path)).read()
+        except OSError:
+            _READ_CACHE[path] = None
+    return _READ_CACHE[path]
 
 
 def _round_num(path: str) -> int:
@@ -140,9 +162,11 @@ def _modules_used(
 
 def _module_block(src: str, name: str) -> str | None:
     """Top-level `def name(...)` / `class name` / `NAME =` block in a
-    module's source, by indentation."""
+    module's source, by indentation — INCLUDING any decorator lines
+    immediately above (a decorator-argument change alters behavior
+    without touching the def body)."""
     m = re.search(
-        rf"^(?:def {re.escape(name)}\(|class {re.escape(name)}\b"
+        rf"^((?:@[^\n]*\n)*)(?:def {re.escape(name)}\(|class {re.escape(name)}\b"
         rf"|{re.escape(name)}(?::[^=\n]+)? =).*?(?=^\S|\Z)",
         src,
         re.M | re.S,
@@ -176,16 +200,29 @@ def _used_names_per_module(
     `from iotstream.x import a, b` names + `alias.attr` attribute refs
     for module-object aliases."""
     used: dict[str, set[str]] = {}
-    for m in re.finditer(
-        r"from (iotstream[\w.]*) import ([\w, ()\n]+?)(?=\n\S|\n$|\n\s*\n)",
-        func_src,
-        re.M,
-    ):
-        base, names = m.group(1), m.group(2)
-        for part in re.split(r"[,\n()]+", names):
-            part = part.strip().split(" as ")[0].strip()
-            if part:
-                used.setdefault(base, set()).add(part)
+    # line-based parse (a lazy multi-line regex both missed consecutive
+    # indented imports and over-captured following code lines):
+    # single-line `from m import a, b` plus parenthesized blocks.
+    lines = func_src.splitlines()
+    i = 0
+    while i < len(lines):
+        m = re.match(r"\s*from (iotstream[\w.]*) import (.+)$", lines[i])
+        if m:
+            base, names = m.group(1), m.group(2)
+            if names.rstrip().endswith("("):
+                body = []
+                i += 1
+                while i < len(lines) and ")" not in lines[i]:
+                    body.append(lines[i])
+                    i += 1
+                if i < len(lines):
+                    body.append(lines[i].split(")")[0])
+                names = ",".join(body)
+            for part in names.split(","):
+                part = part.strip().split(" as ")[0].strip("() \t")
+                if part:
+                    used.setdefault(base, set()).add(part)
+        i += 1
     for alias, dotted in aliases.items():
         for m in re.finditer(rf"\b{re.escape(alias)}\.(\w+)", func_src):
             used.setdefault(dotted, set()).add(m.group(1))
@@ -201,12 +238,13 @@ def _refined_module_stale(
     """Function-level staleness for changed module files: a flagged
     module only makes the grade stale if (a) its preamble changed,
     (b) a function the query actually USES changed (including one hop
-    of same-module helpers it calls), or (c) usage can't be resolved
-    (conservative). Returns (stale module files, resolved?) — when a
-    used-name set can't be determined for a changed module, falls back
-    to module-level staleness for it."""
+    of same-module helpers it calls — a DELETED helper counts as
+    changed), or (c) usage can't be resolved (conservative fallback to
+    module-level staleness). Returns the subset of ``changed_files``
+    still considered stale."""
     stale: set[str] = set()
     used = _used_names_per_module(func_src, aliases)
+    show, read = _show_cached, _read_cached
     # map dotted -> file for lookup
     by_file: dict[str, set[str]] = {}
     for dotted, names in used.items():
@@ -216,26 +254,28 @@ def _refined_module_stale(
         if f:
             by_file.setdefault(f, set()).update(names)
     for f in changed_files:
-        try:
-            new_src = open(os.path.join(REPO, f)).read()
-        except OSError:
+        new_src = read(f)
+        if new_src is None:
             stale.add(f)
             continue
-        old_src = _git("show", f"{commit}:{f}")
+        old_src = show(commit, f)
         if not old_src:
-            # File did not exist at the grade commit: the graded code
-            # cannot have depended on it, and any function that STARTED
-            # using it since has its own source diff — caught by the
-            # caller-side checks. Not stale by itself.
+            # File did not exist at the grade commit. If the query's
+            # DIRECT used-name set reaches it, something was rewired
+            # onto the new file (a rename/move with the entry import
+            # header updated but the def block unchanged) — stale. If
+            # it is only reachable via the conservative module hop, the
+            # graded code cannot have depended on it — not stale.
+            if by_file.get(f):
+                stale.add(f)
             continue
         names = set(by_file.get(f, set()))
         # transitive: names imported from f by OTHER changed/used modules
         for g in by_file:
             if g == f:
                 continue
-            try:
-                gsrc = open(os.path.join(REPO, g)).read()
-            except OSError:
+            gsrc = read(g)
+            if gsrc is None:
                 continue
             dotted_f = f[:-3].replace("/", ".").removesuffix(".__init__")
             for m in re.finditer(
@@ -267,7 +307,14 @@ def _refined_module_stale(
                 break
             if nb:
                 for callee in re.findall(r"\b(\w+)\(", nb):
-                    if callee not in seen and _module_block(new_src, callee):
+                    if callee in seen:
+                        continue
+                    # admit callees defined in EITHER version: a helper
+                    # deleted from new_src (or newly added) must enter
+                    # the frontier so the None-vs-block compare fires
+                    if _module_block(new_src, callee) or _module_block(
+                        old_src, callee
+                    ):
                         frontier.add(callee)
         if differs:
             stale.add(f)
@@ -276,6 +323,8 @@ def _refined_module_stale(
 
 def main() -> int:
     import __spark_entry__ as entrymod
+
+    WINDOW = entrymod.DRIVER_WINDOW
 
     qmap = entrymod.queries()
     order = list(qmap.keys())
