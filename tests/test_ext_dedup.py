@@ -174,3 +174,32 @@ def test_embedding_lsh_max_bucket_guard(spark):
     }
     assert (100, 101) in unguarded and len(unguarded) > 1
     assert guarded == {(100, 101)}
+
+
+def test_fan_out_never_converts_to_rdd(spark, monkeypatch, tmp_path):
+    """The split-count guard must stay driver-side. The r5 guard probed
+    ``.rdd.getNumPartitions()``, which compiles a throwaway non-AQE
+    physical plan per invocation — an A/B-measured 15-25% slowdown on
+    every caller. Poison ``DataFrame.rdd``: ANY access fails the test.
+    Also pins the guard's two behaviors: a one-file fixture scan fans
+    out to defaultParallelism; a scan with >= parallelism files is
+    returned untouched (same object — no added shuffle at scale)."""
+    from pyspark.sql import DataFrame
+
+    from iotstream.ext.dedup import fan_out
+
+    many_dir = str(tmp_path / "many")
+    docs = load_table(spark, SF_DIR, "documents")
+    par = spark.sparkContext.defaultParallelism
+    docs.repartition(par * 2).write.mode("overwrite").parquet(many_dir)
+    many = spark.read.parquet(many_dir)
+    assert len(many.inputFiles()) >= par
+
+    def _poisoned(self):  # noqa: ANN001
+        raise AssertionError("fan_out accessed DataFrame.rdd")
+
+    monkeypatch.setattr(DataFrame, "rdd", property(_poisoned))
+    assert fan_out(many) is many  # enough splits: no-op, no shuffle
+    fanned = fan_out(docs)  # single-file scan: spread across cores
+    assert fanned is not docs
+    assert fanned.count() == docs.count()

@@ -37,8 +37,14 @@ def _load(path: str) -> dict[str, float]:
     if "parsed" in data:  # driver capture wraps the stdout line
         data = data["parsed"] or {}  # None when the capture truncated
     # bench.py records -1.0 for errored queries: keep the sentinel out
-    # of the min()/ratio math but surface it as ERRORED.
-    return dict(data.get("queries") or {})
+    # of the min()/ratio math but surface it as ERRORED. A JSON null
+    # (possible in a driver-captured line) would TypeError in the sort
+    # key and the `latest < 0` flag — drop non-numeric values here.
+    return {
+        k: v
+        for k, v in (data.get("queries") or {}).items()
+        if isinstance(v, (int, float))
+    }
 
 
 def main() -> int:

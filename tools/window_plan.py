@@ -321,6 +321,28 @@ def _refined_module_stale(
     return stale
 
 
+def _oracle_map_at(entry_src: str) -> dict[str, str] | None:
+    """Evaluate ``oracle_sql()`` from an old ``__spark_entry__`` source
+    snapshot. Grading-criteria changes are invisible to the code-diff
+    staleness checks: editing an oracle string (e.g. the r5
+    ``_JACCARD_ORACLE_UNCAPPED`` derivation) re-defines what "green"
+    means without touching the query function. Executes against the
+    CURRENT iotstream package (old package states aren't
+    reconstructible without a checkout), which still catches every edit
+    to the entry-file oracle strings/constants — where all oracles
+    live. Returns None when the old source no longer executes (renamed
+    imports); callers degrade to a printed warning, not a flag storm."""
+    import types
+
+    ns = types.ModuleType("_entry_at_grade")
+    ns.__file__ = os.path.join(REPO, "__spark_entry__.py")
+    try:
+        exec(compile(entry_src, "__spark_entry__@grade", "exec"), ns.__dict__)
+        return dict(ns.oracle_sql())
+    except Exception:  # noqa: BLE001 — any failure: comparison unavailable
+        return None
+
+
 def main() -> int:
     import __spark_entry__ as entrymod
 
@@ -385,6 +407,18 @@ def main() -> int:
         }
         entry_then[rn] = _git("show", f"{commit}:__spark_entry__.py")
 
+    # oracle text at each grading round, for grade-criteria staleness
+    oracle_now = dict(entrymod.oracle_sql())
+    oracle_then: dict[int, dict[str, str] | None] = {}
+    for rn, src in entry_then.items():
+        oracle_then[rn] = _oracle_map_at(src)
+        if oracle_then[rn] is None:
+            print(
+                f"warning: r{rn} entry snapshot no longer executes — "
+                "oracle-change staleness not checked for that round",
+                file=sys.stderr,
+            )
+
     stale: list[tuple[str, str, str]] = []
     for q in order:
         if q not in best or best[q][0] != RANK["PASS"]:
@@ -428,6 +462,11 @@ def main() -> int:
         touched = sorted(mods & changed_since[rn])
         if touched:
             reasons.append("module(s): " + ", ".join(touched))
+        # grade-criteria change: the oracle string that defined "green"
+        # at round rn differs from today's
+        om = oracle_then.get(rn)
+        if om is not None and q in oracle_now and om.get(q) != oracle_now[q]:
+            reasons.append("oracle changed")
         if reasons:
             stale.append((q, verdict[q], "; ".join(reasons)))
 
