@@ -53,6 +53,18 @@ def main() -> int:
     import __spark_entry__ as entrymod
 
     spark.range(1_000_000).selectExpr("sum(id)").collect()  # JVM warmup
+    # One throwaway REAL-query warm-up before the loop: the synthetic
+    # warmup above doesn't touch parquet scans, Arrow, or the Python
+    # worker pool, so whichever query ran first absorbed their
+    # first-touch cost (r5: slot-0 dedup_report timed 3.32 s driver vs
+    # 2.4 s isolated). A cheap declared query soaks that up untimed,
+    # making per-query numbers position-independent.
+    try:
+        next(iter(entrymod.queries().values()))(spark, sf_dir).write.format(
+            "noop"
+        ).mode("overwrite").save()
+    except Exception:  # noqa: BLE001 — warm-up is best-effort
+        pass
 
     # Per-query warm-up at the SAME scale factor: one untimed run
     # compiles the generated code (Janino/JIT) for the EXACT plan the
