@@ -119,3 +119,28 @@ def test_ivf_training_sample_is_order_independent(spark):
     b_ids, b_cmat = _ivf_codebook(shuffled, nlist=4, iters=2, train_cap=50)
     assert list(a_ids) == list(b_ids)
     np.testing.assert_allclose(a_cmat, b_cmat)
+
+
+def test_graded_ann_pinnings_equal_exact(spark):
+    """The three ANN queries are oracle-graded via recall-1 parameter
+    pinning (VERDICT r5 playbook): 64-table LSH, probe-all IVF, and
+    (4 bits, 64 tables) embedding near-dup must be IDENTICAL to their
+    exact kernels on the fixture corpus — the property the shared
+    oracles rely on. Planes/codebook are deterministic, so equality
+    here is reproducible, not flaky."""
+    from iotstream.ext.similarity import (
+        neardup_embedding,
+        neardup_embedding_lsh,
+        similarity_topk,
+        similarity_topk_ivf,
+        similarity_topk_lsh,
+    )
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    rows = lambda df: sorted(tuple(r) for r in df.collect())  # noqa: E731
+    exact_tk = rows(similarity_topk(emb))
+    assert rows(similarity_topk_lsh(emb, nbits=4, tables=64)) == exact_tk
+    assert rows(similarity_topk_ivf(emb, nlist=8, nprobe=8)) == exact_tk
+    exact_nd = rows(neardup_embedding(emb, threshold=0.4))
+    got = rows(neardup_embedding_lsh(emb, threshold=0.4, nbits=4, tables=64))
+    assert got == exact_nd

@@ -71,18 +71,28 @@ def main() -> int:
             issues.append(name)
             print(f"FAIL  {name}: {type(e).__name__}: {e}")
             continue
-        # Columns with NULLs are excluded: toPandas() widens a nullable
-        # int64 with NULLs to float64, a pandas artifact the driver's
-        # value-hash gate does not see — comparing kinds there would be
-        # a false positive.
-        bad = [
-            (c, kind(sdf[c].dtype), kind(odf[c].dtype))
-            for c in sdf.columns
-            if c in odf.columns
-            and not sdf[c].isna().any()
-            and not odf[c].isna().any()
-            and kind(sdf[c].dtype) != kind(odf[c].dtype)
-        ]
+        # NULL-bearing columns can't be compared on raw dtypes:
+        # toPandas() widens a nullable int64 with NULLs to float64, a
+        # pandas artifact the driver's value-hash gate does not see.
+        # Instead of SKIPPING them (which silently shrank coverage),
+        # compare their nullable-aware dtypes via convert_dtypes() —
+        # integral-valued float64-with-NaN collapses back to Int64 on
+        # BOTH sides, while a genuine float-vs-int mismatch with
+        # non-integral values still differs. NULL-free columns keep the
+        # strict raw-kind compare (convert_dtypes would collapse an
+        # integral-valued float64 HUGEINT artifact into Int64 and mask
+        # exactly the mismatch this tool exists to catch).
+        bad = []
+        for c in sdf.columns:
+            if c not in odf.columns:
+                continue
+            if sdf[c].isna().any() or odf[c].isna().any():
+                sk = kind(sdf[c].convert_dtypes().dtype)
+                ok_ = kind(odf[c].convert_dtypes().dtype)
+            else:
+                sk, ok_ = kind(sdf[c].dtype), kind(odf[c].dtype)
+            if sk != ok_:
+                bad.append((c, sk, ok_))
         if bad:
             issues.append(name)
             for c, sk, ok_ in bad:
