@@ -803,14 +803,52 @@ def q_intersect_users(spark, sf_dir):
 
 
 def q_quantile_sketch(spark, sf_dir):
-    """Mergeable quantile sketch: percentile_approx per event_type —
-    the 100 TB path for distribution profiling (exact interpolated
-    percentiles are `length_percentiles`). Rows-only; pytest asserts
-    rank error vs exact."""
+    """Mergeable quantile sketch, oracle-gradable invariant sheet: the
+    full ``percentile_approx`` (GK sketch) kernel runs per event_type,
+    then each returned quantile is re-ranked against the raw data and
+    asserted to sit inside the ±2%-rank band its accuracy guarantees
+    (the same band the pytest gate uses — percentile_approx returns an
+    actual element, so rank position is the comparable invariant, not
+    the value). The oracle recomputes the per-group row counts from
+    data and asserts the band holds (``rank_ok`` true) — a sketch
+    regression (wrong accuracy plumbing, nondeterminism, rank drift)
+    fails the hash gate. The exact-twin re-rank join exists only in
+    this graded sheet; production reads the sketch output alone
+    (raw values: the ``percentile_approx`` agg, first leg below).
+    The re-rank is one broadcast join (15 tiny rows) + one shuffle on
+    (event_type, q) — 100 TB-safe."""
     use_utc(spark)
     ev = load_table(spark, sf_dir, "events")
-    return ev.groupBy("event_type").agg(
-        F.percentile_approx("value", [0.5, 0.9, 0.99], 10000).alias("q_approx")
+    probs = [0.5, 0.9, 0.99]
+    qa = (
+        ev.groupBy("event_type")
+        .agg(F.percentile_approx("value", probs, 10000).alias("_qs"))
+        .select("event_type", F.posexplode("_qs").alias("_i", "_qv"))
+        .select(
+            "event_type",
+            F.element_at(
+                F.array(*[F.lit(float(p)) for p in probs]), F.col("_i") + 1
+            ).alias("q"),
+            "_qv",
+        )
+    )
+    ranked = (
+        ev.join(F.broadcast(qa), "event_type")
+        .groupBy("event_type", "q", "_qv")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum((F.col("value") < F.col("_qv")).cast("long")).alias("_n_lt"),
+            F.sum((F.col("value") <= F.col("_qv")).cast("long")).alias("_n_le"),
+        )
+    )
+    return ranked.select(
+        "event_type",
+        "q",
+        "n_events",
+        (
+            (F.col("_n_lt") / F.col("n_events") <= F.col("q") + 0.02)
+            & (F.col("_n_le") / F.col("n_events") >= F.col("q") - 0.02)
+        ).alias("rank_ok"),
     )
 
 
@@ -825,14 +863,38 @@ def q_cube_docs(spark, sf_dir):
 
 
 def q_hll_distinct(spark, sf_dir):
-    """Sketch surface: approx_count_distinct (HyperLogLog++) per
-    event_type — the mergeable-sketch path for 100 TB cardinality
-    (exact countDistinct is `distinct_users`). Rows-only check;
-    pytest asserts <5% error vs exact."""
+    """Sketch surface, oracle-gradable invariant sheet: the full
+    approx_count_distinct (HyperLogLog++) kernel runs per event_type
+    and its estimate is asserted within the pytest gate's tolerance of
+    the exact cardinality — ``within_5pct`` = |approx − exact| ≤
+    max(5% · exact, 2). The oracle recomputes the exact cardinality
+    from data and asserts the flag (HLL estimates aren't cross-engine
+    comparable — DuckDB's registers differ — but the error bound on
+    real data is). A relative-accuracy regression in the sketch fails
+    the hash gate. The sketch is pinned at rsd=0.01 so the 5% flag sits
+    at 5σ (the default rsd=0.05 makes 5% a 1σ band — it genuinely
+    tripped at sf0.1's ~1500-user cardinality); the sketch is
+    deterministic on fixed data, verified at sf0.001/0.01/0.1. The
+    exact twin lives only in this graded sheet; production reads the
+    sketch alone (raw estimate: ``approx_count_distinct`` directly)."""
     use_utc(spark)
     ev = load_table(spark, sf_dir, "events")
-    return ev.groupBy("event_type").agg(
-        F.approx_count_distinct("user_id").alias("approx_users")
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.countDistinct("user_id").alias("exact_users"),
+            F.approx_count_distinct("user_id", 0.01).alias("_approx"),
+        )
+        .select(
+            "event_type",
+            "exact_users",
+            (
+                F.abs(F.col("_approx") - F.col("exact_users"))
+                <= F.greatest(
+                    F.lit(0.05) * F.col("exact_users"), F.lit(2.0)
+                )
+            ).alias("within_5pct"),
+        )
     )
 
 
@@ -1527,17 +1589,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     r2-graded window aggregates and the full 32-query r3 cohort —
     TPC-H shapes, time-series pack, reconciliation/pivot/cube — none
     flagged stale by tools/window_plan.py, rotated purely so no green
-    grade ages past three rounds), the four queries graduated from
+    grade ages past three rounds), the SIX queries graduated from
     rows-only to oracle-graded this round (simhash invariant sheet,
     recall-1-pinned similarity_topk_lsh / similarity_topk_ivf /
-    neardup_embedding_lsh), and ten regression guards on code touched
-    this round (fan_out probe rewrite in ext/dedup.py, sign-aware
-    rounding in ext/temporal.py, multi-table LSH in ext/similarity.py,
-    streaming ingest check). Cheap window aggregates lead — the most
-    composed query (dedup_report) sits LAST so bench slot 0 never
-    confounds it (VERDICT r5 item 7).
-    Previously-green-stable queries follow; oracle-less rows-only
-    entries are last so they never occupy a gradeable slot."""
+    neardup_embedding_lsh, and the hll_distinct / quantile_sketch
+    error-bound invariant sheets — every declared query is now
+    oracle-backed), and eight regression guards on code touched this
+    round (fan_out probe rewrite in ext/dedup.py, sign-aware rounding
+    in ext/temporal.py, multi-table LSH in ext/similarity.py). Cheap
+    window aggregates lead — the most composed query (dedup_report)
+    sits LAST so bench slot 0 never confounds it (VERDICT r5 item 7).
+    Previously-green-stable queries follow."""
     return {
         # --- r6 window A: r2-graded refresh (oldest greens in repo)
         "window_min": q_window_min,
@@ -1582,10 +1644,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "similarity_topk_lsh": q_similarity_topk_lsh,
         "similarity_topk_ivf": q_similarity_topk_ivf,
         "neardup_embedding_lsh": q_neardup_embedding_lsh,
+        # --- r6 window C2: sketch invariant-sheet graduations (the
+        # last two rows-only entries, reshaped like simhash — never
+        # driver-graded before)
+        "hll_distinct": q_hll_distinct,
+        "quantile_sketch": q_quantile_sketch,
         # --- r6 window D: guards on code touched this round (fan_out
-        # probe, temporal rounding, multi-table LSH, streaming check);
-        # dedup_report LAST — never bench slot 0
-        "similarity_topk": q_similarity_topk,
+        # probe, temporal rounding, multi-table LSH); dedup_report
+        # LAST — never bench slot 0. (similarity_topk and
+        # streaming_window_agg rotated out to make room for the sketch
+        # graduations: similarity_topk's oracle and module stay
+        # exercised by the recall-1 topk graduations that share its
+        # oracle + neardup_embedding; streaming code is untouched this
+        # round and streaming_window_agg was r5-green.)
         "neardup_embedding": q_neardup_embedding,
         "neardup_jaccard": q_neardup_jaccard,
         "neardup_minhash": q_neardup_minhash,
@@ -1593,9 +1664,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_clusters": q_dedup_clusters,
         "dedup_clusters_lsh": q_dedup_clusters_lsh,
         "ewma_smooth": q_ewma_smooth,
-        "streaming_window_agg": q_streaming_window_agg,
         "dedup_report": q_dedup_report,
         # ---------- position 51+: previously green, rotated out
+        "similarity_topk": q_similarity_topk,
+        "streaming_window_agg": q_streaming_window_agg,
         "streaming_dedup": q_streaming_dedup,
         "streaming_enrich": q_streaming_enrich,
         "neardup_editdist": q_neardup_editdist,
@@ -1677,11 +1749,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             if _HAS_PROTOBUF
             else {}
         ),
-        # ---------- rows-only by design (no oracle can grade these:
-        # engine-internal sketch states; pytest error-bound gates per
-        # COVERAGE.md)
-        "hll_distinct": q_hll_distinct,
-        "quantile_sketch": q_quantile_sketch,
     }
 
 
@@ -2273,8 +2340,23 @@ def oracle_sql() -> dict[str, str]:
             SELECT lang, source, count(*) AS n_docs,
                    round(avg(n_chars), 6) AS avg_chars
             FROM documents GROUP BY CUBE(lang, source)""",
-        # hll_distinct / quantile_sketch: approx sketches — rows-only by
-        # design (pytest asserts error bounds vs exact).
+        # hll_distinct / quantile_sketch: sketch estimates are engine-
+        # internal (HLL registers / GK summaries differ across engines),
+        # so the graded sheets assert the sketch's error bound against
+        # exact values recomputed from data — same invariant-sheet
+        # playbook as simhash (r6).
+        "hll_distinct": """
+            SELECT event_type,
+                   count(DISTINCT user_id) AS exact_users,
+                   true AS within_5pct
+            FROM events GROUP BY event_type""",
+        "quantile_sketch": """
+            SELECT e.event_type, q.q,
+                   count(*) AS n_events,
+                   true AS rank_ok
+            FROM events e
+            CROSS JOIN (SELECT unnest([0.5, 0.9, 0.99]::DOUBLE[]) AS q) q
+            GROUP BY e.event_type, q.q""",
         "pivot_event_types": """
             SELECT user_id,
                    count(*) FILTER (WHERE event_type = 'click') AS click,
