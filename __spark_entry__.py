@@ -3076,16 +3076,24 @@ def oracle_sql() -> dict[str, str]:
                 first_value(CASE WHEN obs_v IS NOT NULL THEN x END IGNORE NULLS)
                     OVER (PARTITION BY id ORDER BY bucket
                     ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS next_x
-                FROM dense)
+                FROM dense),
+            -- sign-aware HALF_AWAY at 6 decimals, matching the Spark
+            -- kernel's signum(raw)*floor(abs(raw)*1e6+0.5)/1e6 chain
+            -- (a sign-unaware floor(x*1e6+0.5) diverges on negative
+            -- ties — latent on this fixture's 0..80 temperatures, but
+            -- the chains must be identical either way)
+            calc AS (SELECT id, bucket, obs_v,
+                            prev_v + (next_v - prev_v) *
+                                (CAST(x - prev_x AS DOUBLE)
+                                 / CAST(next_x - prev_x AS DOUBLE)) AS raw
+                     FROM fb)
             SELECT id, bucket,
                    CASE WHEN obs_v IS NOT NULL THEN obs_v
-                        ELSE floor((prev_v + (next_v - prev_v) *
-                             (CAST(x - prev_x AS DOUBLE)
-                              / CAST(next_x - prev_x AS DOUBLE)))
-                             * 1000000.0 + 0.5) / 1000000.0
+                        ELSE sign(raw) * floor(abs(raw) * 1000000.0 + 0.5)
+                             / 1000000.0
                    END AS temperature,
                    obs_v IS NULL AS filled
-            FROM fb""",
+            FROM calc""",
         "rate_of_change": f"""
             WITH sensor AS ({cte}),
             v AS (SELECT * FROM sensor WHERE {VALID_SQL})

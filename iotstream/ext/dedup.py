@@ -35,16 +35,63 @@ def fan_out(df: DataFrame) -> DataFrame:
     ``.rdd.getNumPartitions()`` probe compiled a throwaway non-AQE
     physical plan per invocation, an A/B-measured 15-25% overhead on
     every caller and driver work proportional to plan size at scale.
-    ``len(inputFiles())`` is a LOWER bound on split count (files larger
-    than maxPartitionBytes split further), which errs in the cheap
-    direction: a corpus wide enough to need no fan-out has far more
-    files than cores, while a small fixture scan (one file) still gets
-    spread. Non-file inputs (in-memory test frames) list zero files and
-    likewise fan out — correct for their only use, tiny local data."""
+    ``len(inputFiles())`` undercounts splits for LARGE files (the scan
+    splits them at spark.sql.files.maxPartitionBytes), and a compacted
+    corpus — few huge parquet files — is exactly where a spurious
+    full-corpus repartition hurts most. So when the file count alone is
+    below parallelism, the guard refines the estimate with per-file
+    sizes: splits ≈ Σ ceil(size / maxPartitionBytes). Size lookups only
+    happen on that branch, i.e. for fewer than ``parallelism`` files —
+    bounded driver work. Non-file inputs (in-memory test frames) list
+    zero files and fan out — correct for their only use, tiny local
+    data; size-probe failures (exotic filesystems) fall back to the
+    file count alone."""
     parallelism = df.sparkSession.sparkContext.defaultParallelism
-    if len(df.inputFiles()) >= parallelism:
+    files = df.inputFiles()
+    if len(files) >= parallelism:
+        return df
+    if files and _estimated_splits(df, files) >= parallelism:
         return df
     return df.repartition(parallelism)
+
+
+def _estimated_splits(df: DataFrame, files: list[str]) -> int:
+    """Σ ceil(file_size / maxPartitionBytes) over the scan's files —
+    the same arithmetic FilePartition planning uses (ignoring the
+    openCostInBytes packing term, which only makes real splits FEWER;
+    overestimating splits here risks one serialized fixture scan,
+    never a corpus-wide shuffle). Local ``file:`` URIs stat directly;
+    anything else goes through the Hadoop FileSystem driver-side."""
+    from urllib.parse import unquote, urlparse
+
+    spark = df.sparkSession
+    try:
+        max_bytes = int(
+            spark.conf.get("spark.sql.files.maxPartitionBytes", "134217728b")
+            .lower()
+            .rstrip("b")
+        )
+    except ValueError:
+        max_bytes = 128 * 1024 * 1024
+    splits = 0
+    try:
+        for uri in files:
+            parsed = urlparse(uri)
+            if parsed.scheme in ("", "file"):
+                import os
+
+                size = os.path.getsize(unquote(parsed.path))
+            else:
+                jvm = spark._jvm
+                path = jvm.org.apache.hadoop.fs.Path(uri)
+                fs = path.getFileSystem(
+                    spark._jsc.hadoopConfiguration()
+                )
+                size = fs.getFileStatus(path).getLen()
+            splits += max(1, -(-size // max_bytes))
+    except Exception:  # noqa: BLE001 — probe only; fall back to count
+        return len(files)
+    return splits
 
 
 def dedup_exact(docs: DataFrame, key: str = "text") -> DataFrame:

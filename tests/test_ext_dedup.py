@@ -232,3 +232,34 @@ def test_simhash_identical_texts_identical_hash(spark):
     assert per_group.filter(F.col("k") != 1).count() == 0
     # fixture plants real exact-dup groups — the invariant is exercised
     assert per_group.filter(F.col("n") > 1).count() > 0
+
+
+def test_fan_out_size_aware_for_compacted_large_files(spark, tmp_path):
+    """A compacted corpus — FEW large files — must not be repartitioned:
+    the scan splits big files at spark.sql.files.maxPartitionBytes, so
+    real split count >> file count and a file-count-only guard would
+    issue the full-corpus shuffle it exists to prevent. Shrink
+    maxPartitionBytes so the single fixture file counts as >=
+    parallelism estimated splits; the guard must return the SAME object
+    (no shuffle)."""
+    import os
+    from urllib.parse import unquote, urlparse
+
+    from iotstream.ext.dedup import fan_out
+
+    one_dir = str(tmp_path / "one")
+    docs = load_table(spark, SF_DIR, "documents")
+    docs.coalesce(1).write.mode("overwrite").parquet(one_dir)
+    one = spark.read.parquet(one_dir)
+    files = one.inputFiles()
+    assert len(files) == 1
+    size = os.path.getsize(unquote(urlparse(files[0]).path))
+    par = spark.sparkContext.defaultParallelism
+    old = spark.conf.get("spark.sql.files.maxPartitionBytes")
+    try:
+        spark.conf.set(
+            "spark.sql.files.maxPartitionBytes", f"{max(1, size // par)}b"
+        )
+        assert fan_out(one) is one
+    finally:
+        spark.conf.set("spark.sql.files.maxPartitionBytes", old)

@@ -264,3 +264,35 @@ def test_rate_of_change_per_hour_units_and_null_guard(spark):
     assert out["a"].temp_rate_per_hour == 5.0  # +10 over 2 h
     assert out["b"].temp_rate_per_hour is None  # zero-width span
     assert out["b"].n_readings == 1
+
+
+def test_interp_rounding_chain_negative_tie_parity(spark):
+    """The interpolate_linear Spark kernel and its DuckDB oracle must
+    use the IDENTICAL sign-aware HALF_AWAY chain — a sign-unaware
+    floor(x*1e6+0.5) diverges on negative 7th-decimal ties and on tiny
+    negatives (-0.0 vs 0.0, which the driver's %.9g value hash formats
+    differently). Latent on the 0..80-degree fixture; this pins the
+    parity on the exact adversarial values."""
+    import duckdb
+
+    vals = [-1.2345675, -5e-07, -2.5e-07, 1.2345675, 0.0, -3.0000005, 79.9999995]
+    df = spark.createDataFrame([(v,) for v in vals], "raw double")
+    raw = F.col("raw")
+    got = {
+        r["raw"]: r["r6"]
+        for r in df.select(
+            "raw",
+            (
+                F.signum(raw)
+                * F.floor(F.abs(raw) * 1000000.0 + F.lit(0.5))
+                / 1000000.0
+            ).alias("r6"),
+        ).collect()
+    }
+    for v in vals:
+        (exp,) = duckdb.sql(
+            f"SELECT sign(CAST({v!r} AS DOUBLE)) * "
+            f"floor(abs(CAST({v!r} AS DOUBLE)) * 1000000.0 + 0.5) "
+            "/ 1000000.0"
+        ).fetchone()
+        assert f"{got[v]:.9g}" == f"{exp:.9g}", (v, got[v], exp)

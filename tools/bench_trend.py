@@ -43,7 +43,9 @@ def _load(path: str) -> dict[str, float]:
     return {
         k: v
         for k, v in (data.get("queries") or {}).items()
-        if isinstance(v, (int, float))
+        # bool is an int subclass: a malformed true/false must not
+        # become a phantom 1.0s/0.0s baseline timing
+        if isinstance(v, (int, float)) and not isinstance(v, bool)
     }
 
 
