@@ -198,9 +198,11 @@ def neardup_embedding(
 def neardup_embedding_lsh(
     emb: DataFrame,
     threshold: float = 0.4,
-    nbits: int = 4,
-    tables: int = 16,
+    nbits: int | None = None,
+    tables: int | None = None,
     max_bucket: int | None = None,
+    target_bucket: int = 512,
+    recall: float = 0.9,
 ) -> DataFrame:
     """E2/E3 scale path for embedding near-dup: NEVER all-pairs.
     ``tables`` independent hyperplane-LSH tables of ``nbits`` bits
@@ -219,9 +221,56 @@ def neardup_embedding_lsh(
     over-cap groups are dropped from candidate generation, same
     rationale and trade as ``lsh_candidate_pairs``: pairs those
     vectors share through OTHER tables still surface. Default None
-    keeps exact semantics for graded runs."""
+    keeps exact semantics for graded runs.
+
+    AUTO-SIZING (``nbits``/``tables`` = None, the default): a fixed
+    bit width does not survive corpus growth — at 4 bits a table has
+    16 buckets, so buckets grow ∝ n and the per-bucket verify goes
+    quadratic (tools/scale_probe.py measured the pinned graded config
+    at 268 s for a ×64 corpus vs ~2 s at ×1). One count() sizes
+    ``nbits = max(4, ceil(log2(n / target_bucket)))`` so expected
+    bucket size stays ≈ target_bucket at ANY corpus size (Σ bucket²
+    ≈ tables·n·target_bucket — linear in n); ``tables`` then comes
+    from the recall identity  L = ln(1-recall) / ln(1-p1^nbits)  with
+    p1 = 1-θ/π, floored at 16 (today's fixture behavior — recall can
+    only go UP vs the old default) and capped at 128 — when the cap
+    binds, expected recall at the threshold is below target and a
+    RuntimeWarning says so with the achievable number (low thresholds
+    at large n are intrinsically expensive for hyperplane LSH; raise
+    target_bucket, accept the recall, or raise the threshold).
+    Explicitly pinned values (graded queries, recall-gate tests)
+    skip the count() and behave exactly as before."""
+    import math
+    import warnings
+
     import numpy as np
     import pandas as pd
+
+    if nbits is None or tables is None:
+        n = emb.count()
+        if nbits is None:
+            nbits = max(4, math.ceil(math.log2(max(n, 1) / target_bucket)))
+        if tables is None:
+            theta = math.acos(min(max(threshold, -1.0), 1.0))
+            p1 = max(1e-9, 1.0 - theta / math.pi)
+            p = p1**nbits
+            need = (
+                1
+                if p >= 1.0
+                else math.ceil(math.log(max(1e-12, 1.0 - recall)) / math.log(1.0 - p))
+            )
+            tables = max(16, min(128, need))
+            if need > tables:
+                achievable = 1.0 - (1.0 - p) ** tables
+                warnings.warn(
+                    f"neardup_embedding_lsh: {need} tables needed for "
+                    f"recall {recall} at threshold {threshold} with "
+                    f"{nbits} bits; capped at {tables} (expected recall "
+                    f"≈ {achievable:.2f}). Raise target_bucket or the "
+                    "threshold, or pin tables explicitly.",
+                    RuntimeWarning,
+                    stacklevel=2,
+                )
 
     # Bucket assignment vectorized: ONE matmul per Arrow batch against
     # all tables*nbits hyperplanes (seeded RNG — deterministic, no

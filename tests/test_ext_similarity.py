@@ -144,3 +144,35 @@ def test_graded_ann_pinnings_equal_exact(spark):
     exact_nd = rows(neardup_embedding(emb, threshold=0.4))
     got = rows(neardup_embedding_lsh(emb, threshold=0.4, nbits=4, tables=64))
     assert got == exact_nd
+
+
+def test_embedding_lsh_auto_sizing_floor_and_cap_warning(spark):
+    """Auto-sizing (nbits/tables=None) must (a) floor at the historical
+    (4 bits, 16 tables) on small corpora — identical output to the old
+    fixed defaults — and (b) warn when the 128-table cap binds and the
+    recall target is unreachable, stating the achievable recall."""
+    import warnings
+
+    from iotstream.ext.similarity import neardup_embedding_lsh
+
+    rows = [(i, [float(i % 7), 1.0, float(i % 3), 0.5]) for i in range(40)]
+    emb = spark.createDataFrame(rows, "vec_id bigint, embedding array<double>")
+    auto = {
+        (r.id_a, r.id_b)
+        for r in neardup_embedding_lsh(emb, threshold=0.9).collect()
+    }
+    pinned = {
+        (r.id_a, r.id_b)
+        for r in neardup_embedding_lsh(
+            emb, threshold=0.9, nbits=4, tables=16
+        ).collect()
+    }
+    assert auto == pinned
+
+    with warnings.catch_warnings(record=True) as caught:
+        warnings.simplefilter("always")
+        neardup_embedding_lsh(emb, threshold=0.4, recall=1 - 1e-12)
+    assert any(
+        "capped" in str(w.message) and "recall" in str(w.message)
+        for w in caught
+    ), [str(w.message) for w in caught]
