@@ -27,10 +27,14 @@ Replica construction (the honesty part):
   bucket sizes scale ×N, not ×N².
 
 Usage:
-    python tools/scale_probe.py [--mult 16] [--queries a,b,c] [--keep]
+    python tools/scale_probe.py [--mult 16] [--queries a,b,c]
+                                [--ingest] [--teardown]
 
-Scaled dirs are cached at /tmp/iotstream-scale/x{N}; --keep skips the
-teardown so repeated probes reuse them.
+Scaled dirs are cached at /tmp/iotstream-scale/x{N} and reused across
+runs; --teardown removes the cache afterwards. --ingest additionally
+drains the full streaming topology (bench.py's ingest measurement)
+at both sizes — fixed micro-batch overhead should amortize, so
+events/s is expected to RISE with corpus size.
 """
 
 from __future__ import annotations
@@ -243,12 +247,59 @@ def time_queries(spark, sf_dir: str, names: list[str]) -> dict[str, float]:
     return out
 
 
+def time_ingest(spark, sf_dir: str) -> dict[str, float]:
+    """bench.py's end-to-end streaming drain (JSON payload stream →
+    parse → dual sink) against the scaled events table: fixed
+    micro-batch overhead should amortize, so events/s RISES with
+    corpus size. Returns {events, seconds, events_per_sec}."""
+    import shutil
+    import tempfile
+
+    from iotstream.config import EngineConfig
+    from iotstream.operators.parse import to_sensor_json
+    from iotstream.pipeline import run_sensor_pipeline_stream
+    from iotstream.schemas import load_table, use_utc
+    from iotstream.sensorize import sensorize
+
+    use_utc(spark)
+    events = sensorize(load_table(spark, sf_dir, "events"))
+    n = events.count()
+    tmp = tempfile.mkdtemp(prefix="iotstream-scale-ingest-")
+    try:
+        payloads = f"{tmp}/payloads"
+        to_sensor_json(events).write.mode("overwrite").text(payloads)
+
+        def drain(tag: str) -> float:
+            conf = EngineConfig(
+                raw_archive_path=f"{tmp}/{tag}/raw",
+                clean_path=f"{tmp}/{tag}/clean",
+            )
+            stream = spark.readStream.schema("value string").text(payloads)
+            t0 = time.perf_counter()
+            run_sensor_pipeline_stream(spark, stream, conf, f"{tmp}/{tag}/ckpt")
+            return time.perf_counter() - t0
+
+        drain("w")
+        best = None
+        for tag in ("a", "b"):
+            spark._jvm.System.gc()
+            dt = drain(tag)
+            best = dt if best is None else min(best, dt)
+        return {
+            "events": n,
+            "seconds": round(best, 3),
+            "events_per_sec": round(n / best),
+        }
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--mult", type=int, default=16)
     ap.add_argument("--queries", default=",".join(DEFAULT_QUERIES))
-    ap.add_argument("--keep", action="store_true", default=True)
     ap.add_argument("--teardown", action="store_true")
+    ap.add_argument("--ingest", action="store_true")
     args = ap.parse_args()
     names = [q for q in args.queries.split(",") if q]
 
@@ -259,8 +310,15 @@ def main() -> int:
     dirn = build_scaled(spark, args.mult)
     print(f"scaled dirs ready in {time.perf_counter() - t0:.0f}s", file=sys.stderr)
 
-    t1 = time_queries(spark, dir1, names)
-    tn = time_queries(spark, dirn, names)
+    t1 = time_queries(spark, dir1, names) if names else {}
+    tn = time_queries(spark, dirn, names) if names else {}
+    ingest = None
+    if args.ingest:
+        ingest = {
+            "x1": time_ingest(spark, dir1),
+            f"x{args.mult}": time_ingest(spark, dirn),
+        }
+        print("ingest:", json.dumps(ingest), file=sys.stderr)
 
     rows = []
     for q in names:
@@ -286,6 +344,7 @@ def main() -> int:
                 "tn": tn,
                 "exponents": {q: (round(e, 3) if e is not None else None) for q, a, b, e in rows},
                 "superlinear": flagged,
+                **({"ingest": ingest} if ingest else {}),
             }
         )
     )
