@@ -879,22 +879,28 @@ def q_hll_distinct(spark, sf_dir):
     sketch alone (raw estimate: ``approx_count_distinct`` directly)."""
     use_utc(spark)
     ev = load_table(spark, sf_dir, "events")
-    return (
-        ev.groupBy("event_type")
-        .agg(
-            F.countDistinct("user_id").alias("exact_users"),
-            F.approx_count_distinct("user_id", 0.01).alias("_approx"),
-        )
-        .select(
-            "event_type",
-            "exact_users",
-            (
-                F.abs(F.col("_approx") - F.col("exact_users"))
-                <= F.greatest(
-                    F.lit(0.05) * F.col("exact_users"), F.lit(2.0)
-                )
-            ).alias("within_5pct"),
-        )
+    # exact twin as distinct-pairs → count, NOT countDistinct in the
+    # same agg as the sketch: combining them makes Catalyst EXPAND the
+    # input (one replica per distinct-aggregate) and merge the 2^14-
+    # register rsd=0.01 HLL buffers across the duplicated rows — A/B
+    # 2.34 s vs 0.80 s for this split shape at sf0.1. Two scans + a
+    # 5-row broadcast join beat one expanded scan.
+    exact = (
+        ev.select("event_type", "user_id")
+        .distinct()
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("exact_users"))
+    )
+    approx = ev.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id", 0.01).alias("_approx")
+    )
+    return exact.join(F.broadcast(approx), "event_type").select(
+        "event_type",
+        "exact_users",
+        (
+            F.abs(F.col("_approx") - F.col("exact_users"))
+            <= F.greatest(F.lit(0.05) * F.col("exact_users"), F.lit(2.0))
+        ).alias("within_5pct"),
     )
 
 
