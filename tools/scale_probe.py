@@ -103,15 +103,23 @@ def _rotated(i: int) -> str:
     return ALPHA[r:] + ALPHA[:r]
 
 
-def build_scaled(spark, mult: int) -> str:
+def build_scaled(spark, mult: int, skew: bool = False) -> str:
     """Write the ×mult fixture dir (cached). Replica 0 is bit-identical
     to the source tables, so ×1 runs the probe's storage layout, not
-    the pristine fixture files — both sizes pay identical read paths."""
+    the pristine fixture files — both sizes pay identical read paths.
+
+    ``skew=True`` builds the adversarial variant: 10% of every
+    replica's documents share ONE byte-identical text (a global
+    mega-dup group of mult·500 docs — the input that blows up LSH
+    banding without a bucket cap) and 10% of every replica's events
+    land on ONE hot user_id (the key that makes per-key windows and
+    unsalted joins straggle). Uniform scaling is the easy case; this
+    is the one the guards exist for."""
     from pyspark.sql import functions as F
 
     from iotstream.schemas import load_table
 
-    out_dir = f"{CACHE_ROOT}/x{mult}"
+    out_dir = f"{CACHE_ROOT}/x{mult}{'skew' if skew else ''}"
     marker = f"{out_dir}/_COMPLETE"
     if os.path.exists(marker):
         return out_dir
@@ -127,11 +135,17 @@ def build_scaled(spark, mult: int) -> str:
         df.write.mode("overwrite").parquet(f"{out_dir}/{name}.parquet")
 
     def docs_replica(df, i):
+        text = F.translate(
+            "text", ALPHA + ALPHA.upper(), _rotated(i) + _rotated(i).upper()
+        )
+        if skew:
+            text = F.when(
+                F.col("doc_id") % 10 == 0,
+                F.lit("the quick brown fox jumps over the lazy dog again"),
+            ).otherwise(text)
         return df.select(
             (F.col("doc_id") + i * 10_000_000).alias("doc_id"),
-            F.translate(
-                "text", ALPHA + ALPHA.upper(), _rotated(i) + _rotated(i).upper()
-            ).alias("text"),
+            text.alias("text"),
             "lang",
             "source",
             "n_chars",
@@ -154,10 +168,13 @@ def build_scaled(spark, mult: int) -> str:
         )
 
     def events_replica(df, i):
+        uid = F.col("user_id") + i * 10_000_000
+        if skew:
+            uid = F.when(F.col("event_id") % 10 == 0, F.lit(7)).otherwise(uid)
         return df.select(
             (F.col("event_id") + i * 1_000_000_000).alias("event_id"),
             "ts",
-            (F.col("user_id") + i * 10_000_000).alias("user_id"),
+            uid.alias("user_id"),
             "event_type",
             "value",
             "props",
@@ -220,11 +237,28 @@ def _q_neardup_embedding_lsh_auto(spark, sf_dir):
     )
 
 
+def _q_neardup_minhash_guarded(spark, sf_dir):
+    """The skew-dir companion: MinHash near-dup WITH the max_bucket
+    mega-bucket guard. On the skew fixture (a global 10% exact-dup
+    group) the unguarded path verifies |group|²·bands candidate pairs
+    — quadratic in the dup-group size; the guard drops over-cap
+    (band, bucket) groups and keeps the verify linear. Exact-dup mass
+    belongs to dedup_exact upstream anyway (run dedup first, then
+    near-dup — the documented pipeline order)."""
+    from iotstream.ext.dedup import neardup_minhash
+    from iotstream.schemas import load_table
+
+    return neardup_minhash(
+        load_table(spark, sf_dir, "documents"), max_bucket=512
+    )
+
+
 def time_queries(spark, sf_dir: str, names: list[str]) -> dict[str, float]:
     import __spark_entry__ as entrymod
 
     qs = dict(entrymod.queries())
     qs["neardup_embedding_lsh_auto"] = _q_neardup_embedding_lsh_auto
+    qs["neardup_minhash_guarded"] = _q_neardup_minhash_guarded
     out: dict[str, float] = {}
     for name in names:
         fn = qs[name]
@@ -300,14 +334,15 @@ def main() -> int:
     ap.add_argument("--queries", default=",".join(DEFAULT_QUERIES))
     ap.add_argument("--teardown", action="store_true")
     ap.add_argument("--ingest", action="store_true")
+    ap.add_argument("--skew", action="store_true")
     args = ap.parse_args()
     names = [q for q in args.queries.split(",") if q]
 
-    spark = _session(f"x{args.mult}")
+    spark = _session(f"x{args.mult}{'skew' if args.skew else ''}")
     spark.sparkContext.setLogLevel("ERROR")
     t0 = time.perf_counter()
-    dir1 = build_scaled(spark, 1)
-    dirn = build_scaled(spark, args.mult)
+    dir1 = build_scaled(spark, 1, skew=args.skew)
+    dirn = build_scaled(spark, args.mult, skew=args.skew)
     print(f"scaled dirs ready in {time.perf_counter() - t0:.0f}s", file=sys.stderr)
 
     t1 = time_queries(spark, dir1, names) if names else {}
