@@ -253,12 +253,36 @@ def _q_neardup_minhash_guarded(spark, sf_dir):
     )
 
 
+def _q_dedup_clusters_lsh_full(spark, sf_dir):
+    """The UNCAPPED MinHash→LSH→verify→connected-components pipeline
+    over the whole scaled corpus. The declared `dedup_clusters_lsh`
+    carries a doc_id<2000 demo cap (its oracle is a recursive CTE that
+    must terminate at grading scale), so probing IT measures the cap,
+    not the pipeline — this entry is the honest scale measurement,
+    with the mega-bucket guard on as any production run would have."""
+    from pyspark.sql import functions as F
+
+    from iotstream.ext.dedup import neardup_minhash
+    from iotstream.ext.graph import connected_components
+    from iotstream.schemas import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = neardup_minhash(docs, threshold=0.5, max_bucket=512).select(
+        "doc_a", "doc_b"
+    )
+    comp = connected_components(
+        pairs, docs.select("doc_id"), src="doc_a", dst="doc_b", node="doc_id"
+    )
+    return comp.select(F.col("node").alias("doc_id"), "cluster_id")
+
+
 def time_queries(spark, sf_dir: str, names: list[str]) -> dict[str, float]:
     import __spark_entry__ as entrymod
 
     qs = dict(entrymod.queries())
     qs["neardup_embedding_lsh_auto"] = _q_neardup_embedding_lsh_auto
     qs["neardup_minhash_guarded"] = _q_neardup_minhash_guarded
+    qs["dedup_clusters_lsh_full"] = _q_dedup_clusters_lsh_full
     out: dict[str, float] = {}
     for name in names:
         fn = qs[name]
