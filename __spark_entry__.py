@@ -885,22 +885,33 @@ def q_hll_distinct(spark, sf_dir):
     # register rsd=0.01 HLL buffers across the duplicated rows — A/B
     # 2.34 s vs 0.80 s for this split shape at sf0.1. Two scans + a
     # 5-row broadcast join beat one expanded scan.
-    exact = (
-        ev.select("event_type", "user_id")
-        .distinct()
-        .groupBy("event_type")
-        .agg(F.count(F.lit(1)).alias("exact_users"))
+    # NULL parity with the oracle's count(DISTINCT user_id): a LONE
+    # countDistinct plans as a two-stage distinct aggregate without the
+    # EXPAND (0.19 s measured — the 2.3 s cost was the combination with
+    # the sketch buffers), excludes null user_ids, and keeps an
+    # all-null group as exact_users=0; the <=> join keeps a null
+    # event_type GROUP alive through the recombination (a plain
+    # equi-join would drop it).
+    exact = ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("exact_users")
     )
     approx = ev.groupBy("event_type").agg(
         F.approx_count_distinct("user_id", 0.01).alias("_approx")
     )
-    return exact.join(F.broadcast(approx), "event_type").select(
-        "event_type",
-        "exact_users",
-        (
-            F.abs(F.col("_approx") - F.col("exact_users"))
-            <= F.greatest(F.lit(0.05) * F.col("exact_users"), F.lit(2.0))
-        ).alias("within_5pct"),
+    return (
+        exact.alias("e")
+        .join(
+            F.broadcast(approx.alias("a")),
+            F.expr("e.event_type <=> a.event_type"),
+        )
+        .select(
+            F.col("e.event_type").alias("event_type"),
+            "exact_users",
+            (
+                F.abs(F.col("_approx") - F.col("exact_users"))
+                <= F.greatest(F.lit(0.05) * F.col("exact_users"), F.lit(2.0))
+            ).alias("within_5pct"),
+        )
     )
 
 

@@ -16,22 +16,26 @@ Replica construction (the honesty part):
   without cross-replica collisions; customer replicates WITH events /
   orders (it is fact-sided), while nation/region/part/supplier stay
   unreplicated — exactly the broadcast-dim assumption the plans make.
-- document text is passed through a per-replica letter-rotation
-  (a bijection on the alphabet), which preserves each replica's
-  internal shingle/near-dup structure but removes cross-replica
-  shingle collisions — so LSH candidate pairs scale ×N, not ×N².
+- document text is passed through a per-replica random PERMUTATION
+  of the alphabet (seeded by the replica index — 26! distinct maps,
+  identity for replica 0; a rotation-only scheme repeats every 25
+  replicas and re-creates byte-identical cross-replica texts), which
+  preserves each replica's internal shingle/near-dup structure but
+  removes cross-replica shingle collisions — so LSH candidate pairs
+  scale ×N, not ×N².
 - embeddings get a per-replica deterministic sign-flip mask
-  (flip where (31·j + 1000003·i) mod 97 < 48, identity for i=0):
-  within-replica cosine structure is preserved exactly (flips cancel),
-  cross-replica cosine collapses toward 0 — near-dup pair counts and
-  bucket sizes scale ×N, not ×N².
+  (flip where (2654435761·j + 40503·i) mod 1000003 < 500000, identity
+  for i=0 — the modulus is prime and far above any realistic replica
+  count, so masks never repeat): within-replica cosine structure is
+  preserved exactly (flips cancel), cross-replica cosine collapses
+  toward 0 — near-dup pair counts and bucket sizes scale ×N, not ×N².
 
 Usage:
     python tools/scale_probe.py [--mult 16] [--queries a,b,c]
                                 [--ingest] [--teardown]
 
-Scaled dirs are cached at /tmp/iotstream-scale/x{N} and reused across
-runs; --teardown removes the cache afterwards. --ingest additionally
+Scaled dirs are cached under CACHE_ROOT and reused across runs;
+--teardown removes the cache afterwards. --ingest additionally
 drains the full streaming topology (bench.py's ingest measurement)
 at both sizes — fixed micro-batch overhead should amortize, so
 events/s is expected to RISE with corpus size.
@@ -50,7 +54,9 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 SRC_SF_DIR = "/root/testdata/sf0.1"
-CACHE_ROOT = "/tmp/iotstream-scale"
+# v2: permutation text transform + prime flip mask (v1 dirs are
+# contaminated beyond ×25/×97 replicas — never reuse them)
+CACHE_ROOT = "/tmp/iotstream-scale-v2"
 
 # Queries whose cost should scale with corpus size, spanning every
 # scale-path family: text LSH dedup, connected components, embedding
@@ -62,7 +68,9 @@ DEFAULT_QUERIES = [
     "dedup_exact",
     "neardup_minhash",
     "simhash",
-    "dedup_clusters_lsh",
+    # the DECLARED dedup_clusters_lsh has a doc_id<2000 demo cap, so
+    # probing it measures the cap; the _full entry is the real pipeline
+    "dedup_clusters_lsh_full",
     "similarity_topk",
     "similarity_topk_lsh",
     # NOT the declared `neardup_embedding_lsh`: that query pins
@@ -98,9 +106,20 @@ def _session(tag: str):
     )
 
 
-def _rotated(i: int) -> str:
-    r = i % 25 + 1 if i else 0
-    return ALPHA[r:] + ALPHA[:r]
+def _permuted(i: int) -> str:
+    """A full random permutation of the alphabet per replica (identity
+    for replica 0), seeded by the replica index: 26! distinct maps, so
+    no two replicas share a transform at ANY multiplier. (The earlier
+    rotation scheme had only 25 non-identity shifts — replicas 1/26/51
+    were byte-identical, quietly re-introducing the ×N² pair growth
+    the construction exists to prevent.)"""
+    if not i:
+        return ALPHA
+    import random
+
+    letters = list(ALPHA)
+    random.Random(i).shuffle(letters)
+    return "".join(letters)
 
 
 def build_scaled(spark, mult: int, skew: bool = False) -> str:
@@ -136,7 +155,7 @@ def build_scaled(spark, mult: int, skew: bool = False) -> str:
 
     def docs_replica(df, i):
         text = F.translate(
-            "text", ALPHA + ALPHA.upper(), _rotated(i) + _rotated(i).upper()
+            "text", ALPHA + ALPHA.upper(), _permuted(i) + _permuted(i).upper()
         )
         if skew:
             text = F.when(
@@ -157,9 +176,10 @@ def build_scaled(spark, mult: int, skew: bool = False) -> str:
         flip = F.transform(
             "embedding",
             lambda x, j: x
-            * F.when((31 * j + 1_000_003 * i) % 97 < 48, F.lit(-1.0)).otherwise(
-                F.lit(1.0)
-            ),
+            * F.when(
+                (2654435761 * j + 40503 * i) % 1_000_003 < 500_000,
+                F.lit(-1.0),
+            ).otherwise(F.lit(1.0)),
         ).cast("array<float>")
         return df.select(
             (F.col("vec_id") + i * 10_000_000).alias("vec_id"),
@@ -361,6 +381,18 @@ def main() -> int:
     ap.add_argument("--skew", action="store_true")
     args = ap.parse_args()
     names = [q for q in args.queries.split(",") if q]
+    # validate names BEFORE the expensive scaled-dir build
+    import __spark_entry__ as entrymod
+
+    known = set(entrymod.queries()) | {
+        "neardup_embedding_lsh_auto",
+        "neardup_minhash_guarded",
+        "dedup_clusters_lsh_full",
+    }
+    unknown = [q for q in names if q not in known]
+    if unknown:
+        print(f"unknown queries: {unknown}", file=sys.stderr)
+        return 2
 
     spark = _session(f"x{args.mult}{'skew' if args.skew else ''}")
     spark.sparkContext.setLogLevel("ERROR")
@@ -409,7 +441,10 @@ def main() -> int:
     )
     if args.teardown:
         shutil.rmtree(CACHE_ROOT, ignore_errors=True)
-    return 1 if flagged else 0
+    # an errored query at scale (OOM, blow-up) is a FAILED probe, not
+    # a silently-skipped row — exit nonzero so automation can gate
+    errored = [q for q, a, b, e in rows if e is None]
+    return 1 if flagged or errored else 0
 
 
 if __name__ == "__main__":
