@@ -832,13 +832,23 @@ def q_quantile_sketch(spark, sf_dir):
             "_qv",
         )
     )
+    # NULL parity with the oracle (same playbook as q_hll_distinct's
+    # <=> join, ADVICE r6): a plain equi-join would drop a NULL
+    # event_type group that both groupBys retain, and n_events counts
+    # NON-NULL values only (count(value), not count(*)) because
+    # percentile_approx and the lt/le rank sums all ignore NULL values
+    # — count(*) would shift the rank band's denominator.
     ranked = (
-        ev.join(F.broadcast(qa), "event_type")
-        .groupBy("event_type", "q", "_qv")
+        ev.alias("e")
+        .join(
+            F.broadcast(qa.alias("qa")),
+            F.expr("e.event_type <=> qa.event_type"),
+        )
+        .groupBy(F.col("e.event_type").alias("event_type"), "q", "_qv")
         .agg(
-            F.count(F.lit(1)).alias("n_events"),
-            F.sum((F.col("value") < F.col("_qv")).cast("long")).alias("_n_lt"),
-            F.sum((F.col("value") <= F.col("_qv")).cast("long")).alias("_n_le"),
+            F.count("e.value").alias("n_events"),
+            F.sum((F.col("e.value") < F.col("_qv")).cast("long")).alias("_n_lt"),
+            F.sum((F.col("e.value") <= F.col("_qv")).cast("long")).alias("_n_le"),
         )
     )
     return ranked.select(
@@ -2369,7 +2379,7 @@ def oracle_sql() -> dict[str, str]:
             FROM events GROUP BY event_type""",
         "quantile_sketch": """
             SELECT e.event_type, q.q,
-                   count(*) AS n_events,
+                   count(e.value) AS n_events,
                    true AS rank_ok
             FROM events e
             CROSS JOIN (SELECT unnest([0.5, 0.9, 0.99]::DOUBLE[]) AS q) q

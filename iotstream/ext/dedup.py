@@ -45,7 +45,16 @@ def fan_out(df: DataFrame) -> DataFrame:
     bounded driver work. Non-file inputs (in-memory test frames) list
     zero files and fan out — correct for their only use, tiny local
     data; size-probe failures (exotic filesystems) fall back to the
-    file count alone."""
+    file count alone.
+
+    CALLER CONTRACT: pass a (possibly filtered/projected) FILE-SCAN
+    frame. ``inputFiles()`` reflects the underlying scan, not the
+    frame's current partitioning — a post-shuffle or cached frame
+    lists no files (or a file count unrelated to its partitions) and
+    would be repartitioned even when it already has ≥ parallelism
+    partitions. Every in-repo caller feeds a raw scan; external
+    callers holding shuffled frames should repartition (or not)
+    themselves."""
     parallelism = df.sparkSession.sparkContext.defaultParallelism
     files = df.inputFiles()
     if len(files) >= parallelism:
@@ -65,14 +74,9 @@ def _estimated_splits(df: DataFrame, files: list[str]) -> int:
     from urllib.parse import unquote, urlparse
 
     spark = df.sparkSession
-    try:
-        max_bytes = int(
-            spark.conf.get("spark.sql.files.maxPartitionBytes", "134217728b")
-            .lower()
-            .rstrip("b")
-        )
-    except ValueError:
-        max_bytes = 128 * 1024 * 1024
+    max_bytes = _parse_byte_conf(
+        spark.conf.get("spark.sql.files.maxPartitionBytes", "134217728b")
+    )
     splits = 0
     try:
         for uri in files:
@@ -92,6 +96,28 @@ def _estimated_splits(df: DataFrame, files: list[str]) -> int:
     except Exception:  # noqa: BLE001 — probe only; fall back to count
         return len(files)
     return splits
+
+
+def _parse_byte_conf(s: str, default: int = 128 * 1024 * 1024) -> int:
+    """Spark byte-string conf → bytes, the same grammar as
+    ``JavaUtils.byteStringAsBytes`` (binary units: ``128m`` == ``128mb``
+    == 128 MiB; bare integers are bytes). A human-set value like
+    ``64MB`` must not fall through to the default — the split estimate
+    would then be wrong in whichever direction the conf moved
+    (ADVICE r6: a conf LOWER than default made fan_out see too few
+    splits and fire a spurious full-corpus repartition)."""
+    try:
+        v = s.strip().lower()
+        if v.endswith("b"):
+            v = v[:-1]
+        units = {"k": 1 << 10, "m": 1 << 20, "g": 1 << 30, "t": 1 << 40, "p": 1 << 50}
+        mult = 1
+        if v and v[-1] in units:
+            mult = units[v[-1]]
+            v = v[:-1]
+        return int(v) * mult
+    except (ValueError, AttributeError):
+        return default
 
 
 def dedup_exact(docs: DataFrame, key: str = "text") -> DataFrame:

@@ -263,3 +263,18 @@ def test_fan_out_size_aware_for_compacted_large_files(spark, tmp_path):
         assert fan_out(one) is one
     finally:
         spark.conf.set("spark.sql.files.maxPartitionBytes", old)
+
+
+def test_parse_byte_conf_suffix_forms():
+    """ADVICE r6: human-set maxPartitionBytes forms ('128m', '64MB')
+    must parse, not silently fall back to the 128 MiB default."""
+    from iotstream.ext.dedup import _parse_byte_conf
+
+    assert _parse_byte_conf("134217728b") == 128 * 1024 * 1024
+    assert _parse_byte_conf("134217728") == 128 * 1024 * 1024
+    assert _parse_byte_conf("128m") == 128 * 1024 * 1024
+    assert _parse_byte_conf("64MB") == 64 * 1024 * 1024
+    assert _parse_byte_conf("1g") == 1024**3
+    assert _parse_byte_conf("512k") == 512 * 1024
+    assert _parse_byte_conf("garbage") == 128 * 1024 * 1024
+    assert _parse_byte_conf("") == 128 * 1024 * 1024

@@ -122,8 +122,33 @@ def _permuted(i: int) -> str:
     return "".join(letters)
 
 
+def _fixture_fingerprint() -> str:
+    """Identity of the SOURCE fixtures (name, size, mtime of every
+    parquet under SRC_SF_DIR), hashed. Stored inside the _COMPLETE
+    marker so a regenerated sf0.1 fixture invalidates cached replicas
+    instead of silently reusing stale ones (ADVICE r6 — the marker
+    used to key on multiplier/skew alone)."""
+    import hashlib
+
+    parts = []
+    for name in sorted(os.listdir(SRC_SF_DIR)):
+        if not name.endswith(".parquet"):
+            continue
+        p = os.path.join(SRC_SF_DIR, name)
+        if os.path.isdir(p):  # parquet as directory of part files
+            for f in sorted(os.listdir(p)):
+                st = os.stat(os.path.join(p, f))
+                parts.append(f"{name}/{f}:{st.st_size}:{int(st.st_mtime)}")
+        else:
+            st = os.stat(p)
+            parts.append(f"{name}:{st.st_size}:{int(st.st_mtime)}")
+    return hashlib.sha256("\n".join(parts).encode()).hexdigest()[:16]
+
+
 def build_scaled(spark, mult: int, skew: bool = False) -> str:
-    """Write the ×mult fixture dir (cached). Replica 0 is bit-identical
+    """Write the ×mult fixture dir (cached; cache key includes a
+    source-fixture fingerprint — see ``_fixture_fingerprint``).
+    Replica 0 is bit-identical
     to the source tables, so ×1 runs the probe's storage layout, not
     the pristine fixture files — both sizes pay identical read paths.
 
@@ -140,8 +165,13 @@ def build_scaled(spark, mult: int, skew: bool = False) -> str:
 
     out_dir = f"{CACHE_ROOT}/x{mult}{'skew' if skew else ''}"
     marker = f"{out_dir}/_COMPLETE"
+    fp = _fixture_fingerprint()
     if os.path.exists(marker):
-        return out_dir
+        with open(marker) as fh:
+            if fh.read().strip() == fp:
+                return out_dir
+        print(f"stale scaled cache {out_dir} (fixture changed); rebuilding",
+              file=sys.stderr)
     shutil.rmtree(out_dir, ignore_errors=True)
     os.makedirs(out_dir, exist_ok=True)
 
@@ -167,7 +197,11 @@ def build_scaled(spark, mult: int, skew: bool = False) -> str:
             text.alias("text"),
             "lang",
             "source",
-            "n_chars",
+            # n_chars must describe the text the replica actually
+            # carries: skew-replaced docs keep their length-derived
+            # metadata consistent (length-blocked ops like
+            # neardup_editdist would otherwise see stale lengths).
+            F.length(text).cast("long").alias("n_chars"),
         )
 
     def emb_replica(df, i):
@@ -244,7 +278,8 @@ def build_scaled(spark, mult: int, skew: bool = False) -> str:
         load_table(spark, SRC_SF_DIR, dim).write.mode("overwrite").parquet(
             f"{out_dir}/{dim}.parquet"
         )
-    open(marker, "w").close()
+    with open(marker, "w") as fh:
+        fh.write(fp)
     return out_dir
 
 
