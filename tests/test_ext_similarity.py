@@ -123,11 +123,13 @@ def test_ivf_training_sample_is_order_independent(spark):
 
 def test_graded_ann_pinnings_equal_exact(spark):
     """The three ANN queries are oracle-graded via recall-1 parameter
-    pinning (VERDICT r5 playbook): 64-table LSH, probe-all IVF, and
-    (4 bits, 64 tables) embedding near-dup must be IDENTICAL to their
-    exact kernels on the fixture corpus — the property the shared
-    oracles rely on. Planes/codebook are deterministic, so equality
-    here is reproducible, not flaky."""
+    pinning (VERDICT r5 playbook), and since r7 the embedding-LSH and
+    IVF entries grade THROUGH the auto-sizing path (VERDICT r6: the
+    graded plan must be the production plan): auto-nbits + 67-table
+    LSH at recall=0.99999, auto-nlist probe-all IVF, and 64-table
+    top-k LSH must be IDENTICAL to their exact kernels on the fixture
+    corpus — the property the shared oracles rely on. Planes/codebook
+    are deterministic, so equality here is reproducible, not flaky."""
     from iotstream.ext.similarity import (
         neardup_embedding,
         neardup_embedding_lsh,
@@ -140,10 +142,33 @@ def test_graded_ann_pinnings_equal_exact(spark):
     rows = lambda df: sorted(tuple(r) for r in df.collect())  # noqa: E731
     exact_tk = rows(similarity_topk(emb))
     assert rows(similarity_topk_lsh(emb, nbits=4, tables=64)) == exact_tk
-    assert rows(similarity_topk_ivf(emb, nlist=8, nprobe=8)) == exact_tk
+    # the graded configs (auto path, as q_similarity_topk_ivf /
+    # q_neardup_embedding_lsh declare them)
+    assert rows(similarity_topk_ivf(emb, nlist=None, nprobe="all")) == exact_tk
     exact_nd = rows(neardup_embedding(emb, threshold=0.4))
-    got = rows(neardup_embedding_lsh(emb, threshold=0.4, nbits=4, tables=64))
+    got = rows(neardup_embedding_lsh(emb, threshold=0.4, recall=0.99999))
     assert got == exact_nd
+    # the superseded r6 pin stays equal too (auto's 67 tables extend
+    # these exact planes row-major — candidates only grow)
+    old = rows(neardup_embedding_lsh(emb, threshold=0.4, nbits=4, tables=64))
+    assert old == exact_nd
+
+
+def test_lsh_auto_params_formula(spark):
+    """lsh_auto_params is the single sizing source of truth: nbits
+    tracks log2(n/target_bucket) so buckets stay ≈ target_bucket at
+    any corpus size, tables come from the recall identity with the
+    16/128 floor/cap."""
+    from iotstream.ext.similarity import lsh_auto_params
+
+    assert lsh_auto_params(500, 0.4) == (4, 16)            # floor both
+    assert lsh_auto_params(500, 0.4, recall=0.99999) == (4, 67)
+    nbits, _ = lsh_auto_params(2_000_000, 0.4)
+    assert nbits == 12                                     # 2e6/512 → 2^12
+    nbits_big, tables_big = lsh_auto_params(128_000, 0.4, recall=0.99999)
+    assert nbits_big == 8 and tables_big == 128            # cap binds
+    # pinning one side derives only the other
+    assert lsh_auto_params(500, 0.4, nbits=6)[0] == 6
 
 
 def test_embedding_lsh_auto_sizing_floor_and_cap_warning(spark):
