@@ -21,9 +21,13 @@ hundreds of millions of rows at corpus scale). Formulation:
    read the same materialized partitions — correctness must not
    depend on exchange reuse deduplicating two range exchanges whose
    sampled boundaries could otherwise differ;
-4. per-partition row counts (tiny: one row per partition) prefix-summed
-   in a single-partition window over the COUNT table, broadcast back,
-   and added to the local rank.
+4. per-partition row counts — STRICTLY bounded at one row per
+   partition, i.e. by cluster parallelism, never by data size —
+   prefix-summed driver-side and broadcast back as a tiny offset
+   table added to the local rank. (An earlier draft used a
+   single-partition window over the count table; driver-side is the
+   same bounded work without WindowExec's all-to-one-partition
+   machinery or its warning.)
 
 Bit-identical to the naive global window for any total order (ties
 impossible when the sort key ends in a unique column — every caller
@@ -40,7 +44,6 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.types import LongType, StructField, StructType
-from pyspark.sql.window import Window
 
 
 def with_global_row_number(
@@ -82,11 +85,16 @@ def with_global_row_number(
             yield pdf
 
     local = ranged.mapInPandas(number, schema=out_schema).localCheckpoint()
-    counts = local.groupBy("_pid").agg(F.max("_lrn").alias("_cnt"))
-    pre_w = Window.orderBy("_pid").rowsBetween(Window.unboundedPreceding, -1)
-    prefix = counts.withColumn(
-        "_off", F.coalesce(F.sum("_cnt").over(pre_w), F.lit(0))
-    ).select("_pid", "_off")
+    # one row per partition — bounded by parallelism, not data size, so
+    # the exclusive prefix-sum is legitimate driver-side work (same
+    # rationale as the IVF codebook staying in numpy)
+    counts = local.groupBy("_pid").agg(F.max("_lrn").alias("_cnt")).collect()
+    acc = 0
+    offsets = []
+    for r in sorted(counts, key=lambda r: r["_pid"]):
+        offsets.append((r["_pid"], acc))
+        acc += r["_cnt"]
+    prefix = spark.createDataFrame(offsets, "_pid long, _off long")
     return (
         local.join(F.broadcast(prefix), "_pid")
         .withColumn(out, (F.col("_off") + F.col("_lrn")).cast("long"))
