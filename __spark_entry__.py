@@ -359,11 +359,22 @@ def q_dq_report(spark, sf_dir):
 def q_dedup_report(spark, sf_dir):
     """Composed curation verdict per document: exact-dup canonical +
     text-near-dup + embedding-near-dup flags in one sheet."""
+    from iotstream.streaming import scoped_shuffle_partitions
+
     # same demo cap as neardup_jaccard: the exact-verify kernels are
     # the correctness twins; the blocked kernels are the scale path.
     docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 2000)
     emb = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 2000)
-    return xdedup.dedup_report(docs, emb)
+    # width right-sized by the declared 2000-doc cap (same rationale
+    # as dedup_clusters): this composed sheet is ~12 sequential
+    # exchanges, and 32-wide shuffles pay scheduling overhead per
+    # stage that AQE cannot coalesce on inputs this small. The conf is
+    # read at EXECUTION, not plan construction, so the sheet is
+    # materialized (localCheckpoint — same trick the CC rounds inside
+    # dedup_clusters rely on) while the scope is active; the caller
+    # receives the 2000-row materialized frame.
+    with scoped_shuffle_partitions(spark, 8):
+        return xdedup.dedup_report(docs, emb).localCheckpoint()
 
 
 def q_dedup_clusters(spark, sf_dir):
@@ -555,7 +566,9 @@ def q_simhash(spark, sf_dir):
     sh = xdedup.simhash64(docs)
     return (
         docs.select("doc_id", F.sha2("text", 256).alias("_d"))
-        .join(sh, "doc_id")
+        # both sides are one row per doc — hash join skips the two
+        # doc-count sorts a sort-merge join would pay
+        .join(sh.hint("shuffle_hash"), "doc_id")
         .groupBy("_d")
         .agg(
             F.min("doc_id").alias("doc_id"),
