@@ -1641,29 +1641,84 @@ def entry(spark: SparkSession) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Declaration order is the driver's check order (first 50 get the
-    full oracle gate per round). Round-6 window = grading freshness +
-    graduations, per VERDICT r5: the 36 stalest greens (the four
-    r2-graded window aggregates and the full 32-query r3 cohort —
-    TPC-H shapes, time-series pack, reconciliation/pivot/cube — none
-    flagged stale by tools/window_plan.py, rotated purely so no green
-    grade ages past three rounds), the SIX queries graduated from
-    rows-only to oracle-graded this round (simhash invariant sheet,
-    recall-1-pinned similarity_topk_lsh / similarity_topk_ivf /
-    neardup_embedding_lsh, and the hll_distinct / quantile_sketch
-    error-bound invariant sheets — every declared query is now
-    oracle-backed), and eight regression guards on code touched this
-    round (fan_out probe rewrite in ext/dedup.py, sign-aware rounding
-    in ext/temporal.py, multi-table LSH in ext/similarity.py). Cheap
-    window aggregates lead — the most composed query (dedup_report)
-    sits LAST so bench slot 0 never confounds it (VERDICT r5 item 7).
-    Previously-green-stable queries follow."""
+    full oracle gate per round). Round-7 window, per VERDICT r6 items
+    1/3/4: (A) the full 36-query r4-graded cohort — the oldest grades
+    left anywhere (sensor pipeline, rollups, TPC-H residue, text/LLM
+    staples) — rotated in purely for freshness so no green grade ages
+    past three rounds; (B) regression guards on every piece of code
+    touched this round: the re-graded auto-sizing ANN entries
+    (neardup_embedding_lsh at recall=0.99999, probe-all auto-nlist
+    similarity_topk_ivf) plus their LSH sibling, the null-safe-join
+    quantile_sketch (+ hll_distinct sibling), vocab_build and its
+    consumers (tokenize_encode / sequence_pack in cohort A) on the
+    reshaped rank primitive, rfm_segments / user_value_deciles on the
+    same primitive, and the dedup family carrying the simhash multiset
+    + shuffle_hash + width-scoping perf work. Cheap pipeline queries
+    lead; the most composed query (dedup_report) sits LAST so bench
+    slot 0 never confounds it (VERDICT r5 item 7). Positions 51+ hold
+    the previously-green r5/r6-graded remainder."""
     return {
-        # --- r6 window A: r2-graded refresh (oldest greens in repo)
+        # --- r7 window A: the 36-query r4-graded cohort (freshness) —
+        # cheap sensor-pipeline queries lead
+        "filter_validity": q_filter_validity,
+        "window_max": q_window_max,
+        "throughput_count": q_throughput_count,
+        "ksql_max_table": q_ksql_max_table,
+        "json_roundtrip": q_json_roundtrip,
+        "clean_stream_json": q_clean_stream_json,
+        "raw_archive_projection": q_raw_archive_projection,
+        "synthetic_sensor_stream": q_synthetic_sensor_stream,
+        "pydatasource_sensor": q_pydatasource_sensor,
+        "props_extract": q_props_extract,
+        "props_variant": q_props_variant,
+        "mad_outliers": q_mad_outliers,
+        "temp_histogram": q_temp_histogram,
+        "temp_humidity_corr": q_temp_humidity_corr,
+        "rolling_5min_count": q_rolling_5min_count,
+        "rolling_active_users": q_rolling_active_users,
+        "trending_event_types": q_trending_event_types,
+        "continuous_rollup": q_continuous_rollup,
+        "revenue_rollup": q_revenue_rollup,
+        "revenue_share": q_revenue_share,
+        "revenue_forecast": q_revenue_forecast,
+        "dormant_customers": q_dormant_customers,
+        "large_quantity_orders": q_large_quantity_orders,
+        "local_supplier_volume": q_local_supplier_volume,
+        "shipping_priority": q_shipping_priority,
+        "priority_line_counts": xtpch.priority_line_counts,
+        "pricing_summary": q_pricing_summary,
+        "topk_per_group": q_topk_per_group,
+        "intersect_users": q_intersect_users,
+        "enrichment_join": q_enrichment_join,
+        "flagship": q_flagship,
+        "lm_bigram_xent": q_lm_bigram_xent,
+        "gopher_quality": q_gopher_quality,
+        "embedding_label_stats": q_embedding_label_stats,
+        "tokenize_encode": q_tokenize_encode,
+        "sequence_pack": q_sequence_pack,
+        # --- r7 window B: guards on code touched this round
+        # (ranks primitive reshape; sketch null-parity; auto-sizing
+        # re-grades; dedup perf work — dedup_report LAST)
+        "vocab_build": q_vocab_build,
+        "rfm_segments": q_rfm_segments,
+        "user_value_deciles": q_user_value_deciles,
+        "quantile_sketch": q_quantile_sketch,
+        "hll_distinct": q_hll_distinct,
+        "similarity_topk_lsh": q_similarity_topk_lsh,
+        "similarity_topk_ivf": q_similarity_topk_ivf,
+        "neardup_embedding_lsh": q_neardup_embedding_lsh,
+        "simhash": q_simhash,
+        "neardup_jaccard": q_neardup_jaccard,
+        "neardup_minhash": q_neardup_minhash,
+        "dedup_clusters": q_dedup_clusters,
+        "dedup_clusters_lsh": q_dedup_clusters_lsh,
+        "dedup_report": q_dedup_report,
+        # ---------- position 51+: previously green (r5/r6 grades),
+        # rotated out
         "window_min": q_window_min,
         "hopping_window_max": q_hopping_window_max,
         "rolling_avg": q_rolling_avg,
         "window_avg": q_window_avg,
-        # --- r6 window B: the 32-query r3 cohort refresh
         "asof_join": q_asof_join,
         "interval_join": q_interval_join,
         "market_share": xtpch.market_share,
@@ -1696,33 +1751,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "grouping_sets_volume": q_grouping_sets_volume,
         "status_change": q_status_change,
         "decontaminate_ngram": q_decontaminate_ngram,
-        # --- r6 window C: rows-only → oracle-graded graduations
-        "simhash": q_simhash,
-        "similarity_topk_lsh": q_similarity_topk_lsh,
-        "similarity_topk_ivf": q_similarity_topk_ivf,
-        "neardup_embedding_lsh": q_neardup_embedding_lsh,
-        # --- r6 window C2: sketch invariant-sheet graduations (the
-        # last two rows-only entries, reshaped like simhash — never
-        # driver-graded before)
-        "hll_distinct": q_hll_distinct,
-        "quantile_sketch": q_quantile_sketch,
-        # --- r6 window D: guards on code touched this round (fan_out
-        # probe, temporal rounding, multi-table LSH); dedup_report
-        # LAST — never bench slot 0. (similarity_topk and
-        # streaming_window_agg rotated out to make room for the sketch
-        # graduations: similarity_topk's oracle and module stay
-        # exercised by the recall-1 topk graduations that share its
-        # oracle + neardup_embedding; streaming code is untouched this
-        # round and streaming_window_agg was r5-green.)
         "neardup_embedding": q_neardup_embedding,
-        "neardup_jaccard": q_neardup_jaccard,
-        "neardup_minhash": q_neardup_minhash,
         "dedup_exact": q_dedup_exact,
-        "dedup_clusters": q_dedup_clusters,
-        "dedup_clusters_lsh": q_dedup_clusters_lsh,
         "ewma_smooth": q_ewma_smooth,
-        "dedup_report": q_dedup_report,
-        # ---------- position 51+: previously green, rotated out
         "similarity_topk": q_similarity_topk,
         "streaming_window_agg": q_streaming_window_agg,
         "streaming_dedup": q_streaming_dedup,
@@ -1741,7 +1772,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dataset_split": q_dataset_split,
         "stratified_sample": q_stratified_sample,
         "doc_chunks": q_doc_chunks,
-        "vocab_build": q_vocab_build,
         "ngram_counts": q_ngram_counts,
         "length_percentiles": q_length_percentiles,
         "scrub_numbers": q_scrub_numbers,
@@ -1759,48 +1789,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_sessionize": q_streaming_sessionize,
         "stateful_quality_monitor": q_stateful_quality_monitor,
         "sessionize": q_sessionize,
-        "user_value_deciles": q_user_value_deciles,
-        "rfm_segments": q_rfm_segments,
         "salted_join": q_salted_join,
         "funnel": q_funnel,
         "cohort_retention": q_cohort_retention,
         "scd2_history": q_scd2_history,
-        "lm_bigram_xent": q_lm_bigram_xent,
-        "embedding_label_stats": q_embedding_label_stats,
-        "intersect_users": q_intersect_users,
-        "shipping_priority": q_shipping_priority,
-        "enrichment_join": q_enrichment_join,
-        "topk_per_group": q_topk_per_group,
-        "revenue_forecast": q_revenue_forecast,
-        "pricing_summary": q_pricing_summary,
-        "revenue_rollup": q_revenue_rollup,
-        "local_supplier_volume": q_local_supplier_volume,
-        "large_quantity_orders": q_large_quantity_orders,
-        "dormant_customers": q_dormant_customers,
-        "continuous_rollup": q_continuous_rollup,
-        "rolling_5min_count": q_rolling_5min_count,
-        "props_extract": q_props_extract,
-        "mad_outliers": q_mad_outliers,
-        "props_variant": q_props_variant,
-        "temp_humidity_corr": q_temp_humidity_corr,
-        "temp_histogram": q_temp_histogram,
-        "gopher_quality": q_gopher_quality,
-        "pydatasource_sensor": q_pydatasource_sensor,
-        "trending_event_types": q_trending_event_types,
-        "rolling_active_users": q_rolling_active_users,
-        "revenue_share": q_revenue_share,
-        "priority_line_counts": xtpch.priority_line_counts,
-        "flagship": q_flagship,
-        "tokenize_encode": q_tokenize_encode,
-        "sequence_pack": q_sequence_pack,
-        "window_max": q_window_max,
-        "filter_validity": q_filter_validity,
-        "json_roundtrip": q_json_roundtrip,
-        "clean_stream_json": q_clean_stream_json,
-        "raw_archive_projection": q_raw_archive_projection,
-        "throughput_count": q_throughput_count,
-        "ksql_max_table": q_ksql_max_table,
-        "synthetic_sensor_stream": q_synthetic_sensor_stream,
         **(
             {"streaming_status_change": q_streaming_status_change}
             if _HAS_PROTOBUF

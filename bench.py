@@ -10,6 +10,15 @@ the FULL per-query timing map is written to BENCH_FULL.json alongside.)
 Env: SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1),
      SPARK_GRAFT_CPUS   (default 32).
 
+After the in-session sweep, the slowest queries are RE-TIMED in fresh
+single-query subprocesses (new JVM each, same warm-up/GC/min-of-2
+hygiene) and reported as the "isolated" series alongside the session
+numbers: a 128-query session carries co-resident heap/JIT/cache state
+that inflates individual timings by 30-40% in ways min-of-2 cannot
+remove (VERDICT r6), so regressions are judged on BOTH series — a
+session-only rise is load, an isolated rise is a real plan change.
+``python bench.py --one <query>`` is the subprocess entry point.
+
 Each query is forced end-to-end with the noop sink (full computation,
 no driver-side collect overhead). AQE is on — at bench scale it
 coalesces shuffle partitions and handles skew the same way a cluster
@@ -25,12 +34,7 @@ import sys
 import time
 
 
-def main() -> int:
-    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
-    m = re.search(r"sf([0-9.]+)", sf_dir)
-    sf = float(m.group(1)) if m else -1.0
-
+def _session(cpus: str):
     from pyspark.sql import SparkSession
 
     spark = (
@@ -48,6 +52,77 @@ def main() -> int:
         .getOrCreate()
     )
     spark.sparkContext.setLogLevel("ERROR")
+    return spark
+
+
+def _time_one(spark, fn, sf_dir: str) -> float:
+    """Warm-up run, forced GC, then min-of-2 — the hygiene every
+    timing in this harness shares."""
+    try:
+        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+    except Exception:  # noqa: BLE001 — warm-up best-effort
+        pass
+    spark._jvm.System.gc()
+    best = None
+    for _ in range(2):
+        t0 = time.perf_counter()
+        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        dt = time.perf_counter() - t0
+        best = dt if best is None else min(best, dt)
+    return best
+
+
+def one_query(name: str) -> int:
+    """Subprocess entry: time ONE query in a pristine JVM and print a
+    single JSON line — the isolated series' measurement unit."""
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    spark = _session(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    import __spark_entry__ as entrymod
+
+    qs = entrymod.queries()
+    if name not in qs:
+        print(json.dumps({"query": name, "error": "unknown"}))
+        return 2
+    try:
+        sec = _time_one(spark, qs[name], sf_dir)
+        print(json.dumps({"query": name, "sec": round(sec, 3)}))
+        return 0
+    except Exception as e:  # noqa: BLE001
+        print(json.dumps({"query": name, "error": f"{type(e).__name__}: {e}"[:200]}))
+        return 1
+
+
+def isolated_series(names: list[str]) -> dict[str, float]:
+    """Fresh-subprocess min-of-2 per query. ~20 s JVM+warm-up cost per
+    entry, so callers pass a small set (the slowest in-session ones)."""
+    import subprocess
+
+    out: dict[str, float] = {}
+    for name in names:
+        try:
+            proc = subprocess.run(
+                [sys.executable, os.path.abspath(__file__), "--one", name],
+                capture_output=True,
+                text=True,
+                timeout=180,
+            )
+            line = proc.stdout.strip().splitlines()[-1] if proc.stdout.strip() else "{}"
+            rec = json.loads(line)
+            if "sec" in rec:
+                out[name] = rec["sec"]
+        except Exception as e:  # noqa: BLE001 — isolated series is advisory
+            print(f"bench isolated error in {name}: {e}", file=sys.stderr)
+    return out
+
+
+def main() -> int:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1)) if m else -1.0
+
+    spark = _session(cpus)
 
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
     import __spark_entry__ as entrymod
@@ -76,29 +151,17 @@ def main() -> int:
     # Reported time = min of 2 measured runs after the warm-up: a 45-
     # query session has GC/scheduling noise of ±1-2 s per query; min-of-2
     # keeps round-over-round comparisons meaningful.
+    # _time_one forces a collection between the warm-up and the timed
+    # runs: a 128-query session accumulates heap debt, and a major GC
+    # landing inside someone's timed window charges the PREVIOUS
+    # queries' garbage to this one (A/B: the same query times 0.9 s
+    # early-session and 6.8 s late-session without this, flat with
+    # it). The reported number is the query's own steady-state cost.
     timings: dict[str, float] = {}
     errors: dict[str, str] = {}
     for name, fn in entrymod.queries().items():
         try:
-            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-        except Exception:  # noqa: BLE001
-            pass  # warm-up is best-effort; the timed run reports errors
-        try:
-            # Force a collection between the warm-up and the timed runs:
-            # a 128-query session accumulates heap debt, and a major GC
-            # landing inside someone's timed window charges the PREVIOUS
-            # queries' garbage to this one (A/B: the same query times
-            # 0.9 s early-session and 6.8 s late-session without this,
-            # flat with it — same pathology as the ingest drain). The
-            # reported number is the query's own steady-state cost.
-            spark._jvm.System.gc()
-            best = None
-            for _ in range(2):
-                t0 = time.perf_counter()
-                fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-                dt = time.perf_counter() - t0
-                best = dt if best is None else min(best, dt)
-            timings[name] = round(best, 3)
+            timings[name] = round(_time_one(spark, fn, sf_dir), 3)
         except Exception as e:  # noqa: BLE001
             print(f"bench error in {name}: {type(e).__name__}: {e}", file=sys.stderr)
             timings[name] = -1.0
@@ -114,6 +177,14 @@ def main() -> int:
     }
     if errors:
         out["errors"] = errors
+
+    # Isolated series (VERDICT r6 item 6): the 10 slowest in-session
+    # queries re-timed in pristine single-query JVMs — the artifact
+    # that separates session noise from real plan regressions.
+    if os.environ.get("SPARK_GRAFT_NO_ISOLATED") != "1":
+        out["isolated"] = isolated_series(
+            sorted(ok, key=ok.get, reverse=True)[:10]
+        )
 
     # End-to-end streaming ingest throughput: the reference's full
     # topology (JSON payload stream → parse → pre-filter raw archive +
@@ -198,6 +269,8 @@ def main() -> int:
         compact["streaming_ingest_events_per_sec"] = out[
             "streaming_ingest_events_per_sec"
         ]
+    if out.get("isolated"):
+        compact["isolated"] = out["isolated"]
     if errors:
         compact["errors"] = {
             k: v[:80] for k, v in list(errors.items())[:3]
@@ -211,4 +284,6 @@ def main() -> int:
 
 
 if __name__ == "__main__":
+    if len(sys.argv) >= 3 and sys.argv[1] == "--one":
+        raise SystemExit(one_query(sys.argv[2]))
     raise SystemExit(main())

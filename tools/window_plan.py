@@ -164,10 +164,15 @@ def _module_block(src: str, name: str) -> str | None:
     """Top-level `def name(...)` / `class name` / `NAME =` block in a
     module's source, by indentation — INCLUDING any decorator lines
     immediately above (a decorator-argument change alters behavior
-    without touching the def body)."""
+    without touching the def body). The terminator excludes lines
+    opening with ``)``/``]``/``}``: a multi-line signature or literal
+    closes at column 0 INSIDE the block (the r7 bug: every function
+    with a black-wrapped signature truncated to its first two lines,
+    so body edits compared equal and staleness silently under-flagged
+    — `_preamble` already knew this)."""
     m = re.search(
         rf"^((?:@[^\n]*\n)*)(?:def {re.escape(name)}\(|class {re.escape(name)}\b"
-        rf"|{re.escape(name)}(?::[^=\n]+)? =).*?(?=^\S|\Z)",
+        rf"|{re.escape(name)}(?::[^=\n]+)? =).*?(?=^[^\s)\]}}]|\Z)",
         src,
         re.M | re.S,
     )
@@ -229,6 +234,27 @@ def _used_names_per_module(
     return used
 
 
+def _block_closure(src: str, names: set[str]) -> tuple[str, bool]:
+    """Concatenated source of the ``names`` blocks in ``src`` plus the
+    same-module helpers they (transitively) call — the slice of the
+    module this query can actually execute. Second return is False
+    when nothing resolved (caller falls back conservative)."""
+    frontier, seen, parts = set(names), set(), []
+    while frontier:
+        n = frontier.pop()
+        if n in seen:
+            continue
+        seen.add(n)
+        b = _module_block(src, n)
+        if not b:
+            continue
+        parts.append(b)
+        for callee in re.findall(r"\b(\w+)\(", b):
+            if callee not in seen and _module_block(src, callee):
+                frontier.add(callee)
+    return "".join(parts), bool(parts)
+
+
 def _refined_module_stale(
     func_src: str,
     aliases: dict[str, str],
@@ -241,7 +267,16 @@ def _refined_module_stale(
     of same-module helpers it calls — a DELETED helper counts as
     changed), or (c) usage can't be resolved (conservative fallback to
     module-level staleness). Returns the subset of ``changed_files``
-    still considered stale."""
+    still considered stale.
+
+    The one-hop reachability is SLICE-precise (r7): when a changed
+    file f is only reachable through another used module g, the names
+    g imports from f count only if they are referenced inside the
+    query's block closure IN g — a function-local import of f by some
+    unrelated g-function (vocab_build pulling ext/ranks) must not
+    flag every query that touches g (word_counts etc. never execute
+    ranks code). Provable block-level unreachability clears f; an
+    unresolvable closure stays conservative."""
     stale: set[str] = set()
     used = _used_names_per_module(func_src, aliases)
     show, read = _show_cached, _read_cached
@@ -270,7 +305,10 @@ def _refined_module_stale(
                 stale.add(f)
             continue
         names = set(by_file.get(f, set()))
-        # transitive: names imported from f by OTHER changed/used modules
+        # transitive: names imported from f by OTHER used modules —
+        # restricted to imports the query's block closure in g can
+        # actually reach
+        unresolved_hop = False
         for g in by_file:
             if g == f:
                 continue
@@ -278,6 +316,7 @@ def _refined_module_stale(
             if gsrc is None:
                 continue
             dotted_f = f[:-3].replace("/", ".").removesuffix(".__init__")
+            imported: set[str] = set()
             for m in re.finditer(
                 rf"from {re.escape(dotted_f)} import ([\w, ()\n]+?)(?=\n\S|\n$)",
                 gsrc,
@@ -286,9 +325,27 @@ def _refined_module_stale(
                 for part in re.split(r"[,\n()]+", m.group(1)):
                     part = part.strip().split(" as ")[0].strip()
                     if part:
-                        names.add(part)
+                        imported.add(part)
+            if not imported:
+                continue
+            closure_src, resolved = _block_closure(gsrc, by_file[g])
+            if not resolved:
+                names.update(imported)  # can't slice g — conservative
+                unresolved_hop = True
+                continue
+            names.update(
+                x
+                for x in imported
+                if re.search(rf"\b{re.escape(x)}\b", closure_src)
+            )
         if not names:
-            stale.add(f)  # can't resolve usage — conservative
+            # No direct usage, and every import of f by a used module
+            # sits outside the query's block closure (an unresolvable
+            # closure would have added g's imports above, making
+            # ``names`` non-empty): f is provably unreachable from
+            # this query's slice — the graded code path cannot have
+            # executed anything in f. (Scope: ``from x import y``
+            # style only, which is the only import style in-repo.)
             continue
         if _preamble(old_src) != _preamble(new_src):
             stale.add(f)
