@@ -1,0 +1,103 @@
+"""Staleness-walker precision guards (tools/window_plan.py).
+
+Two r7 regressions this pins:
+1. `_module_block` used to terminate at ANY column-0 character, so a
+   black-wrapped multi-line signature (closing ``)`` at column 0)
+   truncated the block to its first two lines — body edits then
+   compared equal and staleness silently under-flagged.
+2. One-hop reachability is slice-precise: a function-local import of a
+   changed module by one resident of an intermediate module must not
+   flag queries whose block closure never references it.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+sys.path.insert(
+    0, os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "tools")
+)
+
+import window_plan as wp  # noqa: E402
+
+WRAPPED_A = '''\
+def wrapped(
+    docs, col: str = "text", min_count: int = 5
+) -> int:
+    return 1
+
+
+def other():
+    return 2
+'''
+
+WRAPPED_B = WRAPPED_A.replace("return 1", "return 99")
+
+
+def test_module_block_spans_wrapped_signature_body():
+    block = wp._module_block(WRAPPED_A, "wrapped")
+    assert "return 1" in block  # body included, not cut at `) -> int:`
+    assert "def other" not in block  # stops at the next top-level def
+    assert wp._module_block(WRAPPED_A, "wrapped") != wp._module_block(
+        WRAPPED_B, "wrapped"
+    )
+
+
+def test_module_block_closing_bracket_literals():
+    src = "CONF = [\n    1,\n]\n\n\ndef f():\n    return CONF\n"
+    block = wp._module_block(src, "CONF")
+    assert "]" in block and "def f" not in block
+
+
+def test_block_closure_walks_same_module_helpers():
+    src = (
+        "def a():\n    return helper()\n\n\n"
+        "def helper():\n    return 1\n\n\n"
+        "def unrelated():\n    return 2\n"
+    )
+    closure, resolved = wp._block_closure(src, {"a"})
+    assert resolved
+    assert "def helper" in closure
+    assert "def unrelated" not in closure
+
+
+def test_slice_precise_hop_does_not_flag_unrelated_queries(tmp_path, monkeypatch):
+    """A module g where only `vocabish` imports the changed file f:
+    a query using `wordish` (whose closure never touches f) must not
+    be stale; a query using `vocabish` must be."""
+    repo = tmp_path
+    (repo / "pkg").mkdir()
+    g_old = (
+        "def wordish(x):\n    return x + 1\n\n\n"
+        "def vocabish(x):\n    from pkg.ranksish import rank\n\n    return rank(x)\n"
+    )
+    f_old = "def rank(x):\n    return x\n"
+    f_new = "def rank(x):\n    return x * 2\n"
+    (repo / "pkg" / "textish.py").write_text(g_old)
+    (repo / "pkg" / "ranksish.py").write_text(f_new)
+
+    monkeypatch.setattr(wp, "REPO", str(repo))
+    monkeypatch.setattr(wp, "_show_cached", lambda commit, path: f_old
+                        if path == "pkg/ranksish.py" else g_old)
+    monkeypatch.setattr(
+        wp, "_module_file",
+        lambda dotted: f"{dotted.replace('.', '/')}.py"
+        if os.path.exists(os.path.join(str(repo), f"{dotted.replace('.', '/')}.py"))
+        else None,
+    )
+    wp._READ_CACHE.clear()
+
+    # _used_names_per_module only scans `from iotstream...` — feed it
+    # aliases instead (alias -> dotted module), the other supported path.
+    aliases = {"xt": "pkg.textish"}
+    stale_word = wp._refined_module_stale(
+        "def q(spark, sf):\n    return xt.wordish(1)\n",
+        aliases, {"pkg/ranksish.py"}, "HEAD",
+    )
+    assert stale_word == set()
+    stale_vocab = wp._refined_module_stale(
+        "def q(spark, sf):\n    return xt.vocabish(1)\n",
+        aliases, {"pkg/ranksish.py"}, "HEAD",
+    )
+    assert stale_vocab == {"pkg/ranksish.py"}
