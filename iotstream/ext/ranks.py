@@ -63,6 +63,14 @@ def with_global_row_number(
 
     spark = df.sparkSession
     n = num_partitions or int(spark.conf.get("spark.sql.shuffle.partitions"))
+    # Materialize the input once before range-partitioning:
+    # repartitionByRange runs a SEPARATE sampling job over the child
+    # lineage to pick boundaries, then the shuffle runs it again — for
+    # rank inputs (always post-aggregation tables whose lineage is a
+    # corpus-sized agg) that is two full corpus passes. The inputs
+    # themselves are bounded (vocab / per-user tables), so pinning
+    # them is cheap at any scale.
+    df = df.localCheckpoint()
     ranged = df.repartitionByRange(n, *order_by).sortWithinPartitions(*order_by)
 
     out_schema = StructType(
