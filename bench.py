@@ -93,19 +93,33 @@ def one_query(name: str) -> int:
         return 1
 
 
-def isolated_series(names: list[str]) -> dict[str, float]:
+def isolated_series(
+    names: list[str], budget_sec: float = 360.0
+) -> dict[str, float]:
     """Fresh-subprocess min-of-2 per query. ~20 s JVM+warm-up cost per
-    entry, so callers pass a small set (the slowest in-session ones)."""
+    entry, so callers pass a small set (the slowest in-session ones).
+    ``budget_sec`` caps the WHOLE series — per-query timeouts alone
+    would let 10 pathological entries cost 30 min of driver bench
+    time; when the budget runs out the remaining queries are skipped
+    (the series is advisory, the session sweep is the record)."""
     import subprocess
 
     out: dict[str, float] = {}
+    t_start = time.perf_counter()
     for name in names:
+        remaining = budget_sec - (time.perf_counter() - t_start)
+        if remaining <= 0:
+            print(
+                f"bench isolated: budget exhausted, skipping {name!r} onward",
+                file=sys.stderr,
+            )
+            break
         try:
             proc = subprocess.run(
                 [sys.executable, os.path.abspath(__file__), "--one", name],
                 capture_output=True,
                 text=True,
-                timeout=180,
+                timeout=min(180, max(30, remaining)),
             )
             line = proc.stdout.strip().splitlines()[-1] if proc.stdout.strip() else "{}"
             rec = json.loads(line)
