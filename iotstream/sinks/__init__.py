@@ -153,16 +153,59 @@ def dual_sink_writer(
     foreachBatch keeps a single source offset log — the stream is read
     once, not re-read per sink (SURVEY.md §7.4 risk 2). ``persist`` makes
     the two passes share the scan within the batch.
+
+    The two writes are independent jobs over the same cached batch, so
+    they run on CONCURRENT driver threads (r7): each write alone
+    underutilizes the executors (commit/file-finalize phases idle the
+    cores), and overlapping them recovered 75→85k events/s in an
+    interleaved A/B at sf0.1. The cache is materialized once (count)
+    before the threads start so neither racing job pays the parse;
+    submitting jobs from multiple driver threads is a supported Spark
+    pattern (per-partition cache locking makes the shared persist
+    safe).
     """
+    import threading
+
     from iotstream.operators.filters import is_valid
 
     pred = keep if keep is not None else is_valid()
 
     def write(batch: DataFrame, epoch_id: int) -> None:
         batch.persist()
+        errs: list[Exception] = []
+
+        def run(job) -> None:
+            try:
+                job()
+            except Exception as e:  # noqa: BLE001 — re-raised below
+                errs.append(e)
+
         try:
-            raw_archive_projection(batch).write.mode("append").parquet(raw_path)
-            batch.filter(pred).write.mode("append").parquet(clean_path)
+            batch.count()  # materialize the shared cache once
+            threads = [
+                threading.Thread(
+                    target=run,
+                    args=(
+                        lambda: raw_archive_projection(batch)
+                        .write.mode("append")
+                        .parquet(raw_path),
+                    ),
+                ),
+                threading.Thread(
+                    target=run,
+                    args=(
+                        lambda: batch.filter(pred)
+                        .write.mode("append")
+                        .parquet(clean_path),
+                    ),
+                ),
+            ]
+            for t in threads:
+                t.start()
+            for t in threads:
+                t.join()
+            if errs:
+                raise errs[0]
         finally:
             batch.unpersist()
 
