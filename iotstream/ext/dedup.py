@@ -489,10 +489,19 @@ def neardup_editdist(
 
     Blocking: pairs must share (source, n_chars // bucket_chars), so
     the self-join is an equi-join on the block key — candidate count
-    scales with block density, never corpus². The O(prefix_len²)
-    levenshtein kernel runs JVM-side on a fixed-length prefix, and the
-    cheap length-delta prune (|Δn_chars| ≤ max_dist, a lower bound on
-    edit distance) drops most pairs before it.
+    scales with block density. SCALE CAVEAT (r7 declared-probe
+    finding, exponent 0.90 at ×16): block density itself grows with
+    the corpus (similar-length docs are organic, not degenerate, so a
+    mega-bucket drop guard would discard legitimate candidates —
+    unlike the LSH guards), which makes this kernel quadratic-in-N
+    within blocks at web scale. Its production role there is the
+    VERIFY predicate over candidates from a sublinear generator
+    (SimHash buckets / MinHash bands), with the length-delta prune
+    and banded levenshtein unchanged; standalone use is for
+    corpus sizes where length-blocked density stays bounded. The
+    O(prefix_len²) levenshtein kernel runs JVM-side on a fixed-length
+    prefix, and the cheap length-delta prune (|Δn_chars| ≤ max_dist,
+    a lower bound on edit distance) drops most pairs before it.
 
     Two plan-shape guards learned from .explain(): (1) Catalyst pushes
     the ``dist <= max_dist`` filter INTO the join condition, so the
