@@ -101,3 +101,13 @@ def test_slice_precise_hop_does_not_flag_unrelated_queries(tmp_path, monkeypatch
         aliases, {"pkg/ranksish.py"}, "HEAD",
     )
     assert stale_vocab == {"pkg/ranksish.py"}
+
+
+def test_behavior_key_ignores_docstrings_and_comments():
+    a = 'def f(x):\n    """old docs."""\n    # a comment\n    return x + 1\n'
+    b = 'def f(x):\n    """NEW docs, plus a caveat."""\n    return x + 1\n'
+    c = 'def f(x):\n    """old docs."""\n    return x + 2\n'
+    assert wp._behavior_key(a) == wp._behavior_key(b)  # docs/comments only
+    assert wp._behavior_key(a) != wp._behavior_key(c)  # real body change
+    assert wp._behavior_key(None) is None
+    assert wp._behavior_key("def broken(:\n") == "def broken(:\n"  # fallback

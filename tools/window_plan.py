@@ -234,6 +234,35 @@ def _used_names_per_module(
     return used
 
 
+def _behavior_key(block: str | None) -> str | None:
+    """Comparison key for a top-level block that ignores what cannot
+    change behavior: comments, formatting, and leading docstrings
+    (AST dump with docstring Expr nodes removed). A caveat added to a
+    function's docstring must not flag every query using the function
+    as stale (r7: a comment-only edit to ``neardup_editdist`` burned
+    a window-rotation flag). Unparseable fragments fall back to the
+    raw text — conservative, never under-flagging."""
+    if block is None:
+        return None
+    import ast
+
+    try:
+        tree = ast.parse(block)
+    except SyntaxError:
+        return block
+    for node in ast.walk(tree):
+        body = getattr(node, "body", None)
+        if (
+            isinstance(body, list)
+            and body
+            and isinstance(body[0], ast.Expr)
+            and isinstance(body[0].value, ast.Constant)
+            and isinstance(body[0].value.value, str)
+        ):
+            node.body = body[1:]
+    return ast.dump(tree)
+
+
 def _block_closure(src: str, names: set[str]) -> tuple[str, bool]:
     """Concatenated source of the ``names`` blocks in ``src`` plus the
     same-module helpers they (transitively) call — the slice of the
@@ -359,7 +388,7 @@ def _refined_module_stale(
                 continue
             seen.add(name)
             nb, ob = _module_block(new_src, name), _module_block(old_src, name)
-            if nb != ob:
+            if _behavior_key(nb) != _behavior_key(ob):
                 differs = True
                 break
             if nb:
@@ -493,7 +522,7 @@ def main() -> int:
             # None = the function did not exist under this name at the
             # grading round (renamed/new implementation) — that IS a
             # change, not a pass.
-            if fsrc_then != fsrc_now:
+            if _behavior_key(fsrc_then) != _behavior_key(fsrc_now):
                 reasons.append("entry fn changed")
         mods = _modules_used(fsrc_now, aliases, helper_srcs)
         # Queries registered as module-level functions (e.g. the TPC-H
