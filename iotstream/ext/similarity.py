@@ -203,6 +203,7 @@ def lsh_auto_params(
     nbits: int | None = None,
     tables: int | None = None,
     caller: str = "lsh_auto_params",
+    multiprobe: int = 0,
 ) -> tuple[int, int]:
     """THE corpus-aware hyperplane-LSH sizing formula — the single
     source of truth shared by the library auto path AND the graded
@@ -221,6 +222,21 @@ def lsh_auto_params(
       expensive for hyperplane LSH).
 
     Pass ``nbits``/``tables`` to pin one side and derive the other.
+
+    ``multiprobe`` (the tables↔probes trade): with ``m`` probed bit
+    flips per (vector, table), a pair collides in a table when their
+    signatures agree on all bits OR differ only in probed positions —
+    per-table collision prob is at least
+    ``p1^nbits + m · p1^(nbits-1) · (1-p1)`` (the single-side Hamming-1
+    lower bound; both-side probing also reaches some Hamming-2
+    patterns, so true recall is ≥ the sized target). The identity then
+    needs FEWER tables for the same recall — the point of probing —
+    at the cost of (1+m)× candidate rows per table, i.e. (1+m)² the
+    per-bucket verify flops. Measured on this workload (verify-
+    dominated batch self-join, ``tools/scale_probe.py``): probes cost
+    more verify work than the tables they save, so the default stays
+    0 and probing is for table-capped regimes where recall — not
+    compute — is the binding constraint (see ``neardup_embedding_lsh``).
     """
     import math
     import warnings
@@ -231,6 +247,9 @@ def lsh_auto_params(
         theta = math.acos(min(max(threshold, -1.0), 1.0))
         p1 = max(1e-9, 1.0 - theta / math.pi)
         p = p1**nbits
+        if multiprobe:
+            m = min(multiprobe, nbits)
+            p = min(1.0, p + m * p1 ** (nbits - 1) * (1.0 - p1))
         need = (
             1
             if p >= 1.0
@@ -259,6 +278,10 @@ def neardup_embedding_lsh(
     max_bucket: int | None = 4096,
     target_bucket: int = 512,
     recall: float = 0.9,
+    multiprobe: int = 0,
+    vectors: str = "auto",
+    vec_broadcast_bytes: int = 256 << 20,
+    guard_stats: dict | None = None,
 ) -> DataFrame:
     """E2/E3 scale path for embedding near-dup: NEVER all-pairs.
     ``tables`` independent hyperplane-LSH tables of ``nbits`` bits
@@ -301,68 +324,332 @@ def neardup_embedding_lsh(
     at large n are intrinsically expensive for hyperplane LSH; raise
     target_bucket, accept the recall, or raise the threshold).
     Explicitly pinned values (graded queries, recall-gate tests)
-    skip the count() and behave exactly as before."""
+    skip the count() and behave exactly as before.
+
+    TWO EXECUTION REGIMES (r8, ``vectors``): the r7 layout carried the
+    vector as a per-row Python list duplicated ``tables`` times through
+    the (t, bucket) exchange; at ×256 (512k vecs × 128 tables) that is
+    65M Python-object cells / ~33 GB shuffled, and SCALE_PROBE_r7
+    measured the declared entry at 350 s. Profiling the rebuild showed
+    three stacked constants: object-cell serialization, per-group
+    Arrow framing (131k groups → ~90 s JVM CPU/task on socket
+    flushes), and — on a dense corpus where a true pair collides in
+    many tables — a 488M-row duplicate-candidate ``distinct()``
+    (~123 s alone). The r8 regimes remove all three:
+
+    - ``"broadcast"`` (auto when corpus ≤ ``vec_broadcast_bytes`` as
+      float32 — the FAISS-style fits-in-RAM regime): ONE bounded
+      driver-side Arrow collect builds the dense float32 matrix AND
+      the full n×tables bucket matrix (same bounded-numpy rationale
+      as the IVF codebook; the 84 GFLOP signature build multithreads
+      driver-side in ~2 s at ×256), broadcasts both, and the job is a
+      SINGLE stage over (table, shard) work units — no corpus
+      shuffle. Each unit verifies its buckets with float32 sgemm plus
+      a candidate margin, keeps a pair only in its FIRST kept
+      colliding table (ownership is decidable locally from the bucket
+      matrix, cap-aware), and rescores survivors in exact float64 —
+      every output pair is emitted exactly once, so there is NO
+      distinct and no second shuffle. Outputs are bit-equal to the
+      all-float64 kernel: the margin (1e-3 ≫ dim·eps32 ≈ 4e-6) cannot
+      miss a true pair, and the final threshold/round(6) applies to
+      the exact float64 cosine.
+    - ``"ship"`` (auto above the gate — the 100 TB path): narrow
+      (vec_id, t, bucket) rows shuffle on (t, bucket), the window cap
+      guards skew, vectors join back by vec_id as NATIVE float32
+      arrays (no object cells), per-group float64 verify emits
+      cosines, and ``distinct()`` collapses cross-table duplicates.
+      This pays the honest tables·n·dim shuffle that an over-RAM
+      corpus requires.
+
+    ``multiprobe`` > 0 additionally lands every (vector, table) in the
+    ``multiprobe`` buckets at Hamming distance 1 on the lowest probed
+    bits — more collisions per table, so ``lsh_auto_params`` needs
+    fewer tables for the same recall. Measured trade on this batch
+    self-join: verify flops grow (1+m)² per table while tables shrink
+    ~(1 + m·(1-p1)/p1)⁻¹ — a net LOSS when verify dominates, so it is
+    OFF by default and exists for the table-capped regime (cap binding
+    + recall, not compute, the constraint). Candidate sets with probes
+    are strict supersets; every candidate is exactly verified either
+    way (first-collision ownership is ill-defined under probing, so
+    the multiprobe broadcast path emits candidates, distincts, and
+    rescores).
+
+    ``guard_stats``: optional dict making ``max_bucket`` drops
+    observable instead of silent (ADVICE r7). Broadcast path: filled
+    EAGERLY with ``{"dropped_rows": int}`` — rows (vector-in-table
+    occurrences) in over-cap buckets, computed exactly from the
+    driver-side histogram. Ship path: filled with ``{"observation":
+    pyspark.sql.Observation}`` whose ``dropped_rows`` metric is
+    available after an action runs. Zero on every fixture corpus."""
     import numpy as np
     import pandas as pd
+    import pyarrow as pa_mod
 
+    spark = emb.sparkSession
+    n_vecs = None
     if nbits is None or tables is None:
+        n_vecs = emb.count()
         nbits, tables = lsh_auto_params(
-            emb.count(),
+            n_vecs,
             threshold,
             target_bucket=target_bucket,
             recall=recall,
             nbits=nbits,
             tables=tables,
             caller="neardup_embedding_lsh",
+            multiprobe=multiprobe,
+        )
+    if vectors not in ("auto", "broadcast", "ship"):
+        raise ValueError(
+            f"neardup_embedding_lsh: vectors must be auto|broadcast|ship, got {vectors!r}"
         )
 
-    # Bucket assignment vectorized: ONE matmul per Arrow batch against
-    # all tables*nbits hyperplanes (seeded RNG — deterministic, no
-    # state to ship), emitting (vec_id, v, t, bucket) rows. ~10× over
-    # the per-table interpreted-HOF formulation.
+    # Hyperplanes from one seeded RNG stream (deterministic, no state
+    # to ship); bucket assignment always computes in float64 so the
+    # assignment is bit-identical across releases and regimes.
     dim = len(emb.select("embedding").head()[0])
     planes = np.random.default_rng(20240101).standard_normal(
         (tables * nbits, dim)
     )
     bits_w = (1 << np.arange(nbits)).astype("int64")
+    m_probe = min(multiprobe, nbits)
 
+    from pyspark.sql.types import DoubleType
+
+    elem_bytes = (
+        8
+        if isinstance(emb.schema["embedding"].dataType.elementType, DoubleType)
+        else 4
+    )
+    use_broadcast = vectors == "broadcast"
+    if vectors == "auto":
+        # auto-sizing already counted the corpus; count here only when
+        # params were pinned
+        if n_vecs is None:
+            n_vecs = emb.count()
+        use_broadcast = n_vecs * dim * elem_bytes <= vec_broadcast_bytes
+
+    if use_broadcast:
+        # ---- fits-in-RAM regime: one bounded collect, one stage ----
+        # vectors stored at SOURCE precision (float32 for the float
+        # fixture, float64 for double corpora) so the exact rescore
+        # sees the same bits the ship path and exact kernel see
+        cols = emb.select("vec_id", "embedding").toArrow()
+        b_ids = cols.column(0).to_numpy(zero_copy_only=False)
+        n = len(b_ids)
+        b_mat = (
+            cols.column(1)
+            .combine_chunks()
+            .flatten()
+            .to_numpy(zero_copy_only=False)
+            .reshape(n, dim)
+            .astype("float64" if elem_bytes == 8 else "float32")
+        )
+        order = np.argsort(b_ids, kind="stable")
+        sids = np.ascontiguousarray(b_ids[order])
+        smat = np.ascontiguousarray(b_mat[order])
+        # full signature matrix, per-table to bound temporaries (the
+        # n×(tables·nbits) float64 projection would be GiBs at once)
+        bdt = np.int16 if nbits <= 14 else np.int32
+        sig = np.empty((n, tables), dtype=bdt)
+        mat64 = smat.astype("float64")
+        for t in range(tables):
+            pl = planes[t * nbits : (t + 1) * nbits]
+            sig[:, t] = ((mat64 @ pl.T > 0) * bits_w).sum(axis=1).astype(bdt)
+        del mat64
+        # cap decision from the exact global histogram; with probing,
+        # group mass includes probe copies (same semantics as counting
+        # the fanned-out rows)
+        ok = np.ones((tables, 1 << nbits), dtype=bool)
+        dropped = 0
+        if max_bucket is not None:
+            for t in range(tables):
+                cnt = np.bincount(sig[:, t], minlength=1 << nbits)
+                if m_probe:
+                    total = cnt.copy()
+                    for j in range(m_probe):
+                        idx = np.arange(1 << nbits)
+                        total += cnt[idx ^ (1 << j)]
+                    over = total > max_bucket
+                else:
+                    over = cnt > max_bucket
+                ok[t] = ~over
+                dropped += int(cnt[over].sum()) * (1 + m_probe)
+        if guard_stats is not None:
+            guard_stats["dropped_rows"] = dropped
+        bc = spark.sparkContext.broadcast((sids, smat, sig, ok))
+        margin = np.float32(threshold - 1e-3)
+        par = spark.sparkContext.defaultParallelism
+        spt = max(1, -(-3 * par // tables))  # shards per table
+        n_units = tables * spt
+
+        def _bucket_groups(col):
+            order_t = np.argsort(col, kind="stable")
+            sc_ = col[order_t]
+            starts = np.flatnonzero(np.r_[True, sc_[1:] != sc_[:-1]])
+            ends = np.append(starts[1:], len(sc_))
+            return order_t, sc_, starts, ends
+
+        def verify_units(batches):
+            sids_, smat_, sig_, ok_ = bc.value
+            for batch in batches:
+                oa, ob, oc = [], [], []
+                for unit in batch.column(0).to_numpy(zero_copy_only=False):
+                    t, shard = int(unit) // spt, int(unit) % spt
+                    col = sig_[:, t]
+                    if m_probe:
+                        # membership = home + Hamming-1 probe copies
+                        parts = [col.astype("int64")] + [
+                            (col.astype("int64") ^ (1 << j))
+                            for j in range(m_probe)
+                        ]
+                        memb_val = np.concatenate(parts)
+                        memb_idx = np.tile(
+                            np.arange(n, dtype="int64"), 1 + m_probe
+                        )
+                        order_t, sc_, starts, ends = _bucket_groups(memb_val)
+                        rows_of = lambda s, e: memb_idx[order_t[s:e]]
+                    else:
+                        order_t, sc_, starts, ends = _bucket_groups(col)
+                        rows_of = lambda s, e: order_t[s:e]
+                    for s, e in zip(starts, ends):
+                        if e - s < 2:
+                            continue
+                        v = int(sc_[s])
+                        if spt > 1 and v % spt != shard:
+                            continue
+                        if max_bucket is not None and not ok_[t, v]:
+                            continue
+                        idx = rows_of(s, e)
+                        gids = sids_[idx]
+                        # candidate detection in float32 regardless of
+                        # storage precision; exact rescore below reads
+                        # the source-precision rows
+                        mat = smat_[idx]
+                        if mat.dtype != np.float32:
+                            mat = mat.astype("float32")
+                        nrm = np.sqrt((mat * mat).sum(axis=1))
+                        cos = (mat @ mat.T) / np.outer(nrm, nrm)
+                        ia, ib = np.nonzero(
+                            (cos >= margin) & (gids[:, None] < gids[None, :])
+                        )
+                        if not len(ia):
+                            continue
+                        ra, rb = idx[ia], idx[ib]
+                        if m_probe == 0 and t > 0:
+                            # FIRST-collision ownership: emit only if no
+                            # earlier table holds both in one KEPT
+                            # bucket — each pair surfaces exactly once
+                            # globally, so no distinct pass exists.
+                            eq = sig_[ra, :t] == sig_[rb, :t]
+                            if max_bucket is not None:
+                                eq &= ok_[
+                                    np.arange(t)[None, :], sig_[ra, :t]
+                                ]
+                            own = ~eq.any(axis=1)
+                            ra, rb = ra[own], rb[own]
+                            if not len(ra):
+                                continue
+                        # exact float64 rescore + final threshold
+                        ma = smat_[ra].astype("float64")
+                        mb = smat_[rb].astype("float64")
+                        cosx = (ma * mb).sum(axis=1) / (
+                            np.sqrt((ma * ma).sum(axis=1))
+                            * np.sqrt((mb * mb).sum(axis=1))
+                        )
+                        keep = cosx >= threshold
+                        if keep.any():
+                            oa.append(sids_[ra[keep]])
+                            ob.append(sids_[rb[keep]])
+                            oc.append(np.round(cosx[keep], 6))
+                if oa:
+                    yield pa_mod.RecordBatch.from_arrays(
+                        [
+                            pa_mod.array(np.concatenate(oa), pa_mod.int64()),
+                            pa_mod.array(np.concatenate(ob), pa_mod.int64()),
+                            pa_mod.array(
+                                np.concatenate(oc), pa_mod.float64()
+                            ),
+                        ],
+                        names=["id_a", "id_b", "cosine"],
+                    )
+
+        seed = spark.range(n_units).repartition(min(n_units, 4 * par))
+        pairs = seed.mapInArrow(
+            verify_units, schema="id_a bigint, id_b bigint, cosine double"
+        )
+        if m_probe:
+            # probe copies break single-ownership → collapse duplicates
+            # (identical rounded cosine by construction)
+            pairs = pairs.distinct()
+        return pairs
+
+    # ---- ship path (corpus above the broadcast gate — 100 TB shape):
+    # narrow (vec_id, t, bucket) rows shuffle on (t, bucket); vectors
+    # join back as native float32 arrays; per-group exact float64
+    # verify emits cosines; distinct collapses cross-table duplicates
+    # (identical rounded cosine by construction).
     def assign(batches):
-        for pa in batches:
-            ids = pa["vec_id"].to_numpy()
-            mat = np.stack(pa["embedding"].to_numpy()).astype("float64")
+        t_ids = np.arange(tables, dtype="int32")
+        for batch in batches:
+            ids = batch.column(0).to_numpy(zero_copy_only=False)
+            flat = batch.column(1).flatten().to_numpy(zero_copy_only=False)
+            mat = flat.reshape(len(ids), dim).astype("float64")
             signs = (mat @ planes.T > 0).reshape(len(ids), tables, nbits)
             buckets = (signs * bits_w).sum(axis=2)  # rows × tables
-            vobj = np.empty(len(ids), dtype=object)  # keep rows as cells
-            for i in range(len(ids)):
-                vobj[i] = mat[i].tolist()
-            yield pd.DataFrame(
-                {
-                    "vec_id": np.repeat(ids, tables),
-                    "v": np.repeat(vobj, tables),
-                    "t": np.tile(np.arange(tables), len(ids)),
-                    "bucket": buckets.reshape(-1),
-                }
+            fan = 1 + m_probe
+            if m_probe:
+                # home bucket + its Hamming-1 neighbors on the lowest
+                # probed bits (hyperplanes are random, so ANY fixed
+                # probe-bit choice is unbiased)
+                probed = np.concatenate(
+                    [buckets[..., None]]
+                    + [
+                        (buckets ^ (1 << j))[..., None]
+                        for j in range(m_probe)
+                    ],
+                    axis=2,
+                )  # rows × tables × (1+m)
+            else:
+                probed = buckets[..., None]
+            yield pa_mod.RecordBatch.from_arrays(
+                [
+                    pa_mod.array(np.repeat(ids, tables * fan), pa_mod.int64()),
+                    pa_mod.array(
+                        np.tile(np.repeat(t_ids, fan), len(ids)), pa_mod.int32()
+                    ),
+                    pa_mod.array(probed.reshape(-1), pa_mod.int64()),
+                ],
+                names=["vec_id", "t", "bucket"],
             )
 
-    tabbed = emb.select("vec_id", "embedding").mapInPandas(
-        assign, schema="vec_id bigint, v array<double>, t int, bucket bigint"
+    tabbed = emb.select("vec_id", "embedding").mapInArrow(
+        assign, schema="vec_id bigint, t int, bucket bigint"
     )
     if max_bucket is not None:
         # Window count over the (t, bucket) partition applyInPandas
         # groups on anyway: one pass — an agg+join-back would run the
-        # mapInPandas hyperplane assignment twice.
+        # mapInArrow hyperplane assignment twice.
         from pyspark.sql import Window
 
         _bsz = F.count(F.lit(1)).over(Window.partitionBy("t", "bucket"))
-        tabbed = (
-            tabbed.withColumn("_bsz", _bsz)
-            .filter(F.col("_bsz") <= max_bucket)
-            .drop("_bsz")
-        )
+        tabbed = tabbed.withColumn("_bsz", _bsz)
+        if guard_stats is not None:
+            from pyspark.sql import Observation
+
+            obs = Observation("neardup_embedding_lsh_guard")
+            guard_stats["observation"] = obs
+            tabbed = tabbed.observe(
+                obs,
+                F.sum(
+                    (F.col("_bsz") > max_bucket).cast("long")
+                ).alias("dropped_rows"),
+            )
+        tabbed = tabbed.filter(F.col("_bsz") <= max_bucket).drop("_bsz")
 
     def block(pdf: pd.DataFrame) -> pd.DataFrame:
         ids = pdf["vec_id"].to_numpy()
-        mat = np.stack(pdf["v"].to_numpy()).astype("float64")
+        mat = np.stack(pdf["embedding"].to_numpy()).astype("float64")
         nrm = np.sqrt((mat * mat).sum(axis=1))
         cos = (mat @ mat.T) / np.outer(nrm, nrm)
         ia, ib = np.nonzero((cos >= threshold) & (ids[:, None] < ids[None, :]))
@@ -374,11 +661,10 @@ def neardup_embedding_lsh(
             }
         )
 
-    pairs = tabbed.groupBy("t", "bucket").applyInPandas(
+    grouped = tabbed.join(emb.select("vec_id", "embedding"), "vec_id")
+    pairs = grouped.groupBy("t", "bucket").applyInPandas(
         block, schema="id_a bigint, id_b bigint, cosine double"
     )
-    # same pair found in several tables → one row (identical rounded
-    # cosine, so distinct on all three columns collapses exactly)
     return pairs.distinct()
 
 

@@ -201,3 +201,76 @@ def test_embedding_lsh_auto_sizing_floor_and_cap_warning(spark):
         "capped" in str(w.message) and "recall" in str(w.message)
         for w in caught
     ), [str(w.message) for w in caught]
+
+
+def test_embedding_lsh_regimes_agree_and_multiprobe_recall(spark):
+    """r8: the broadcast regime (first-collision ownership, NO distinct
+    pass) and the ship regime (narrow shuffle + distinct) must produce
+    identical verified pairs — ownership exactness is what lets the
+    broadcast path skip dedup entirely. Multiprobe sizes FEWER tables
+    for the same recall target and, since every candidate is exactly
+    verified, stays a subset of the exact kernel with high recall."""
+    from iotstream.ext.similarity import (
+        lsh_auto_params,
+        neardup_embedding,
+        neardup_embedding_lsh,
+    )
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    rows = lambda df: sorted(tuple(r) for r in df.collect())  # noqa: E731
+    base = rows(neardup_embedding_lsh(emb, 0.4, recall=0.99999))
+    ship = rows(
+        neardup_embedding_lsh(emb, 0.4, recall=0.99999, vectors="ship")
+    )
+    assert ship == base
+
+    # multiprobe: measurably fewer tables at equal recall target...
+    plain_tables = lsh_auto_params(500, 0.4, recall=0.99999)[1]
+    probe_tables = lsh_auto_params(500, 0.4, recall=0.99999, multiprobe=2)[1]
+    assert probe_tables < plain_tables
+    # ...and the probing config keeps precision 1.0 + high recall
+    exact = {(r.id_a, r.id_b) for r in neardup_embedding(emb, 0.4).collect()}
+    mp = {
+        (r.id_a, r.id_b)
+        for r in neardup_embedding_lsh(
+            emb, 0.4, recall=0.99999, multiprobe=2
+        ).collect()
+    }
+    assert mp <= exact
+    assert len(mp & exact) / len(exact) >= 0.9
+
+
+def test_embedding_lsh_guard_stats_observable(spark):
+    """ADVICE r7: max_bucket drops must be observable, not silent. A
+    mass-duplicated vector overflows the cap in EVERY table (identical
+    vectors collide at any nbits); guard_stats reports the dropped row
+    mass — eagerly on the broadcast path (exact driver-side
+    histogram), via a pyspark Observation on the ship path — and both
+    regimes suppress the same pairs."""
+    from iotstream.ext.similarity import neardup_embedding_lsh
+
+    rows_in = [(i, [1.0, 2.0, 3.0, 4.0]) for i in range(300)] + [
+        (1000 + i, [float(i % 7), 1.0, float(i % 3), 0.5])
+        for i in range(40)
+    ]
+    emb = spark.createDataFrame(
+        rows_in, "vec_id bigint, embedding array<double>"
+    )
+    stats = {}
+    out = neardup_embedding_lsh(
+        emb, threshold=0.9, nbits=4, tables=8, max_bucket=64,
+        guard_stats=stats,
+    )
+    got = {(r.id_a, r.id_b) for r in out.collect()}
+    # the 300-row dup block lands over-cap in all 8 tables
+    assert stats["dropped_rows"] >= 300 * 8
+    assert all(not (a < 300 and b < 300) for a, b in got)
+
+    stats2 = {}
+    out2 = neardup_embedding_lsh(
+        emb, threshold=0.9, nbits=4, tables=8, max_bucket=64,
+        guard_stats=stats2, vectors="ship",
+    )
+    got2 = {(r.id_a, r.id_b) for r in out2.collect()}
+    assert got2 == got
+    assert stats2["observation"].get["dropped_rows"] >= 300 * 8
