@@ -1651,25 +1651,85 @@ def entry(spark: SparkSession) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Declaration order is the driver's check order (first 50 get the
-    full oracle gate per round). Round-7 window, per VERDICT r6 items
-    1/3/4: (A) the full 36-query r4-graded cohort — the oldest grades
-    left anywhere (sensor pipeline, rollups, TPC-H residue, text/LLM
-    staples) — rotated in purely for freshness so no green grade ages
-    past three rounds; (B) regression guards on every piece of code
-    touched this round: the re-graded auto-sizing ANN entries
-    (neardup_embedding_lsh at recall=0.99999, probe-all auto-nlist
-    similarity_topk_ivf) plus their LSH sibling, the null-safe-join
-    quantile_sketch (+ hll_distinct sibling), vocab_build and its
-    consumers (tokenize_encode / sequence_pack in cohort A) on the
-    reshaped rank primitive, rfm_segments / user_value_deciles on the
-    same primitive, and the dedup family carrying the simhash multiset
-    + shuffle_hash + width-scoping perf work. Cheap pipeline queries
-    lead; the most composed query (dedup_report) sits LAST so bench
-    slot 0 never confounds it (VERDICT r5 item 7). Positions 51+ hold
-    the previously-green r5/r6-graded remainder."""
+    full oracle gate per round). Round-9 window, per VERDICT r8 items
+    1/4/7: (A) all 39 queries whose last grade is r5-vintage — three
+    rounds old, the oldest anywhere (text/LLM curation staples,
+    multimodal, streaming family, sessionization/funnel analytics);
+    (B) the 4 walker-flagged stale greens (code under them changed in
+    r8 after grading): neardup_editdist — MANDATORY, its max_block
+    guard default changed in r8 — dedup_exact, similarity_topk,
+    neardup_embedding; (C) regression guards on the similarity.py
+    code this round touches (recall-honesty + ADVICE fixes):
+    similarity_topk_lsh / similarity_topk_ivf / neardup_embedding_lsh,
+    so their r8 grades don't go code-stale; (D) the 6 oldest r6
+    grades (window/join staples) to start draining that cohort.
+    Cheap batch queries lead (bench slot 0 pays JVM warmup, VERDICT r5
+    item 7); fixed-cost streaming/stateful queries sit LAST. Positions
+    51+ hold the r8-graded cohort and the r6 remainder (rotates r10)."""
     return {
-        # --- r7 window A: the 36-query r4-graded cohort (freshness) —
-        # cheap sensor-pipeline queries lead
+        # --- r9 window A: r5-vintage grades — cheap batch queries lead
+        "json_parse": q_json_parse,
+        "distinct_users": q_distinct_users,
+        "high_value_purchasers": q_high_value_purchasers,
+        "top_events": q_top_events,
+        "word_counts": q_word_counts,
+        "token_stats": q_token_stats,
+        "quality_score": q_quality_score,
+        "lang_id": q_lang_id,
+        "doc_fingerprint": q_doc_fingerprint,
+        "dq_report": q_dq_report,
+        "dataset_split": q_dataset_split,
+        "stratified_sample": q_stratified_sample,
+        "doc_chunks": q_doc_chunks,
+        "ngram_counts": q_ngram_counts,
+        "length_percentiles": q_length_percentiles,
+        "scrub_numbers": q_scrub_numbers,
+        "corpus_curate": q_corpus_curate,
+        "scrub_repetition": q_scrub_repetition,
+        "df_token_filter": q_df_token_filter,
+        "decontaminate": q_decontaminate,
+        "sessionize": q_sessionize,
+        "salted_join": q_salted_join,
+        "funnel": q_funnel,
+        "cohort_retention": q_cohort_retention,
+        "scd2_history": q_scd2_history,
+        # --- r9 window D: 6 oldest r6 grades (drain the r6 cohort)
+        "window_min": q_window_min,
+        "hopping_window_max": q_hopping_window_max,
+        "rolling_avg": q_rolling_avg,
+        "window_avg": q_window_avg,
+        "asof_join": q_asof_join,
+        "interval_join": q_interval_join,
+        # --- r9 window B: walker-flagged stale greens (r8 touched
+        # dedup.py/similarity.py under these grades; neardup_editdist's
+        # max_block default CHANGED in r8 — re-grade is mandatory)
+        "dedup_exact": q_dedup_exact,
+        "neardup_editdist": q_neardup_editdist,
+        "similarity_topk": q_similarity_topk,
+        "neardup_embedding": q_neardup_embedding,
+        # --- r9 window C: guards on similarity.py code touched THIS
+        # round (recall-honesty auto-multiprobe + ADVICE guard_stats/
+        # gate-docstring fixes) — keeps their r8 grades from going
+        # code-stale the way B did
+        "similarity_topk_lsh": q_similarity_topk_lsh,
+        "similarity_topk_ivf": q_similarity_topk_ivf,
+        "neardup_embedding_lsh": q_neardup_embedding_lsh,
+        # --- r9 window A (cont.): multimodal + streaming/stateful —
+        # fixed micro-batch cost, LAST so cheap slots aren't confounded
+        "multimodal_ingest": q_multimodal_ingest,
+        "multimodal_decode": q_multimodal_decode,
+        "multimodal_features": q_multimodal_features,
+        "multimodal_frame_sample": q_multimodal_frame_sample,
+        "multimodal_resize": q_multimodal_resize,
+        "streaming_window_agg": q_streaming_window_agg,
+        "streaming_dedup": q_streaming_dedup,
+        "streaming_dedup_wm": q_streaming_dedup_wm,
+        "streaming_enrich": q_streaming_enrich,
+        "streaming_interval_join": q_streaming_interval_join,
+        "streaming_sessionize": q_streaming_sessionize,
+        "stateful_quality_monitor": q_stateful_quality_monitor,
+        # ---------- position 51+: r8-graded cohort (fresh) and the
+        # r6 remainder (rotates into the r10 window)
         "filter_validity": q_filter_validity,
         "window_max": q_window_max,
         "throughput_count": q_throughput_count,
@@ -1706,31 +1766,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_label_stats": q_embedding_label_stats,
         "tokenize_encode": q_tokenize_encode,
         "sequence_pack": q_sequence_pack,
-        # --- r7 window B: guards on code touched this round
-        # (ranks primitive reshape; sketch null-parity; auto-sizing
-        # re-grades; dedup perf work — dedup_report LAST)
         "vocab_build": q_vocab_build,
         "rfm_segments": q_rfm_segments,
         "user_value_deciles": q_user_value_deciles,
         "quantile_sketch": q_quantile_sketch,
         "hll_distinct": q_hll_distinct,
-        "similarity_topk_lsh": q_similarity_topk_lsh,
-        "similarity_topk_ivf": q_similarity_topk_ivf,
-        "neardup_embedding_lsh": q_neardup_embedding_lsh,
         "simhash": q_simhash,
         "neardup_jaccard": q_neardup_jaccard,
         "neardup_minhash": q_neardup_minhash,
         "dedup_clusters": q_dedup_clusters,
         "dedup_clusters_lsh": q_dedup_clusters_lsh,
         "dedup_report": q_dedup_report,
-        # ---------- position 51+: previously green (r5/r6 grades),
-        # rotated out
-        "window_min": q_window_min,
-        "hopping_window_max": q_hopping_window_max,
-        "rolling_avg": q_rolling_avg,
-        "window_avg": q_window_avg,
-        "asof_join": q_asof_join,
-        "interval_join": q_interval_join,
+        # r6 remainder
         "market_share": xtpch.market_share,
         "product_profit": xtpch.product_profit,
         "cross_nation_volume": xtpch.cross_nation_volume,
@@ -1761,48 +1808,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "grouping_sets_volume": q_grouping_sets_volume,
         "status_change": q_status_change,
         "decontaminate_ngram": q_decontaminate_ngram,
-        "neardup_embedding": q_neardup_embedding,
-        "dedup_exact": q_dedup_exact,
         "ewma_smooth": q_ewma_smooth,
-        "similarity_topk": q_similarity_topk,
-        "streaming_window_agg": q_streaming_window_agg,
-        "streaming_dedup": q_streaming_dedup,
-        "streaming_enrich": q_streaming_enrich,
-        "neardup_editdist": q_neardup_editdist,
-        "json_parse": q_json_parse,
-        "distinct_users": q_distinct_users,
-        "high_value_purchasers": q_high_value_purchasers,
-        "top_events": q_top_events,
-        "word_counts": q_word_counts,
-        "token_stats": q_token_stats,
-        "quality_score": q_quality_score,
-        "lang_id": q_lang_id,
-        "doc_fingerprint": q_doc_fingerprint,
-        "dq_report": q_dq_report,
-        "dataset_split": q_dataset_split,
-        "stratified_sample": q_stratified_sample,
-        "doc_chunks": q_doc_chunks,
-        "ngram_counts": q_ngram_counts,
-        "length_percentiles": q_length_percentiles,
-        "scrub_numbers": q_scrub_numbers,
-        "corpus_curate": q_corpus_curate,
-        "scrub_repetition": q_scrub_repetition,
-        "df_token_filter": q_df_token_filter,
-        "decontaminate": q_decontaminate,
-        "streaming_interval_join": q_streaming_interval_join,
-        "streaming_dedup_wm": q_streaming_dedup_wm,
-        "multimodal_decode": q_multimodal_decode,
-        "multimodal_features": q_multimodal_features,
-        "multimodal_frame_sample": q_multimodal_frame_sample,
-        "multimodal_ingest": q_multimodal_ingest,
-        "multimodal_resize": q_multimodal_resize,
-        "streaming_sessionize": q_streaming_sessionize,
-        "stateful_quality_monitor": q_stateful_quality_monitor,
-        "sessionize": q_sessionize,
-        "salted_join": q_salted_join,
-        "funnel": q_funnel,
-        "cohort_retention": q_cohort_retention,
-        "scd2_history": q_scd2_history,
         **(
             {"streaming_status_change": q_streaming_status_change}
             if _HAS_PROTOBUF
