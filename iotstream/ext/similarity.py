@@ -203,7 +203,8 @@ def lsh_auto_params(
     nbits: int | None = None,
     tables: int | None = None,
     caller: str = "lsh_auto_params",
-    multiprobe: int | str = 0,
+    multiprobe: int = 0,
+    max_tables: int = 128,
     stats: dict | None = None,
 ) -> tuple[int, int]:
     """THE corpus-aware hyperplane-LSH sizing formula — the single
@@ -237,16 +238,32 @@ def lsh_auto_params(
     dominated batch self-join, ``tools/scale_probe.py``): probes cost
     more verify work than the tables they save, so the integer default
     stays 0 and probing is for table-capped regimes where recall — not
-    compute — is the binding constraint. ``multiprobe="auto"`` encodes
-    exactly that rule (VERDICT r8 item 4): probe-free sizing first;
-    only when the 128-table cap binds, engage the SMALLEST m (bounded
-    at 3 — flops grow (1+m)²) that brings the recall identity back
-    under the cap. When no bounded m suffices (extreme targets like
-    the declared 0.99999 entry at huge n), probing would multiply
-    verify flops for still-sub-target recall — auto stays probe-free
-    there and the warning/stats carry the achievable number. Auto
-    therefore never changes an uncapped sizing, and never trades
-    compute for recall it cannot actually reach.
+    compute — is the binding constraint. r9 measured the obvious
+    next step — AUTO-engaging probes whenever the cap binds — and
+    REJECTED it: (a) at any cosine threshold ≥ 0, p1 ≥ 0.5, so the
+    per-table collision gain from m probes is ≤ (1+m) while verify
+    flops grow (1+m)² — probing never reduces net verify work in this
+    batch self-join; (b) worse, probing forfeits the broadcast
+    regime's first-collision pair ownership (ownership is ill-defined
+    under probing), so on a dense corpus every true pair is
+    re-emitted, float64-rescored, and ``distinct()``-ed once per
+    colliding (table, probe) — the ×256 probe corpus (512k vecs,
+    67.3M true pairs) measured the m=2-probed production config at
+    ~3-5 MINUTES per (table, shard) unit vs 53 s for the ENTIRE
+    probe-free run of the same config (SCALE_PROBE_r9.json). The
+    honest lever when the cap binds is
+    ``max_tables``: table count is LINEAR in both work and recall
+    identity (lifting 128 → 229 tables buys recall 0.72 → 0.9 at
+    1.8× runtime, vs ~40× via probes). Probing remains for
+    serving-style deployments where table count — index memory — is
+    the binding constraint, not flops.
+
+    ``max_tables`` (default 128): the recall-identity cap. Σ bucket²
+    ≈ tables · n · target_bucket, so cost is linear in it — raise it
+    deliberately to buy recall at a stated price; the default keeps
+    the r7 scale guard (need grows ~n^0.66 at fixed threshold/recall,
+    so an uncapped identity at web scale demands thousands of
+    tables).
 
     ``stats`` (optional out-param, same pattern as ``guard_stats``):
     filled with ``{"nbits", "tables", "need", "multiprobe",
@@ -262,38 +279,19 @@ def lsh_auto_params(
 
     if nbits is None:
         nbits = max(4, math.ceil(math.log2(max(n, 1) / target_bucket)))
-    auto_probe = multiprobe == "auto"
-    m = 0 if auto_probe else min(int(multiprobe), nbits)
+    m = min(int(multiprobe), nbits)
     if tables is None:
         theta = math.acos(min(max(threshold, -1.0), 1.0))
         p1 = max(1e-9, 1.0 - theta / math.pi)
-
-        def _p(m_: int) -> float:
-            p_ = p1**nbits
-            if m_:
-                p_ = min(1.0, p_ + m_ * p1 ** (nbits - 1) * (1.0 - p1))
-            return p_
-
-        def _need(p_: float) -> int:
-            if p_ >= 1.0:
-                return 1
-            return math.ceil(
-                math.log(max(1e-12, 1.0 - recall)) / math.log(1.0 - p_)
-            )
-
-        p = _p(m)
-        need = _need(p)
-        if auto_probe and need > 128:
-            for m_try in range(1, min(3, nbits) + 1):
-                p_try = _p(m_try)
-                need_try = _need(p_try)
-                if need_try <= 128:
-                    m, p, need = m_try, p_try, need_try
-                    break
-            # no bounded m restores the target: probing would multiply
-            # verify flops (1+m)² for still-sub-target recall — stay
-            # probe-free, warn, and expose the achievable number
-        tables = max(16, min(128, need))
+        p = p1**nbits
+        if m:
+            p = min(1.0, p + m * p1 ** (nbits - 1) * (1.0 - p1))
+        need = (
+            1
+            if p >= 1.0
+            else math.ceil(math.log(max(1e-12, 1.0 - recall)) / math.log(1.0 - p))
+        )
+        tables = max(16, min(max_tables, need))
         achievable = 1.0 - (1.0 - p) ** tables
         cap_bound = need > tables
         if cap_bound:
@@ -302,8 +300,9 @@ def lsh_auto_params(
                 f"{caller}: {need} tables needed for "
                 f"recall {recall} at threshold {threshold} with "
                 f"{nbits} bits{probed}; capped at {tables} (expected "
-                f"recall ≈ {achievable:.2f}). Raise target_bucket or "
-                "the threshold, or pin tables explicitly.",
+                f"recall ≈ {achievable:.2f}). Raise max_tables (cost "
+                "is linear in it) or target_bucket or the threshold, "
+                "or pin tables explicitly.",
                 RuntimeWarning,
                 stacklevel=3,
             )
@@ -337,7 +336,8 @@ def neardup_embedding_lsh(
     max_bucket: int | None = 4096,
     target_bucket: int = 512,
     recall: float = 0.9,
-    multiprobe: int | str = "auto",
+    multiprobe: int = 0,
+    max_tables: int = 128,
     vectors: str = "auto",
     vec_broadcast_bytes: int = 256 << 20,
     guard_stats: dict | None = None,
@@ -432,19 +432,24 @@ def neardup_embedding_lsh(
     bits — more collisions per table, so ``lsh_auto_params`` needs
     fewer tables for the same recall. Measured trade on this batch
     self-join: verify flops grow (1+m)² per table while tables shrink
-    ~(1 + m·(1-p1)/p1)⁻¹ — a net LOSS when verify dominates, so it
-    exists for the table-capped regime (cap binding + recall, not
-    compute, the constraint). The default ``"auto"`` (r9, VERDICT r8
-    item 4) encodes that rule: probe-free whenever the auto-sizing
-    identity fits under the 128-table cap — i.e. identical to the old
-    ``0`` default on every fixture/probe corpus — and ONLY when the
-    cap binds engages the smallest probe count that restores the
-    recall target (bounded at 3), so the production default no longer
-    silently under-delivers recall at low threshold × large n.
-    Candidate sets with probes are strict supersets; every candidate
-    is exactly verified either way (first-collision ownership is
-    ill-defined under probing, so the multiprobe broadcast path emits
-    candidates, distincts, and rescores).
+    ~(1 + m·(1-p1)/p1)⁻¹ — a net LOSS when verify dominates. r9
+    measured the obvious extension — auto-engaging probes when the
+    128-table cap binds — and REJECTED it: probing forfeits
+    first-collision ownership (ill-defined under probing, so the
+    multiprobe broadcast path must emit candidates, distinct, and
+    rescore), and on the dense ×256 probe corpus (512k vecs, 67.3M
+    true pairs) the m=2-probed production config ran ~3-5 min PER
+    (table, shard) unit vs 53 s for the ENTIRE probe-free run of the
+    same config (SCALE_PROBE_r9.json). When the cap binds, the
+    honest lever is ``max_tables`` —
+    cost and recall identity are both LINEAR in tables (128 → 229
+    buys recall 0.72 → 0.9 at 1.8×, vs ~40× through probes). The
+    recall-honesty contract (VERDICT r8 item 4) is instead delivered
+    programmatically: ``guard_stats["sizing"]`` exposes
+    ``achievable_recall``/``cap_bound`` and the capped-regime pytest
+    asserts delivered ≥ achievable vs the exact kernel. Candidate
+    sets with probes are strict supersets; every candidate is exactly
+    verified either way.
 
     ``guard_stats``: optional dict making ``max_bucket`` drops
     observable instead of silent (ADVICE r7). Broadcast path: filled
@@ -476,12 +481,9 @@ def neardup_embedding_lsh(
             tables=tables,
             caller="neardup_embedding_lsh",
             multiprobe=multiprobe,
+            max_tables=max_tables,
             stats=sizing,
         )
-        multiprobe = sizing["multiprobe"]
-    elif multiprobe == "auto":
-        # fully pinned sizing: no recall identity in play, never probe
-        multiprobe = 0
     if guard_stats is not None and sizing:
         # expose the sizing outcome (achievable_recall, cap_bound,
         # engaged probes) so callers can gate on delivered recall

@@ -199,40 +199,45 @@ def test_embedding_lsh_auto_sizing_floor_and_cap_warning(spark):
     }
     assert auto == pinned
 
-    # (b) probe-free: 160 tables needed at this target → cap binds
+    # (b) default sizing: 160 tables needed at this target → cap binds
+    gs0: dict = {}
     with warnings.catch_warnings(record=True) as caught:
         warnings.simplefilter("always")
-        neardup_embedding_lsh(emb, threshold=0.4, recall=1 - 1e-12, multiprobe=0)
+        neardup_embedding_lsh(
+            emb, threshold=0.4, recall=1 - 1e-12, guard_stats=gs0
+        )
     assert any(
         "capped" in str(w.message) and "recall" in str(w.message)
         for w in caught
     ), [str(w.message) for w in caught]
+    assert gs0["sizing"]["cap_bound"]  # programmatic twin of the warning
 
-    # (c) auto: one Hamming-1 probe brings the identity under the cap
-    # (need 160 → ~96 tables), so the same call warns nothing and the
-    # sizing stats prove the target was reached, not abandoned
-    gs: dict = {}
+    # (c) max_tables is the honest cap-lift lever (cost linear in
+    # tables): the same target sizes clean under a raised cap
+    gs1: dict = {}
     with warnings.catch_warnings(record=True) as caught:
         warnings.simplefilter("always")
         neardup_embedding_lsh(
-            emb, threshold=0.4, recall=1 - 1e-12, guard_stats=gs
+            emb, threshold=0.4, recall=1 - 1e-12, max_tables=256,
+            guard_stats=gs1,
         )
     assert not any("capped" in str(w.message) for w in caught)
-    sizing = gs["sizing"]
-    assert sizing["multiprobe"] >= 1
-    assert sizing["tables"] <= 128 and not sizing["cap_bound"]
+    sizing = gs1["sizing"]
+    assert 128 < sizing["tables"] <= 256 and not sizing["cap_bound"]
     assert sizing["achievable_recall"] >= 1 - 1e-12
 
 
 def test_embedding_lsh_capped_regime_delivers_achievable_recall(spark):
     """VERDICT r8 item 4 done-bar: a declared-entry-shaped run (fixture
     embeddings, threshold 0.4, auto tables from the recall identity)
-    where the 128-table cap BINDS probe-free — nbits pinned at 10
-    reproduces exactly the ×64 production regime the r8 probe hit
-    (229 tables needed, capped, expected recall ≈ 0.72). The auto
-    default must engage probing, size back under the cap, and the
-    DELIVERED recall vs the exact kernel must meet the derived
-    achievable number — no silent sub-target recall."""
+    where the 128-table cap BINDS — nbits pinned at 10 reproduces
+    exactly the ×64 production regime the r8 probe hit (229 tables
+    needed, capped, expected recall ≈ 0.72). The DELIVERED recall vs
+    the exact kernel must meet the derived achievable number exposed
+    in guard_stats — no silent sub-target recall — and lifting
+    max_tables (the linear-cost lever; probing was measured ~40× and
+    rejected, see lsh_auto_params docstring) must size clean and
+    deliver the full 0.9 target."""
     from iotstream.ext.similarity import (
         lsh_auto_params,
         neardup_embedding,
@@ -240,23 +245,9 @@ def test_embedding_lsh_capped_regime_delivers_achievable_recall(spark):
     )
 
     emb = load_table(spark, SF_DIR, "embeddings")
+    exact = {(r.id_a, r.id_b) for r in neardup_embedding(emb, 0.4).collect()}
 
-    # probe-free sizing at these params misses the target (the silent
-    # gap the verdict flagged)...
-    s0: dict = {}
-    lsh_auto_params(500, 0.4, nbits=10, recall=0.9, multiprobe=0, stats=s0)
-    assert s0["cap_bound"] and s0["achievable_recall"] < 0.9
-
-    # ...and when NO bounded probe count can restore the target
-    # (extreme 0.99999 at 10 bits), auto stays probe-free rather than
-    # paying (1+m)² verify flops for still-sub-target recall
-    s1: dict = {}
-    lsh_auto_params(
-        500, 0.4, nbits=10, recall=0.99999, multiprobe="auto", stats=s1
-    )
-    assert s1["multiprobe"] == 0 and s1["cap_bound"]
-
-    # ...auto probing restores it
+    # capped: sizing misses the target and SAYS so programmatically...
     gs: dict = {}
     got = {
         (r.id_a, r.id_b)
@@ -265,18 +256,29 @@ def test_embedding_lsh_capped_regime_delivers_achievable_recall(spark):
         ).collect()
     }
     sizing = gs["sizing"]
-    assert sizing["multiprobe"] >= 1 and not sizing["cap_bound"]
-    assert sizing["achievable_recall"] >= 0.9
-
-    exact = {(r.id_a, r.id_b) for r in neardup_embedding(emb, 0.4).collect()}
+    assert sizing["cap_bound"] and sizing["achievable_recall"] < 0.9
     assert got <= exact  # every candidate exactly verified → precision 1
     delivered = len(got & exact) / len(exact)
     # achievable_recall is the design-threshold expectation; true pairs
     # sit above the threshold, so delivered recall must meet it
-    assert delivered >= sizing["achievable_recall"], (
-        delivered,
-        sizing,
-    )
+    assert delivered >= sizing["achievable_recall"], (delivered, sizing)
+
+    # ...and max_tables lifts the cap at a stated linear price: the
+    # identity sizes clean (229 ≤ 256) and delivers the full target
+    s2: dict = {}
+    lsh_auto_params(500, 0.4, nbits=10, recall=0.9, max_tables=256, stats=s2)
+    assert not s2["cap_bound"] and s2["achievable_recall"] >= 0.9
+    gs2: dict = {}
+    got2 = {
+        (r.id_a, r.id_b)
+        for r in neardup_embedding_lsh(
+            emb, 0.4, nbits=10, recall=0.9, max_tables=256, guard_stats=gs2
+        ).collect()
+    }
+    assert got2 <= exact
+    assert len(got2 & exact) / len(exact) >= gs2["sizing"]["achievable_recall"]
+    # more tables strictly widen the candidate superset
+    assert got <= got2
 
 
 def test_embedding_lsh_regimes_agree_and_multiprobe_recall(spark):
