@@ -1661,11 +1661,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     neardup_embedding; (C) regression guards on the similarity.py
     code this round touches (recall-honesty + ADVICE fixes):
     similarity_topk_lsh / similarity_topk_ivf / neardup_embedding_lsh,
-    so their r8 grades don't go code-stale; (D) the 6 oldest r6
-    grades (window/join staples) to start draining that cohort.
-    Cheap batch queries lead (bench slot 0 pays JVM warmup, VERDICT r5
-    item 7); fixed-cost streaming/stateful queries sit LAST. Positions
-    51+ hold the r8-graded cohort and the r6 remainder (rotates r10)."""
+    so their r8 grades don't go code-stale — dedup_report included,
+    since its blocked mode composes neardup_embedding_lsh; (D) the 5
+    oldest r6 grades (window/join staples) to start draining that
+    cohort. Cheap batch queries lead (bench slot 0 pays JVM warmup,
+    VERDICT r5 item 7); fixed-cost streaming/stateful queries and the
+    most composed query (dedup_report) sit LAST. Positions 51+ hold
+    the r8-graded cohort and the r6 remainder (rotates r10)."""
     return {
         # --- r9 window A: r5-vintage grades — cheap batch queries lead
         "json_parse": q_json_parse,
@@ -1699,7 +1701,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rolling_avg": q_rolling_avg,
         "window_avg": q_window_avg,
         "asof_join": q_asof_join,
-        "interval_join": q_interval_join,
         # --- r9 window B: walker-flagged stale greens (r8 touched
         # dedup.py/similarity.py under these grades; neardup_editdist's
         # max_block default CHANGED in r8 — re-grade is mandatory)
@@ -1728,6 +1729,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_interval_join": q_streaming_interval_join,
         "streaming_sessionize": q_streaming_sessionize,
         "stateful_quality_monitor": q_stateful_quality_monitor,
+        # dedup_report composes neardup_embedding_lsh (similarity.py
+        # changed this round → its r8 grade would go code-stale
+        # out-of-window); most composed query sits LAST
+        "dedup_report": q_dedup_report,
         # ---------- position 51+: r8-graded cohort (fresh) and the
         # r6 remainder (rotates into the r10 window)
         "filter_validity": q_filter_validity,
@@ -1776,8 +1781,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "neardup_minhash": q_neardup_minhash,
         "dedup_clusters": q_dedup_clusters,
         "dedup_clusters_lsh": q_dedup_clusters_lsh,
-        "dedup_report": q_dedup_report,
         # r6 remainder
+        "interval_join": q_interval_join,
         "market_share": xtpch.market_share,
         "product_profit": xtpch.product_profit,
         "cross_nation_volume": xtpch.cross_nation_volume,
