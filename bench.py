@@ -43,17 +43,32 @@ import time
 
 
 def _load_sample() -> dict:
-    """One (timestamp, loadavg) sample. Wall-clock is ISO-UTC so a
-    reader can line the bench up against external machine records."""
+    """One (timestamp, loadavg, cumulative-steal) sample. Wall-clock is
+    ISO-UTC so a reader can line the bench up against external machine
+    records. ``steal_jiffies`` is the cumulative hypervisor steal time
+    from /proc/stat — this box is a VM, and co-tenant host load is the
+    measured cause of the 2× spread on sustained all-core runs
+    (loadavg cannot see it; diff two samples to get steal DURING an
+    interval)."""
     try:
         l1, l5, l15 = os.getloadavg()
     except OSError:  # pragma: no cover — getloadavg absent on some OSes
         l1 = l5 = l15 = -1.0
+    steal = -1
+    try:
+        with open("/proc/stat") as f:
+            parts = f.readline().split()
+        # cpu user nice system idle iowait irq softirq steal ...
+        if len(parts) > 8:
+            steal = int(parts[8])
+    except (OSError, ValueError):  # pragma: no cover — non-Linux
+        pass
     return {
         "ts": datetime.datetime.now(datetime.timezone.utc).isoformat(
             timespec="seconds"
         ),
         "loadavg": [round(l1, 2), round(l5, 2), round(l15, 2)],
+        "steal_jiffies": steal,
     }
 
 
@@ -214,16 +229,31 @@ def main() -> int:
             timings[name] = -1.0
             errors[name] = f"{type(e).__name__}: {e}"[:300]
         s = _load_sample()
-        per_query_load[name] = {"ts": s["ts"], "load1": s["loadavg"][0]}
+        per_query_load[name] = {
+            "ts": s["ts"],
+            "load1": s["loadavg"][0],
+            "steal_jiffies": s["steal_jiffies"],
+        }
 
     ok = {k: v for k, v in timings.items() if v >= 0}
     load_end = _load_sample()
     loads = [v["load1"] for v in per_query_load.values() if v["load1"] >= 0]
+    steal_delta = (
+        load_end["steal_jiffies"] - load_start["steal_jiffies"]
+        if load_end["steal_jiffies"] >= 0 and load_start["steal_jiffies"] >= 0
+        else -1
+    )
     load_summary = {
         "start": load_start["loadavg"][0],
         "end": load_end["loadavg"][0],
         "max": max(loads) if loads else -1.0,
         "mean": round(sum(loads) / len(loads), 2) if loads else -1.0,
+        # Hypervisor steal across the whole session (jiffies ≈ 10 ms
+        # units): this box is a VM — co-tenant host load steals cycles
+        # that loadavg cannot see, the measured cause of the 2× spread
+        # on sustained all-core runs (SCALE_PROBE_r9.json records
+        # 53-123 s for the same x256 kernel across sessions).
+        "steal_jiffies_session": steal_delta,
         # Pre-session 1-min loadavg above ~2 on this box means the
         # machine was already busy before the bench added its own 32
         # threads — treat the session totals as contaminated and judge
