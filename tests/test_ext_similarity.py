@@ -318,6 +318,38 @@ def test_embedding_lsh_regimes_agree_and_multiprobe_recall(spark):
     assert len(mp & exact) / len(exact) >= 0.9
 
 
+def test_embedding_lsh_dense_bookkeeping_falls_back_to_ship(spark):
+    """ADVICE r8: a caller pinning huge nbits with vectors="broadcast"
+    would allocate multi-GiB dense (tables, 2**nbits) cap bookkeeping
+    driver-side before any useful work. The sanity bound must warn and
+    fall back to the ship regime (sparse in occupied buckets), and the
+    verified pairs must match the broadcast regime at sane sizing."""
+    import warnings
+
+    from iotstream.ext.similarity import neardup_embedding_lsh
+
+    rows = [(i, [float(i % 7), 1.0, float(i % 3), 0.5]) for i in range(40)]
+    emb = spark.createDataFrame(rows, "vec_id bigint, embedding array<double>")
+    with warnings.catch_warnings(record=True) as caught:
+        warnings.simplefilter("always")
+        got = {
+            (r.id_a, r.id_b)
+            for r in neardup_embedding_lsh(
+                emb, threshold=0.9, nbits=30, tables=16, vectors="broadcast"
+            ).collect()
+        }
+    assert any("falling back to the ship regime" in str(w.message) for w in caught)
+    sane = {
+        (r.id_a, r.id_b)
+        for r in neardup_embedding_lsh(
+            emb, threshold=0.9, nbits=4, tables=16
+        ).collect()
+    }
+    # 30-bit buckets are near-singletons, so the fallback's pair set is
+    # a subset of the 4-bit blocking; both stay exact on what they find
+    assert got <= sane
+
+
 def test_embedding_lsh_guard_stats_observable(spark):
     """ADVICE r7: max_bucket drops must be observable, not silent. A
     mass-duplicated vector overflows the cap in EVERY table (identical
