@@ -48,6 +48,92 @@ DEFAULT_SF_DIR = "/root/testdata/sf0.001"
 #: truth for tools/window_plan.py and tools/check_oracle.py --window.
 DRIVER_WINDOW = 50
 
+#: Names PINNED into the current grading window regardless of grade
+#: age — the acute-churn lever: when a round changes code under a
+#: fresh green grade (the r8 neardup_editdist case), list the affected
+#: queries here so the next driver run re-grades them. The chronic
+#: lever (grades aging out) needs no bookkeeping at all: queries()
+#: auto-rotates the stalest grades into the window each round (see
+#: _rotate_window). r9 pins: the 4 walker-flagged stale greens from
+#: the r8 churn plus the 4 similarity.py-composed entries this round's
+#: recall-honesty/ADVICE fixes touch.
+FORCE_WINDOW: tuple[str, ...] = (
+    "dedup_exact",
+    "neardup_editdist",
+    "similarity_topk",
+    "neardup_embedding",
+    "similarity_topk_lsh",
+    "similarity_topk_ivf",
+    "neardup_embedding_lsh",
+    "dedup_report",
+)
+
+
+def _grade_ages() -> dict[str, int]:
+    """name -> latest round whose committed driver grade is green.
+
+    Green = ``hash_match`` (the full oracle gate), or — for entries
+    that deliberately omit an oracle — ``rows_match`` (the driver's
+    weaker rows-only check; without this an oracle-less entry could
+    never leave the window and would burn a grading slot forever).
+    Reads only the CORRECTNESS_r*.json artifacts committed next to
+    this file, so the rotation is deterministic given the repo state
+    the driver checked out.
+    """
+    import glob as _glob
+    import json as _json
+    import os as _os
+    import re as _re
+
+    here = _os.path.dirname(_os.path.abspath(__file__))
+    with_oracle = set(oracle_sql())
+    ages: dict[str, int] = {}
+    for path in _glob.glob(_os.path.join(here, "CORRECTNESS_r*.json")):
+        m = _re.search(r"_r(\d+)\.json$", _os.path.basename(path))
+        if not m:
+            continue
+        rnd = int(m.group(1))
+        try:
+            with open(path) as f:
+                data = _json.load(f)
+        except (OSError, ValueError):
+            continue
+        if not isinstance(data, dict):
+            continue
+        for name, rec in data.items():
+            if not isinstance(rec, dict):
+                continue
+            green = rec.get("hash_match") or (
+                name not in with_oracle and rec.get("rows_match")
+            )
+            if green and rnd > ages.get(name, -1):
+                ages[name] = rnd
+    return ages
+
+
+def _rotate_window(
+    declared: dict, ages: dict[str, int], forced: tuple[str, ...]
+) -> dict:
+    """Reorder ``declared`` so the first DRIVER_WINDOW entries are the
+    grading window: ``forced`` names first-class, then the stalest
+    green grades (never-graded entries lead, ties broken by declared
+    position). RELATIVE declared order is preserved on both sides of
+    the window boundary — declaration order encodes the bench cost
+    layout (cheap batch queries lead so slot 0 pays JVM warmup;
+    fixed-cost streaming/stateful and the most composed queries sit
+    last) and rotation must not scramble it.
+    """
+    names = list(declared)
+    pos = {n: i for i, n in enumerate(names)}
+    forced_in = [n for n in forced if n in pos]
+    selectable = [n for n in names if n not in set(forced_in)]
+    selectable.sort(key=lambda n: (ages.get(n, -1), pos[n]))
+    take = max(0, DRIVER_WINDOW - len(forced_in))
+    window = set(forced_in) | set(selectable[:take])
+    ordered = [n for n in names if n in window]
+    ordered += [n for n in names if n not in window]
+    return {n: declared[n] for n in ordered}
+
 # ---------------------------------------------------------------- helpers
 
 def _sensor(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1651,23 +1737,33 @@ def entry(spark: SparkSession) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Declaration order is the driver's check order (first 50 get the
-    full oracle gate per round). Round-9 window, per VERDICT r8 items
-    1/4/7: (A) all 39 queries whose last grade is r5-vintage — three
-    rounds old, the oldest anywhere (text/LLM curation staples,
-    multimodal, streaming family, sessionization/funnel analytics);
-    (B) the 4 walker-flagged stale greens (code under them changed in
-    r8 after grading): neardup_editdist — MANDATORY, its max_block
-    guard default changed in r8 — dedup_exact, similarity_topk,
-    neardup_embedding; (C) regression guards on the similarity.py
-    code this round touches (recall-honesty + ADVICE fixes):
-    similarity_topk_lsh / similarity_topk_ivf / neardup_embedding_lsh,
-    so their r8 grades don't go code-stale — dedup_report included,
-    since its blocked mode composes neardup_embedding_lsh; (D) the 5
-    oldest r6 grades (window/join staples) to start draining that
-    cohort. Cheap batch queries lead (bench slot 0 pays JVM warmup,
-    VERDICT r5 item 7); fixed-cost streaming/stateful queries and the
-    most composed query (dedup_report) sit LAST. Positions 51+ hold
-    the r8-graded cohort and the r6 remainder (rotates r10)."""
+    full oracle gate per round). The window SELF-ROTATES (r9, closing
+    VERDICT r8 item 1 permanently): the first DRIVER_WINDOW slots are
+    computed from the committed CORRECTNESS_r*.json grade ages —
+    FORCE_WINDOW pins first (acute code churn under fresh grades),
+    then stalest-green-first (never-graded entries lead), relative
+    declared order preserved on both sides so the bench cost layout
+    (cheap batch queries lead, JVM warmup lands on slot 0; streaming/
+    stateful fixed costs and the most composed query sit last) stays
+    intact. Rotation is deterministic given the checked-out repo, and
+    a rotation failure falls back to plain declared order — grading
+    must never break because bookkeeping did. For r9 the computed
+    window equals the hand-curated one it replaces: all 39 r5-vintage
+    grades, the 4 walker-flagged stale greens (neardup_editdist
+    mandatory — its max_block default changed in r8), the 4
+    similarity.py-composed regression guards, and the 5 oldest r6
+    grades; `tests/test_window_rotation.py` asserts the invariants."""
+    declared = _declared_queries()
+    try:
+        rotated = _rotate_window(declared, _grade_ages(), FORCE_WINDOW)
+    except Exception:  # noqa: BLE001 — rotation must never break grading
+        return declared
+    return rotated
+
+
+def _declared_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    """Full inventory in cost-layout order (see queries() docstring);
+    the grading window is computed by _rotate_window, not by hand."""
     return {
         # --- r9 window A: r5-vintage grades — cheap batch queries lead
         "json_parse": q_json_parse,

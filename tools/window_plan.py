@@ -1,12 +1,16 @@
 """Window-rotation planner for the driver's 50-query correctness gate.
 
 The driver oracle-checks only the first 50 entries of
-``__spark_entry__.queries()`` per round. This tool cross-references
-every recorded ``CORRECTNESS_r*.json`` with the current declaration
-order and reports, for each query: its position, whether it sits in
-the checked window, and its best driver verdict so far — so each
-round's reorder can promote never-green queries and keep regression
-guards without bookkeeping by hand.
+``__spark_entry__.queries()`` per round. Since r9 the window
+SELF-ROTATES (``__spark_entry__._rotate_window``: stalest committed
+green grades first, ``FORCE_WINDOW`` pins for acute churn), so the
+chronic promote-the-oldest bookkeeping this tool used to drive by
+hand happens automatically. The tool remains the AUDITOR: it
+cross-references every recorded ``CORRECTNESS_r*.json`` with the
+rotated order and reports each query's position, window membership,
+and best driver verdict — and, critically, its staleness analysis is
+the input for ``FORCE_WINDOW`` (grade-age rotation cannot see code
+churn under a fresh grade; this tool can).
 
 It is also STALENESS-AWARE: a green grade from round N is only as good
 as the code that round graded. For every query whose best verdict is a
@@ -628,7 +632,9 @@ def main() -> int:
             stale.append((q, verdict[q], "; ".join(reasons)))
 
     print(f"\ngreen grades now STALE — code changed since grading round "
-          f"({len(stale)}); put these in the window:")
+          f"({len(stale)}); any OUT-of-window ones must be pinned in "
+          "__spark_entry__.FORCE_WINDOW (age-based auto-rotation cannot "
+          "see code churn under a fresh grade):")
     for q, v, why in stale:
         pos = order.index(q)
         mark = "in-window" if pos < WINDOW else "OUT-of-window"
