@@ -48,24 +48,29 @@ DEFAULT_SF_DIR = "/root/testdata/sf0.001"
 #: truth for tools/window_plan.py and tools/check_oracle.py --window.
 DRIVER_WINDOW = 50
 
-#: Names PINNED into the current grading window regardless of grade
-#: age — the acute-churn lever: when a round changes code under a
-#: fresh green grade (the r8 neardup_editdist case), list the affected
-#: queries here so the next driver run re-grades them. The chronic
-#: lever (grades aging out) needs no bookkeeping at all: queries()
-#: auto-rotates the stalest grades into the window each round (see
-#: _rotate_window). r9 pins: the 4 walker-flagged stale greens from
-#: the r8 churn plus the 4 similarity.py-composed entries this round's
-#: recall-honesty/ADVICE fixes touch.
-FORCE_WINDOW: tuple[str, ...] = (
-    "dedup_exact",
-    "neardup_editdist",
-    "similarity_topk",
-    "neardup_embedding",
-    "similarity_topk_lsh",
-    "similarity_topk_ivf",
-    "neardup_embedding_lsh",
-    "dedup_report",
+#: (name, pinned_round) pairs PINNED into the grading window
+#: regardless of grade age — the acute-churn lever: when a round
+#: changes code under a fresh green grade (the r8 neardup_editdist
+#: case), pin the affected queries with the round that changed them
+#: so the next driver run re-grades them. A pin SELF-EXPIRES once a
+#: green grade from >= its pinned_round lands in the committed
+#: artifacts — it never burns window slots after it has done its job
+#: (a never-expiring pin would reintroduce the exact manual-cleanup
+#: discipline the rotation removes). The chronic lever (grades aging
+#: out) needs no bookkeeping at all: queries() auto-rotates the
+#: stalest grades into the window (see _rotate_window). r9 pins: the
+#: 4 walker-flagged stale greens from the r8 churn plus the 4
+#: similarity.py-composed entries this round's recall-honesty/ADVICE
+#: fixes touch — all expire when their r9 grades land.
+FORCE_WINDOW: tuple[tuple[str, int], ...] = (
+    ("dedup_exact", 9),
+    ("neardup_editdist", 9),
+    ("similarity_topk", 9),
+    ("neardup_embedding", 9),
+    ("similarity_topk_lsh", 9),
+    ("similarity_topk_ivf", 9),
+    ("neardup_embedding_lsh", 9),
+    ("dedup_report", 9),
 )
 
 
@@ -112,20 +117,25 @@ def _grade_ages() -> dict[str, int]:
 
 
 def _rotate_window(
-    declared: dict, ages: dict[str, int], forced: tuple[str, ...]
+    declared: dict, ages: dict[str, int], forced: tuple[tuple[str, int], ...]
 ) -> dict:
     """Reorder ``declared`` so the first DRIVER_WINDOW entries are the
-    grading window: ``forced`` names first-class, then the stalest
-    green grades (never-graded entries lead, ties broken by declared
-    position). RELATIVE declared order is preserved on both sides of
-    the window boundary — declaration order encodes the bench cost
-    layout (cheap batch queries lead so slot 0 pays JVM warmup;
-    fixed-cost streaming/stateful and the most composed queries sit
-    last) and rotation must not scramble it.
+    grading window: still-active ``forced`` pins first-class (a pin is
+    active while the query's latest green grade predates its
+    pinned_round — it self-expires once the re-grade it asked for has
+    landed), then the stalest green grades (never-graded entries lead,
+    ties broken by declared position). RELATIVE declared order is
+    preserved on both sides of the window boundary — declaration order
+    encodes the bench cost layout (cheap batch queries lead so slot 0
+    pays JVM warmup; fixed-cost streaming/stateful and the most
+    composed queries sit last) and rotation must not scramble it.
     """
     names = list(declared)
     pos = {n: i for i, n in enumerate(names)}
-    forced_in = [n for n in forced if n in pos]
+    forced_in = [
+        n for n, pinned_round in forced
+        if n in pos and ages.get(n, -1) < pinned_round
+    ]
     selectable = [n for n in names if n not in set(forced_in)]
     selectable.sort(key=lambda n: (ages.get(n, -1), pos[n]))
     take = max(0, DRIVER_WINDOW - len(forced_in))
@@ -1756,7 +1766,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     declared = _declared_queries()
     try:
         rotated = _rotate_window(declared, _grade_ages(), FORCE_WINDOW)
-    except Exception:  # noqa: BLE001 — rotation must never break grading
+    except Exception as exc:  # noqa: BLE001 — rotation must never break grading
+        import warnings
+
+        warnings.warn(
+            f"grading-window rotation failed ({type(exc).__name__}: {exc}); "
+            "falling back to declared order — grades will age without "
+            "rotation until this is fixed",
+            RuntimeWarning,
+            stacklevel=2,
+        )
         return declared
     return rotated
 
@@ -1791,7 +1810,7 @@ def _declared_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "funnel": q_funnel,
         "cohort_retention": q_cohort_retention,
         "scd2_history": q_scd2_history,
-        # --- r9 window D: 6 oldest r6 grades (drain the r6 cohort)
+        # --- r9 window D: 5 oldest r6 grades (drain the r6 cohort)
         "window_min": q_window_min,
         "hopping_window_max": q_hopping_window_max,
         "rolling_avg": q_rolling_avg,

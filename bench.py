@@ -8,11 +8,16 @@ Prints ONE compact JSON line:
 the FULL per-query timing map is written to BENCH_FULL.json alongside.)
 
 The artifact is load-self-diagnosing (VERDICT r8 item 3): loadavg +
-ISO-UTC wall-clock are sampled before the Spark session exists (the
-clean external-load signal), after every query, and at the end; the
-compact line carries the summary with a `contaminated_start` flag so
-a capture taken on a busy machine identifies itself instead of
-reading as a perf regression.
+ISO-UTC wall-clock + cumulative hypervisor steal are sampled before
+the Spark session exists (the clean external-load signal), after
+every query, at the end of the query sweep, and at the true end of
+the artifact (after the isolated series and the ingest drain, so a
+steal burst during those phases is recorded too). The compact line
+carries the summary with a headline `contaminated` flag — busy at
+start (loadavg) OR >5% of machine cycles stolen during the run
+(steal_ratio; loadavg is blind to steal, the measured cause of the
+2× cross-session spread) — so a capture taken on a busy machine
+identifies itself instead of reading as a perf regression.
 
 Env: SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1),
      SPARK_GRAFT_CPUS   (default 32).
@@ -182,6 +187,7 @@ def main() -> int:
     # threads); per-query samples are confounded by the bench's own
     # work but still localize WHEN contamination arrived.
     load_start = _load_sample()
+    t_session0 = time.perf_counter()
     per_query_load: dict[str, dict] = {}
 
     spark = _session(cpus)
@@ -236,42 +242,18 @@ def main() -> int:
         }
 
     ok = {k: v for k, v in timings.items() if v >= 0}
-    load_end = _load_sample()
-    loads = [v["load1"] for v in per_query_load.values() if v["load1"] >= 0]
-    steal_delta = (
-        load_end["steal_jiffies"] - load_start["steal_jiffies"]
-        if load_end["steal_jiffies"] >= 0 and load_start["steal_jiffies"] >= 0
-        else -1
-    )
-    load_summary = {
-        "start": load_start["loadavg"][0],
-        "end": load_end["loadavg"][0],
-        "max": max(loads) if loads else -1.0,
-        "mean": round(sum(loads) / len(loads), 2) if loads else -1.0,
-        # Hypervisor steal across the whole session (jiffies ≈ 10 ms
-        # units): this box is a VM — co-tenant host load steals cycles
-        # that loadavg cannot see, the measured cause of the 2× spread
-        # on sustained all-core runs (SCALE_PROBE_r9.json records
-        # 53-123 s for the same x256 kernel across sessions).
-        "steal_jiffies_session": steal_delta,
-        # Pre-session 1-min loadavg above ~2 on this box means the
-        # machine was already busy before the bench added its own 32
-        # threads — treat the session totals as contaminated and judge
-        # on the isolated series.
-        "contaminated_start": load_start["loadavg"][0] > 2.0,
-    }
+    # Mid-point sample: end of the QUERY sweep. The final sample (and
+    # the session steal/contamination verdict) is taken only after the
+    # isolated series and the ingest drain below — those are exactly
+    # the phases a mid-run steal burst would otherwise hit UNRECORDED
+    # while "end" read clean.
+    load_after_queries = _load_sample()
     out = {
         "metric": "total_runtime_declared_queries",
         "value": round(sum(ok.values()), 3),
         "unit": "sec",
         "queries": timings,
         "sf": sf,
-        "load": {
-            "start": load_start,
-            "end": load_end,
-            "summary": load_summary,
-            "per_query": per_query_load,
-        },
     }
     if errors:
         out["errors"] = errors
@@ -333,6 +315,66 @@ def main() -> int:
         shutil.rmtree(tmp, ignore_errors=True)
     except Exception as e:  # noqa: BLE001
         print(f"bench ingest error: {type(e).__name__}: {e}", file=sys.stderr)
+
+    # FINAL load/steal sample — after the isolated series and ingest
+    # drain, so the self-diagnosis covers the WHOLE artifact, not just
+    # the query sweep.
+    load_end = _load_sample()
+    wall_sec = time.perf_counter() - t_session0
+    loads = [v["load1"] for v in per_query_load.values() if v["load1"] >= 0]
+    steal_delta = (
+        load_end["steal_jiffies"] - load_start["steal_jiffies"]
+        if load_end["steal_jiffies"] >= 0 and load_start["steal_jiffies"] >= 0
+        else -1
+    )
+    # Steal as a fraction of the machine's total cycles over the
+    # session (the /proc/stat cpu line aggregates all CPUs at ~100 Hz
+    # each): loadavg is BLIND to hypervisor steal — the measured cause
+    # of the 2× spread on sustained all-core runs (SCALE_PROBE_r9.json
+    # records 53-123 s for the same x256 kernel across sessions) — so
+    # the contamination verdict must look at both signals.
+    ncpu = os.cpu_count() or 1
+    steal_ratio = (
+        round(steal_delta / (wall_sec * 100.0 * ncpu), 4)
+        if steal_delta >= 0 and wall_sec > 0
+        else -1.0
+    )
+    load_summary = {
+        "start": load_start["loadavg"][0],
+        "end": load_end["loadavg"][0],
+        "max": max(loads) if loads else -1.0,
+        "mean": round(sum(loads) / len(loads), 2) if loads else -1.0,
+        "wall_sec": round(wall_sec, 1),
+        # Hypervisor steal in jiffies (≈10 ms units, summed over CPUs)
+        # across the whole artifact, plus the same split at the end of
+        # the query sweep so a burst localizes to query-sweep vs
+        # isolated/ingest phases.
+        "steal_jiffies_session": steal_delta,
+        "steal_jiffies_query_sweep": (
+            load_after_queries["steal_jiffies"] - load_start["steal_jiffies"]
+            if load_after_queries["steal_jiffies"] >= 0
+            and load_start["steal_jiffies"] >= 0
+            else -1
+        ),
+        "steal_ratio": steal_ratio,
+        # Pre-session 1-min loadavg above ~2 on this box means the
+        # machine was already busy before the bench added its own 32
+        # threads — treat the session totals as contaminated and judge
+        # on the isolated series.
+        "contaminated_start": load_start["loadavg"][0] > 2.0,
+        # The headline verdict: busy at start OR >5% of machine cycles
+        # stolen by the hypervisor during the run — either one makes
+        # the session totals untrustworthy.
+        "contaminated": load_start["loadavg"][0] > 2.0
+        or (steal_ratio >= 0 and steal_ratio > 0.05),
+    }
+    out["load"] = {
+        "start": load_start,
+        "after_query_sweep": load_after_queries,
+        "end": load_end,
+        "summary": load_summary,
+        "per_query": per_query_load,
+    }
 
     # The driver captures only the TAIL (~2000 chars) of stdout: a
     # 127-entry "queries" map made every prior round's line unparseable

@@ -221,7 +221,9 @@ def lsh_auto_params(
       with p1 = 1-θ/π at the design ``threshold``; floored at 16,
       capped at 128 with a RuntimeWarning stating the achievable recall
       when the cap binds (low thresholds at large n are intrinsically
-      expensive for hyperplane LSH).
+      expensive for hyperplane LSH). An explicit ``max_tables`` BELOW
+      the floor wins — a caller whose index-memory budget caps tables
+      at 8 gets 8, never a silently doubled footprint.
 
     Pass ``nbits``/``tables`` to pin one side and derive the other.
 
@@ -291,7 +293,10 @@ def lsh_auto_params(
             if p >= 1.0
             else math.ceil(math.log(max(1e-12, 1.0 - recall)) / math.log(1.0 - p))
         )
-        tables = max(16, min(max_tables, need))
+        # floor at 16 tables, but NEVER above the caller's explicit cap:
+        # a serving-style deployment whose index-memory budget caps
+        # tables at 8 must get 8, not a silently doubled footprint
+        tables = min(max(1, int(max_tables)), max(16, need))
         achievable = 1.0 - (1.0 - p) ** tables
         cap_bound = need > tables
         if cap_bound:
@@ -452,13 +457,18 @@ def neardup_embedding_lsh(
     verified either way.
 
     ``guard_stats``: optional dict making ``max_bucket`` drops
-    observable instead of silent (ADVICE r7). Broadcast path: filled
-    EAGERLY with ``{"dropped_rows": int}`` — MEMBERSHIP rows (home +
-    probe occurrences) landing in over-cap buckets, exactly the metric
-    the ship path's Observation reports, so the two regimes agree
-    (ADVICE r8). Ship path: filled with ``{"observation":
-    pyspark.sql.Observation}`` whose ``dropped_rows`` metric is
-    available after an action runs. Zero on every fixture corpus.
+    observable instead of silent (ADVICE r7). Always filled with
+    ``{"regime": "broadcast" | "ship"}`` — the regime that actually
+    RAN, which a pinned ``vectors="broadcast"`` call cannot assume
+    (the dense-bookkeeping sanity bound below can fall it back to
+    ship); branch on it before reading the regime-specific key.
+    Broadcast path: filled EAGERLY with ``{"dropped_rows": int}`` —
+    MEMBERSHIP rows (home + probe occurrences) landing in over-cap
+    buckets, exactly the metric the ship path's Observation reports,
+    so the two regimes agree (ADVICE r8). Ship path: filled with
+    ``{"observation": pyspark.sql.Observation}`` whose
+    ``dropped_rows`` metric is available after an action runs. Zero
+    on every fixture corpus.
     When the auto-sizing path ran, both regimes also fill
     ``guard_stats["sizing"]`` with the ``lsh_auto_params`` outcome —
     ``achievable_recall`` / ``cap_bound`` / engaged ``multiprobe`` —
@@ -535,6 +545,13 @@ def neardup_embedding_lsh(
             stacklevel=2,
         )
         use_broadcast = False
+    if guard_stats is not None:
+        # record which regime actually RAN: a pinned vectors="broadcast"
+        # call can land on ship via the sanity fallback above, and the
+        # two regimes fill different drop keys (eager "dropped_rows" vs
+        # lazy "observation") — callers branch on this instead of
+        # KeyError-ing on the key the other regime fills
+        guard_stats["regime"] = "broadcast" if use_broadcast else "ship"
 
     if use_broadcast:
         # ---- fits-in-RAM regime: one bounded collect, one stage ----

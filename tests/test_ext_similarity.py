@@ -167,6 +167,10 @@ def test_lsh_auto_params_formula(spark):
     assert nbits == 12                                     # 2e6/512 → 2^12
     nbits_big, tables_big = lsh_auto_params(128_000, 0.4, recall=0.99999)
     assert nbits_big == 8 and tables_big == 128            # cap binds
+    # an EXPLICIT max_tables below the 16-table floor wins — a
+    # serving-style index-memory budget of 8 tables must get 8, not a
+    # silently doubled footprint
+    assert lsh_auto_params(1_000_000, 0.4, recall=0.9, max_tables=8)[1] == 8
     # pinning one side derives only the other
     assert lsh_auto_params(500, 0.4, nbits=6)[0] == 6
 
@@ -174,13 +178,15 @@ def test_lsh_auto_params_formula(spark):
 def test_embedding_lsh_auto_sizing_floor_and_cap_warning(spark):
     """Auto-sizing (nbits/tables=None) must (a) floor at the historical
     (4 bits, 16 tables) on small corpora — identical output to the old
-    fixed defaults — (b) with probing disabled, warn when the
-    128-table cap binds and the recall target is unreachable, stating
-    the achievable recall, and (c) with the default multiprobe="auto",
-    ENGAGE probing for exactly that case and deliver the target
-    without a warning (VERDICT r8 item 4 — no silent sub-target
-    recall, and no spurious warning once probing restores the
-    target)."""
+    fixed defaults — (b) warn when the 128-table cap binds and the
+    recall target is unreachable, stating the achievable recall, with
+    the programmatic twin in guard_stats["sizing"], and (c) deliver
+    the target via the ``max_tables`` cap-lift — the honest lever
+    (cost linear in tables); r9 MEASURED auto-engaging multiprobe on
+    cap-bind and REJECTED it (~40× on the dense ×256 corpus:
+    ownership forfeited → duplicate emission), so probing stays an
+    explicit opt-in int and there is no "auto" value (VERDICT r8
+    item 4 — no silent sub-target recall)."""
     import warnings
 
     from iotstream.ext.similarity import neardup_embedding_lsh
@@ -330,15 +336,22 @@ def test_embedding_lsh_dense_bookkeeping_falls_back_to_ship(spark):
 
     rows = [(i, [float(i % 7), 1.0, float(i % 3), 0.5]) for i in range(40)]
     emb = spark.createDataFrame(rows, "vec_id bigint, embedding array<double>")
+    gs: dict = {}
     with warnings.catch_warnings(record=True) as caught:
         warnings.simplefilter("always")
         got = {
             (r.id_a, r.id_b)
             for r in neardup_embedding_lsh(
-                emb, threshold=0.9, nbits=30, tables=16, vectors="broadcast"
+                emb, threshold=0.9, nbits=30, tables=16, vectors="broadcast",
+                guard_stats=gs,
             ).collect()
         }
     assert any("falling back to the ship regime" in str(w.message) for w in caught)
+    # guard_stats must say which regime actually RAN: a pinned-broadcast
+    # caller reading the broadcast-only "dropped_rows" key would
+    # KeyError here — "regime" is the documented branch point
+    assert gs["regime"] == "ship"
+    assert "dropped_rows" not in gs
     sane = {
         (r.id_a, r.id_b)
         for r in neardup_embedding_lsh(
@@ -373,6 +386,7 @@ def test_embedding_lsh_guard_stats_observable(spark):
     )
     got = {(r.id_a, r.id_b) for r in out.collect()}
     # the 300-row dup block lands over-cap in all 8 tables
+    assert stats["regime"] == "broadcast"
     assert stats["dropped_rows"] >= 300 * 8
     assert all(not (a < 300 and b < 300) for a, b in got)
 
@@ -383,4 +397,5 @@ def test_embedding_lsh_guard_stats_observable(spark):
     )
     got2 = {(r.id_a, r.id_b) for r in out2.collect()}
     assert got2 == got
+    assert stats2["regime"] == "ship"
     assert stats2["observation"].get["dropped_rows"] >= 300 * 8

@@ -4,15 +4,17 @@ VERDICT r8 item 1: the window rotation was manual discipline and it
 slipped — r8 graded the same 50 keys as r7 while code churned under
 out-of-window grades. queries() now computes the window from the
 committed CORRECTNESS_r*.json grade ages (stalest-green-first,
-FORCE_WINDOW pins for acute churn), so the discipline is code. These
-tests pin the mechanism's contract: selection, ordering, fallback,
-and the live-repo invariant that no out-of-window grade is older than
-an unpinned in-window one.
+FORCE_WINDOW pins for acute churn, pins self-expiring once the
+re-grade they asked for lands), so the discipline is code. These
+tests pin the mechanism's contract: selection, ordering, pin expiry,
+loud fallback, and the live-repo invariant that no out-of-window
+grade is older than an unpinned in-window one.
 """
 
 from __future__ import annotations
 
 import sys
+import warnings
 
 sys.path.insert(0, ".")
 
@@ -53,17 +55,31 @@ class TestRotateWindowUnit:
         order = self.rotate(ages)
         assert "q07" in order[:4]
 
-    def test_forced_names_always_in_window(self):
-        # q07 has the FRESHEST grade; pinning must still include it
+    def test_active_pin_always_in_window(self):
+        # q07 has the FRESHEST grade (r9) but code churned in r10:
+        # a (q07, 10) pin must still include it
         ages = {n: 5 for n in self.NAMES}
         ages["q07"] = 9
-        order = self.rotate(ages, forced=("q07",))
+        order = self.rotate(ages, forced=(("q07", 10),))
         assert "q07" in order[:4]
         # and it displaces exactly one stale slot
         assert sum(1 for n in order[:4] if ages[n] == 5) == 3
 
+    def test_pin_self_expires_once_regrade_lands(self):
+        # same pin, but q07's green grade is now >= the pinned round:
+        # the pin has done its job and must stop burning a slot
+        ages = {n: 5 for n in self.NAMES}
+        ages["q07"] = 10
+        order = self.rotate(ages, forced=(("q07", 10),))
+        assert "q07" not in order[:4]
+        assert sum(1 for n in order[:4] if ages[n] == 5) == 4
+
+    def test_never_graded_pin_stays_active(self):
+        order = self.rotate({}, forced=(("q07", 9),))
+        assert "q07" in order[:4]
+
     def test_forced_unknown_names_ignored(self):
-        order = self.rotate({}, forced=("nope",))
+        order = self.rotate({}, forced=(("nope", 9),))
         assert set(order) == set(self.NAMES)
 
     def test_mapping_preserved(self):
@@ -85,6 +101,24 @@ class TestRotateWindowUnit:
         assert set(second[:4]) == set(self.NAMES[4:])
 
 
+class TestQueriesFallback:
+    def test_rotation_failure_warns_and_falls_back(self, monkeypatch):
+        # A broken _grade_ages must not break grading (declared order
+        # still served) but must NOT be silent either — silence is how
+        # the r8 stale-window slip went unnoticed.
+        def boom():
+            raise ValueError("artifact schema changed")
+
+        monkeypatch.setattr(entrymod, "_grade_ages", boom)
+        with warnings.catch_warnings(record=True) as caught:
+            warnings.simplefilter("always")
+            out = entrymod.queries()
+        assert list(out) == list(entrymod._declared_queries())
+        assert any(
+            "rotation failed" in str(w.message) for w in caught
+        ), [str(w.message) for w in caught]
+
+
 class TestLiveWindow:
     def test_declared_and_rotated_same_surface(self):
         declared = entrymod._declared_queries()
@@ -97,18 +131,22 @@ class TestLiveWindow:
         order = list(entrymod.queries())
         window = order[: entrymod.DRIVER_WINDOW]
         rest = order[entrymod.DRIVER_WINDOW :]
-        assert all(n in window for n in entrymod.FORCE_WINDOW
-                   if n in set(order))
-        unpinned = [ages.get(n, -1) for n in window
-                    if n not in set(entrymod.FORCE_WINDOW)]
+        active_pins = {
+            n for n, rnd in entrymod.FORCE_WINDOW
+            if n in set(order) and ages.get(n, -1) < rnd
+        }
+        assert active_pins <= set(window)
+        unpinned = [ages.get(n, -1) for n in window if n not in active_pins]
         if unpinned and rest:
             assert max(unpinned) <= min(ages.get(n, -1) for n in rest)
 
     def test_grade_ages_reads_committed_artifacts(self):
         ages = entrymod._grade_ages()
         # every declared query has at least one committed green grade
-        # (128/128 cumulative since r8); a regression here means the
-        # artifact parsing broke, not that grades vanished
-        declared = set(entrymod._declared_queries())
-        assert declared <= set(ages)
+        # (128/128 cumulative since r8) EXCEPT the protobuf-gated
+        # streaming entry, which is declared only where the optional
+        # dep exists and has never been driver-gradable in this
+        # sandbox; a larger gap means the artifact parsing broke
+        missing = set(entrymod._declared_queries()) - set(ages)
+        assert missing <= {"streaming_status_change"}
         assert all(r >= 1 for r in ages.values())
