@@ -161,3 +161,70 @@ def test_decontaminate_ngram_invariants(spark, texts):
             assert i in kept  # too short to share a bigram
         elif t in eval_texts:
             assert i not in kept  # verbatim eval copy must drop
+
+
+# ---- lsh_auto_params sizing identities (pure math, no Spark) ----
+
+_sizing_args = dict(
+    n=st.integers(min_value=1, max_value=10_000_000),
+    threshold=st.floats(min_value=0.05, max_value=0.95),
+    recall=st.floats(min_value=0.5, max_value=0.999),
+    max_tables=st.integers(min_value=1, max_value=512),
+)
+
+
+@given(**_sizing_args)
+@settings(max_examples=200, deadline=None)
+def test_lsh_auto_params_respects_explicit_cap_and_bounds(
+    n, threshold, recall, max_tables
+):
+    """An explicit max_tables is a HARD cap (even below the 16-table
+    floor — the serving index-memory contract), tables stay >= 1, and
+    the stats out-param's achievable_recall is a valid probability
+    that only falls short of the target when cap_bound says so."""
+    import warnings
+
+    from iotstream.ext.similarity import lsh_auto_params
+
+    stats: dict = {}
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore")
+        nbits, tables = lsh_auto_params(
+            n, threshold, recall=recall, max_tables=max_tables, stats=stats
+        )
+    assert 1 <= tables <= max_tables
+    assert nbits >= 4
+    # expected bucket size stays <= target_bucket once n clears the
+    # 4-bit floor (nbits = max(4, ceil(log2(n/512))))
+    if n >= 512 * 16:
+        assert n / (1 << nbits) <= 512 + 1e-9
+    assert 0.0 <= stats["achievable_recall"] <= 1.0
+    if not stats["cap_bound"]:
+        # identity delivered: the sized tables reach the asked recall
+        assert stats["achievable_recall"] >= recall - 1e-9
+    else:
+        assert stats["need"] > tables
+
+
+@given(**_sizing_args)
+@settings(max_examples=100, deadline=None)
+def test_lsh_auto_params_tables_monotone_in_recall(
+    n, threshold, recall, max_tables
+):
+    """Asking for MORE recall never returns FEWER tables (fixed
+    n/threshold/cap) — the knob a caller reasons with must be
+    monotone."""
+    import warnings
+
+    from iotstream.ext.similarity import lsh_auto_params
+
+    lower = max(0.5, recall - 0.2)
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore")
+        _, t_low = lsh_auto_params(
+            n, threshold, recall=lower, max_tables=max_tables
+        )
+        _, t_high = lsh_auto_params(
+            n, threshold, recall=recall, max_tables=max_tables
+        )
+    assert t_high >= t_low
