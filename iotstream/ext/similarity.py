@@ -58,6 +58,13 @@ def similarity_topk(
         .toPandas()
         .sort_values("vec_id")
     )
+    if not len(qpdf):
+        # empty query set (empty corpus, or no vec_id < n_queries):
+        # np.stack raises on zero arrays — the 100 TB empty-partition
+        # shape must yield an empty frame, not a driver crash
+        return spark.createDataFrame(
+            [], "query_id bigint, vec_id bigint, cosine double, rank int"
+        )
     qids = qpdf["vec_id"].to_numpy()
     qmat = np.stack(qpdf["embedding"].to_numpy()).astype("float64")
     qnrm = np.sqrt((qmat * qmat).sum(axis=1))
@@ -169,6 +176,11 @@ def neardup_embedding(
             f"Use neardup_embedding_lsh (bucketed, executor-sized blocks) "
             f"for large corpora."
         )
+    if not len(pdf):
+        # empty corpus: np.stack raises on zero arrays — yield the
+        # empty pair frame (the shape an empty partition/filter result
+        # produces at scale), same schema as the populated path
+        return spark.createDataFrame([], "id_a bigint, id_b bigint, cosine double")
     ids = pdf["vec_id"].to_numpy()
     mat = np.stack(pdf["embedding"].to_numpy()).astype("float64")
     nrm = np.sqrt((mat * mat).sum(axis=1))
@@ -458,8 +470,9 @@ def neardup_embedding_lsh(
 
     ``guard_stats``: optional dict making ``max_bucket`` drops
     observable instead of silent (ADVICE r7). Always filled with
-    ``{"regime": "broadcast" | "ship"}`` — the regime that actually
-    RAN, which a pinned ``vectors="broadcast"`` call cannot assume
+    ``{"regime": "broadcast" | "ship" | "empty"}`` — the regime that
+    actually RAN ("empty" = zero-vector corpus, empty pair frame,
+    zero drops), which a pinned ``vectors="broadcast"`` call cannot assume
     (the dense-bookkeeping sanity bound below can fall it back to
     ship); branch on it before reading the regime-specific key.
     Broadcast path: filled EAGERLY with ``{"dropped_rows": int}`` —
@@ -507,7 +520,16 @@ def neardup_embedding_lsh(
     # Hyperplanes from one seeded RNG stream (deterministic, no state
     # to ship); bucket assignment always computes in float64 so the
     # assignment is bit-identical across releases and regimes.
-    dim = len(emb.select("embedding").head()[0])
+    first = emb.select("embedding").head()
+    if first is None:
+        # empty corpus: no dim to size hyperplanes from, and both
+        # regimes' kernels assume >=1 vector — the 100 TB
+        # empty-partition shape must yield an empty pair frame
+        if guard_stats is not None:
+            guard_stats["regime"] = "empty"
+            guard_stats["dropped_rows"] = 0
+        return spark.createDataFrame([], "id_a bigint, id_b bigint, cosine double")
+    dim = len(first[0])
     planes = np.random.default_rng(20240101).standard_normal(
         (tables * nbits, dim)
     )

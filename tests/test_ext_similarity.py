@@ -399,3 +399,28 @@ def test_embedding_lsh_guard_stats_observable(spark):
     assert got2 == got
     assert stats2["regime"] == "ship"
     assert stats2["observation"].get["dropped_rows"] >= 300 * 8
+
+
+def test_empty_corpus_yields_empty_frames_not_crashes(spark):
+    """The 100 TB empty-partition shape: a date filter that matches
+    nothing or a pruned-empty replica must yield EMPTY pair/top-k
+    frames, not driver crashes (found by tools/degenerate_sweep.py:
+    np.stack raises on zero arrays; head()[0] on an empty frame is a
+    NoneType subscript)."""
+    from iotstream.ext.similarity import (
+        neardup_embedding,
+        neardup_embedding_lsh,
+        similarity_topk,
+    )
+
+    empty = spark.createDataFrame([], "vec_id bigint, embedding array<double>")
+    assert similarity_topk(empty).collect() == []
+    assert neardup_embedding(empty, threshold=0.5).collect() == []
+    gs: dict = {}
+    assert neardup_embedding_lsh(empty, threshold=0.5, guard_stats=gs).collect() == []
+    assert gs["regime"] == "empty" and gs["dropped_rows"] == 0
+    # schemas stay identical to the populated path (callers union them)
+    assert similarity_topk(empty).columns == ["query_id", "vec_id", "cosine", "rank"]
+    assert neardup_embedding_lsh(empty, threshold=0.5).columns == [
+        "id_a", "id_b", "cosine",
+    ]

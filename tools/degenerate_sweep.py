@@ -1,0 +1,89 @@
+"""Degenerate-input sweep: every declared query against EMPTY and
+SINGLE-ROW fixtures.
+
+At 100 TB scale, empty partitions, empty filter results, and
+single-row groups are routine — a date-range filter that matches
+nothing, a brand-new tenant with one event, an empty replica after
+partition pruning. The oracle gate only exercises the populated
+fixtures, so division-by-zero, head()-on-empty, `.first()[0]`
+unwraps, variance-of-one, and empty-codebook edge cases hide from it
+entirely. This sweep derives schema-identical fixture dirs with
+``limit 0`` and ``limit 1`` from sf0.001 and requires every declared
+query to EXECUTE (collect) without raising; row counts are free to be
+zero.
+
+Streaming queries run too — their sources read the same parquet dirs
+through FileStreamSource, so an empty dir exercises the
+no-files/no-batches path that a real deployment hits on a quiet
+topic.
+
+Usage: python tools/degenerate_sweep.py [empty|one|both]
+Exit 1 on any raising query.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+SRC = "/root/testdata/sf0.001"
+ROOT = "/tmp/iotstream-degenerate"
+
+
+def build(spark, n: int) -> str:
+    """Schema-identical fixture dir with the first n rows per table."""
+    from iotstream.schemas import FIXTURE_TABLES, table_path
+
+    out = f"{ROOT}/n{n}"
+    marker = f"{out}/.complete"
+    if os.path.exists(marker):
+        return out
+    shutil.rmtree(out, ignore_errors=True)
+    os.makedirs(out, exist_ok=True)
+    for t in FIXTURE_TABLES:
+        df = spark.read.parquet(table_path(SRC, t)).limit(n)
+        # single-file write keeps the FileStreamSource listing cheap
+        df.coalesce(1).write.mode("overwrite").parquet(table_path(out, t))
+    open(marker, "w").close()
+    return out
+
+
+def main() -> int:
+    mode = sys.argv[1] if len(sys.argv) > 1 else "both"
+    sizes = {"empty": [0], "one": [1], "both": [0, 1]}[mode]
+
+    from pyspark.sql import SparkSession
+
+    spark = (
+        SparkSession.builder.master("local[8]")
+        .appName("degenerate-sweep")
+        .config("spark.sql.shuffle.partitions", "8")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    import __spark_entry__ as entrymod
+
+    failures: list[str] = []
+    for n in sizes:
+        sf_dir = build(spark, n)
+        print(f"--- n={n} rows/table ({sf_dir}) ---")
+        for name, fn in entrymod.queries().items():
+            try:
+                rows = fn(spark, sf_dir).collect()
+                print(f"ok    n={n} {name}: {len(rows)} rows")
+            except Exception as e:  # noqa: BLE001
+                failures.append(f"n={n} {name}")
+                print(f"RAISE n={n} {name}: {type(e).__name__}: {e}"[:300])
+    print(f"\n{len(failures)} raising queries: {failures}" if failures
+          else "\nALL EXECUTE CLEAN")
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
