@@ -2249,10 +2249,16 @@ def oracle_sql() -> dict[str, str]:
                    count(*) - count(DISTINCT event_id) FROM events""",
         "dedup_report": """
             WITH d AS (SELECT doc_id, text FROM documents WHERE doc_id < 2000),
-            canon AS (SELECT text, min(doc_id) AS canonical_id FROM d GROUP BY text),
-            base AS (SELECT d.doc_id, c.canonical_id,
-                            d.doc_id <> c.canonical_id AS is_exact_dup
-                     FROM d JOIN canon c USING (text)),
+            canon AS (SELECT text, min(doc_id) AS canonical_id FROM d
+                      WHERE text IS NOT NULL GROUP BY text),
+            -- NULL-text docs: LEFT JOIN misses (unknown content is not
+            -- EQUAL to other unknown content), each is its own
+            -- singleton — canonical_id = itself, is_exact_dup = false
+            base AS (SELECT d.doc_id,
+                            coalesce(c.canonical_id, d.doc_id) AS canonical_id,
+                            d.doc_id <> coalesce(c.canonical_id, d.doc_id)
+                                AS is_exact_dup
+                     FROM d LEFT JOIN canon c ON d.text = c.text),
             t AS (SELECT doc_id, string_split(text, ' ') AS w FROM d),
             idx AS (SELECT doc_id, w, unnest(range(1, len(w) - 1)) AS i FROM t),
             sh AS (SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS g
@@ -2357,16 +2363,21 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(CASE WHEN tid = 0 THEN 1 ELSE 0 END) AS BIGINT)
                        AS n_oov
             FROM e GROUP BY doc_id""",
+        # anchored on documents with a LEFT JOIN so NULL-text docs pass
+        # through as (NULL, NULL) — a scrubber is a map, every input
+        # doc comes out; the unnest-based CTE silently loses them
         "scrub_repetition": """
             WITH t AS (SELECT doc_id, string_split(text, ' ') AS w
-                       FROM documents),
+                       FROM documents WHERE text IS NOT NULL),
             i AS (SELECT doc_id, w, unnest(range(1, len(w) + 1)) AS i FROM t),
             k AS (SELECT doc_id, i, w[i] AS tok, len(w) AS n
-                  FROM i WHERE i = 1 OR w[i] <> w[i - 1])
-            SELECT doc_id,
-                   string_agg(tok, ' ' ORDER BY i) AS text,
-                   any_value(n) - count(*) AS n_removed
-            FROM k GROUP BY doc_id""",
+                  FROM i WHERE i = 1 OR w[i] <> w[i - 1]),
+            agg AS (SELECT doc_id,
+                           string_agg(tok, ' ' ORDER BY i) AS text,
+                           any_value(n) - count(*) AS n_removed
+                    FROM k GROUP BY doc_id)
+            SELECT d.doc_id, a.text, a.n_removed
+            FROM documents d LEFT JOIN agg a ON d.doc_id = a.doc_id""",
         "ngram_counts": """
             WITH t AS (SELECT string_split(text, ' ') AS w FROM documents
                        WHERE len(string_split(text, ' ')) >= 2),
@@ -2447,11 +2458,16 @@ def oracle_sql() -> dict[str, str]:
                       FROM kept GROUP BY doc_id)
             SELECT d.doc_id, coalesce(r.clean_text, '') AS clean_text
             FROM documents d LEFT JOIN reagg r ON d.doc_id = r.doc_id""",
+        # NOT EXISTS with an equality, not NOT IN: a NULL fingerprint
+        # (NULL-text doc) must be KEPT — it matches nothing in the eval
+        # set, exactly the Spark left_anti semantics — whereas NULL NOT
+        # IN (...) is NULL and silently drops the row
         "decontaminate": """
             SELECT doc_id, lang, source, n_chars, md5(text) AS fingerprint
-            FROM documents
-            WHERE md5(text) NOT IN (SELECT DISTINCT md5(text) FROM documents
-                                    WHERE doc_id % 97 = 0)""",
+            FROM documents d
+            WHERE NOT EXISTS (SELECT 1 FROM documents b
+                              WHERE b.doc_id % 97 = 0
+                                AND md5(b.text) = md5(d.text))""",
         "neardup_jaccard": _JACCARD_ORACLE,
         "neardup_minhash": _JACCARD_ORACLE_UNCAPPED,
         # simhash: the signatures are engine-internal, but the
@@ -2973,8 +2989,12 @@ def oracle_sql() -> dict[str, str]:
                          ord(substr(text, CAST(i AS INT), 1)) // 16 AS bin
                   FROM i),
             c AS (SELECT doc_id, bin, count(*) AS c FROM b GROUP BY 1, 2),
+            -- text IS NOT NULL: features are UNDEFINED for a failed
+            -- payload — the table omits the doc (Spark's posexplode of
+            -- a NULL array drops it), it does not fabricate 16 NULL bins
             dense AS (SELECT d.doc_id, d.n, CAST(r.range AS INT) AS bin
-                      FROM n d CROSS JOIN range(16) r)
+                      FROM n d CROSS JOIN range(16) r
+                      WHERE d.text IS NOT NULL)
             SELECT dense.doc_id, dense.bin,
                    floor(COALESCE(c.c, 0) / GREATEST(dense.n, 1) * 1000000
                          + 0.5) / 1000000 AS feature

@@ -87,7 +87,15 @@ def doc_chunks(
     """
     if stride > chunk_size:
         raise ValueError("stride > chunk_size would drop characters")
-    n_chunks_minus1 = F.floor((F.col("n_chars") - 1) / stride)
+    # Guard zero/NULL-length docs: floor((0-1)/stride) is -1 and
+    # Spark's sequence(0, -1) COUNTS DOWN, yielding two phantom chunks
+    # (ids 0 and -1) per empty doc. A zero-char doc gets exactly ONE
+    # empty chunk (id 0 — the doc stays present downstream, matching
+    # the oracle's truncating (0-1)//stride + 1 = 1); NULL n_chars
+    # propagates NULL and explode drops the doc
+    n_chunks_minus1 = F.when(
+        F.col("n_chars") > 0, F.floor((F.col("n_chars") - 1) / stride)
+    ).otherwise(F.when(F.col("n_chars") == 0, F.lit(0)))
     chunk_id = F.explode(F.sequence(F.lit(0), n_chunks_minus1)).alias("chunk_id")
     out = docs.select("doc_id", F.col("text"), chunk_id)
     chunk = F.col("text").substr(

@@ -149,6 +149,11 @@ def with_shingles(docs: DataFrame, n: int = SHINGLE_WIDTH) -> DataFrame:
     ``exploded_shingles`` — exploding this array re-evaluates the
     interpreted HOF lambda per generated row (quadratic per doc)."""
     # element_at is 1-based, matching the oracle's DuckDB list indexing.
+    # The size(w) >= n guard is load-bearing: Spark's sequence(a, b)
+    # COUNTS DOWN when b < a, so a doc with fewer than n words (or NULL
+    # text, where size(NULL) = -1) would index past the array and crash
+    # the whole stage — such docs have zero n-gram shingles by
+    # definition (found by tools/degenerate_sweep.py's NULL corpus).
     lam = " ".join(
         ["concat_ws(' ',"]
         + [f"element_at(w, i + {k})," for k in range(n - 1)]
@@ -156,7 +161,11 @@ def with_shingles(docs: DataFrame, n: int = SHINGLE_WIDTH) -> DataFrame:
     )
     return docs.withColumn("w", F.split("text", " ")).withColumn(
         "shingles",
-        F.expr(f"array_distinct(transform(sequence(1, size(w) - {n - 1}), i -> {lam}))"),
+        F.expr(
+            f"if(size(w) >= {n}, "
+            f"array_distinct(transform(sequence(1, size(w) - {n - 1}), i -> {lam})), "
+            "array())"
+        ),
     )
 
 
@@ -469,7 +478,16 @@ def dedup_report(
     # 64-char hex digest per row instead of the full document body
     # (256-bit collisions are negligible at any corpus size; the same
     # narrow-shuffle trade the module header describes for dedup keys).
-    canonical = F.min("doc_id").over(Window.partitionBy(F.sha2("text", 256)))
+    # NULL-text docs get a per-doc key: unknown content is not EQUAL to
+    # other unknown content (the SQL NULL philosophy), so each is its
+    # own singleton — canonical_id = itself, is_exact_dup = false —
+    # instead of the window's group-the-NULLs default declaring every
+    # failed-extraction row a duplicate of the others.
+    key = F.coalesce(
+        F.sha2("text", 256),
+        F.concat(F.lit("\x00null\x00"), F.col("doc_id").cast("string")),
+    )
+    canonical = F.min("doc_id").over(Window.partitionBy(key))
     base = docs.select(
         "doc_id",
         canonical.alias("canonical_id"),

@@ -81,7 +81,11 @@ def decode_media(media: DataFrame, fake: bool = False) -> DataFrame:
                     "media codecs not available in this container; "
                     "plug PIL/ffmpeg here in a real deployment"
                 )
-            n = pdf["payload"].map(len)
+            # NULL payloads (a failed upstream fetch/extract — routine
+            # at corpus scale) decode to NULL metadata, exactly what
+            # len()/NULL arithmetic yields SQL-side; nullable Int64
+            # keeps pd.NA through the % math and Arrow maps it to NULL
+            n = pdf["payload"].map(len, na_action="ignore").astype("Int64")
             yield pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"],
@@ -155,6 +159,13 @@ def extract_features(media: DataFrame, n_bins: int = 16) -> DataFrame:
         for pdf in batches:
             rows = []
             for payload in pdf["payload"]:
+                if payload is None:
+                    # failed upstream fetch/extract: no bytes, no
+                    # histogram — NULL features, same as the SQL twin's
+                    # NULL arithmetic (not a zero-vector, which would
+                    # claim "measured all-zero content")
+                    rows.append(None)
+                    continue
                 arr = np.frombuffer(payload, dtype=np.uint8)
                 shift = 8 - (n_bins - 1).bit_length()  # 16 bins → top 4 bits
                 hist = np.bincount(arr >> shift, minlength=n_bins)[:n_bins]

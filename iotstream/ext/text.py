@@ -181,10 +181,18 @@ def scrub_repetition(docs: DataFrame, col: str = "text") -> DataFrame:
         w, prev, lambda x, p: F.when(p.isNull() | (x != p), x)
     )
     kept = F.filter(marked, lambda x: x.isNotNull())
+    # NULL text passes through as NULL (a scrubber is a map — every
+    # input doc comes out, and unknown content stays unknown rather
+    # than collapsing to ''): concat_ws would silently turn NULL into
+    # '' and size(NULL) = -1 would fake n_removed = 0
     return docs.select(
         "doc_id",
-        F.concat_ws(" ", kept).alias("text"),
-        (F.size(w) - F.size(kept)).alias("n_removed"),
+        F.when(F.col(col).isNull(), F.lit(None).cast("string"))
+        .otherwise(F.concat_ws(" ", kept))
+        .alias("text"),
+        F.when(F.col(col).isNull(), F.lit(None).cast("int"))
+        .otherwise(F.size(w) - F.size(kept))
+        .alias("n_removed"),
     )
 
 
@@ -365,9 +373,14 @@ def gopher_quality(
         (F.col("n_chars") - (n_words - F.lit(1))).cast("double") / n_words
     )
     dup_frac = F.lit(1.0) - F.size(F.array_distinct(w)).cast("double") / n_words
-    sym = F.regexp_count(F.col("text"), F.lit("[^a-z0-9 ]")).cast(
-        "double"
-    ) / F.col("n_chars")
+    # try_divide: a zero-length doc has an UNDEFINED symbol ratio, not a
+    # crash — ANSI mode makes /0 an ArithmeticException that would kill
+    # the whole stage on one empty row, while SQL engines (and the
+    # DuckDB oracle) yield NULL
+    sym = F.try_divide(
+        F.regexp_count(F.col("text"), F.lit("[^a-z0-9 ]")).cast("double"),
+        F.col("n_chars"),
+    )
     sig = docs.select(
         "doc_id",
         n_words.cast("long").alias("n_words"),

@@ -1,0 +1,106 @@
+"""Degenerate-document kernels: NULL text, empty text, <n-word docs.
+
+Found by tools/degenerate_sweep.py (r9): Spark's sequence(a, b) counts
+DOWN when b < a, so shingle/chunk generators built on
+sequence(1, size-k) crashed (out-of-bounds element_at) or emitted
+phantom negative ids on docs shorter than the window; ANSI mode turns
+/0 into a stage-killing ArithmeticException on empty docs; NULL
+payloads crashed the multimodal UDFs. Each fix is locked here at the
+kernel level — the full Spark≡DuckDB parity on a NULL-bearing corpus
+runs via `python tools/degenerate_sweep.py nulls`.
+"""
+
+from __future__ import annotations
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(
+        rows, "doc_id bigint, text string, lang string, source string, n_chars bigint"
+    )
+
+
+def test_with_shingles_short_and_null_docs(spark):
+    from iotstream.ext.dedup import with_shingles
+
+    docs = _docs(
+        spark,
+        [
+            (1, "a b c d", "en", "s", 7),
+            (2, "a b", "en", "s", 3),       # fewer words than the window
+            (3, "", "en", "s", 0),
+            (4, None, None, "s", None),
+        ],
+    )
+    got = {r.doc_id: r.shingles for r in with_shingles(docs, n=3).collect()}
+    assert got[1] == ["a b c", "b c d"]
+    assert got[2] == [] and got[3] == [] and got[4] == []
+
+
+def test_doc_chunks_empty_and_null(spark):
+    from iotstream.ext.curation import doc_chunks
+
+    docs = _docs(
+        spark,
+        [(1, "x" * 200, "en", "s", 200), (2, "", "en", "s", 0), (3, None, "en", "s", None)],
+    )
+    rows = doc_chunks(docs, chunk_size=120, stride=90).collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    assert [r.chunk_id for r in sorted(by_doc[1], key=lambda r: r.chunk_id)] == [0, 1, 2]
+    # zero-char doc: exactly ONE empty chunk (stays present downstream)
+    assert len(by_doc[2]) == 1 and by_doc[2][0].chunk_id == 0
+    assert by_doc[2][0].chunk_len == 0
+    # NULL-length doc: dropped (nothing to chunk), never chunk_id -1
+    assert 3 not in by_doc
+    assert all(r.chunk_id >= 0 for r in rows)
+
+
+def test_gopher_quality_empty_doc_does_not_crash(spark):
+    from iotstream.ext.text import gopher_quality
+
+    docs = _docs(
+        spark,
+        [(1, "some normal words here", "en", "s", 22), (2, "", "en", "s", 0)],
+    )
+    got = {r.doc_id: r for r in gopher_quality(docs).collect()}
+    # empty doc: symbol ratio undefined (NULL, like SQL x/0), keep false
+    assert got[2].symbol_ratio is None
+    assert got[2].keep is False
+
+
+def test_scrub_repetition_null_passthrough(spark):
+    from iotstream.ext.text import scrub_repetition
+
+    docs = _docs(
+        spark,
+        [(1, "the the cat", "en", "s", 11), (2, None, "en", "s", None), (3, "", "en", "s", 0)],
+    )
+    got = {r.doc_id: r for r in scrub_repetition(docs).collect()}
+    assert got[1].text == "the cat" and got[1].n_removed == 1
+    # a scrubber is a map: NULL in, NULL out — not '' and a fake 0
+    assert got[2].text is None and got[2].n_removed is None
+    assert got[3].text == "" and got[3].n_removed == 0
+
+
+def test_multimodal_null_payload(spark):
+    from iotstream.ext.multimodal import (
+        attach_media,
+        decode_media,
+        extract_features,
+    )
+
+    docs = _docs(
+        spark, [(1, "abcd", "en", "s", 4), (2, None, "en", "s", None), (3, "", "en", "s", 0)]
+    )
+    media = attach_media(docs)
+    dec = {r.doc_id: r for r in decode_media(media, fake=True).collect()}
+    assert dec[1].width == (4 % 640) + 1
+    # failed fetch decodes to NULL metadata, not a crash
+    assert dec[2].width is None and dec[2].n_frames is None
+    # zero-byte payload is measured, not NULL
+    assert dec[3].width == 1
+    feats = {r.doc_id: r.features for r in extract_features(media).collect()}
+    assert feats[2] is None
+    assert feats[3] == [0.0] * 16
+    assert abs(sum(feats[1]) - 1.0) < 1e-6

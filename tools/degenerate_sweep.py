@@ -17,8 +17,20 @@ through FileStreamSource, so an empty dir exercises the
 no-files/no-batches path that a real deployment hits on a quiet
 topic.
 
-Usage: python tools/degenerate_sweep.py [empty|one|both]
-Exit 1 on any raising query.
+A third mode, ``nulls``, builds a NULL-bearing fixture dir (documents
+extended with NULL-text "failed fetch" rows — n_chars NULL too, the
+consistency the multimodal oracles' n_bytes == n_chars contract
+requires — and zero-length rows with n_chars 0) and runs the FULL
+check_oracle gate on it: not just "doesn't crash" but value-level
+Spark≡DuckDB parity on a corpus with NULL and empty documents. This
+is the sweep that found (r9): the descending-sequence shingle crash
+on <n-word docs, the NOT IN vs left_anti NULL divergence in
+decontaminate, gopher_quality's ANSI divide-by-zero on empty docs,
+doc_chunks' phantom negative chunk ids, and the multimodal NULL
+payload crashes.
+
+Usage: python tools/degenerate_sweep.py [empty|one|both|nulls|all]
+Exit 1 on any raising query (empty/one) or any parity failure (nulls).
 """
 
 from __future__ import annotations
@@ -51,8 +63,60 @@ def build(spark, n: int) -> str:
     return out
 
 
+def build_nulls() -> str:
+    """NULL-bearing documents fixture: sf0.001 plus consistent
+    degenerate rows — NULL text ⇒ NULL n_chars (a failed fetch has no
+    known length; the multimodal oracles derive from n_chars under the
+    documented n_bytes == n_chars invariant), empty text ⇒ n_chars 0."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    out = f"{ROOT}/nulls"
+    marker = f"{out}/.complete"
+    if os.path.exists(marker):
+        return out
+    shutil.rmtree(out, ignore_errors=True)
+    os.makedirs(out, exist_ok=True)
+    for f in os.listdir(SRC):
+        if f.endswith(".parquet") and f != "documents.parquet":
+            shutil.copy(os.path.join(SRC, f), os.path.join(out, f))
+    t = pq.read_table(os.path.join(SRC, "documents.parquet"))
+    head = t.slice(0, 6).to_pydict()
+    mx = pa.compute.max(t.column("doc_id")).as_py()
+    rows = {c: list(head[c]) for c in t.column_names}
+    for i in range(6):
+        rows["doc_id"][i] = mx + 1 + i
+        if i % 3 == 0:
+            rows["text"][i] = None
+            rows["n_chars"][i] = None
+        if i % 3 == 1:
+            rows["text"][i] = ""
+            rows["n_chars"][i] = 0
+        if i % 3 == 2:
+            rows["text"][i] = None
+            rows["lang"][i] = None
+            rows["n_chars"][i] = None
+    extra = pa.Table.from_pydict(rows, schema=t.schema)
+    pq.write_table(
+        pa.concat_tables([t, extra]), os.path.join(out, "documents.parquet")
+    )
+    open(marker, "w").close()
+    return out
+
+
 def main() -> int:
     mode = sys.argv[1] if len(sys.argv) > 1 else "both"
+    if mode in ("nulls", "all"):
+        import subprocess
+
+        nulls_dir = build_nulls()
+        here = os.path.dirname(os.path.abspath(__file__))
+        rc = subprocess.call(
+            [sys.executable, os.path.join(here, "check_oracle.py"), nulls_dir]
+        )
+        if mode == "nulls" or rc != 0:
+            return rc
+        mode = "both"
     sizes = {"empty": [0], "one": [1], "both": [0, 1]}[mode]
 
     from pyspark.sql import SparkSession
