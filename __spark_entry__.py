@@ -71,6 +71,14 @@ FORCE_WINDOW: tuple[tuple[str, int], ...] = (
     ("similarity_topk_ivf", 9),
     ("neardup_embedding_lsh", 9),
     ("dedup_report", 9),
+    # r9 NULL-robustness churn under fresh r8 grades (walker-flagged
+    # OUT-of-window): gopher_quality's try_divide, the shingle-window
+    # guard under neardup_minhash/dedup_clusters_lsh — populated
+    # outputs re-verified identical vs DuckDB at sf0.01 this round;
+    # the pins buy the driver-grade refresh
+    ("gopher_quality", 9),
+    ("neardup_minhash", 9),
+    ("dedup_clusters_lsh", 9),
 )
 
 
