@@ -79,6 +79,8 @@ FORCE_WINDOW: tuple[tuple[str, int], ...] = (
     ("gopher_quality", 9),
     ("neardup_minhash", 9),
     ("dedup_clusters_lsh", 9),
+    # NULL-vector exclusion rule (drop_null_vectors) + oracle twin
+    ("embedding_label_stats", 9),
 )
 
 
@@ -770,8 +772,12 @@ def q_embedding_label_stats(spark, sf_dir):
     """Embedding-column profiling: per-label vector counts and norm
     distribution via higher-order functions (no UDF) — the sanity pass
     before any ANN build (degenerate / zero-norm vectors surface
-    here)."""
-    emb = load_table(spark, sf_dir, "embeddings")
+    here). NULL vectors are excluded, same rule as every similarity
+    kernel (drop_null_vectors); a NULL label profiles as its own
+    group, identical to SQL GROUP BY."""
+    from iotstream.ext.similarity import drop_null_vectors
+
+    emb = drop_null_vectors(load_table(spark, sf_dir, "embeddings"))
     dot = F.expr(
         "aggregate(zip_with(embedding, embedding, (x, y) -> CAST(x AS DOUBLE) * y), "
         "CAST(0.0 AS DOUBLE), (s, x) -> s + x)"
@@ -2012,7 +2018,8 @@ _COSINE = (
 )
 
 _TOPK_ORACLE = f"""
-WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+           WHERE embedding IS NOT NULL),
 q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 10),
 s AS (SELECT query_id, vec_id, {_COSINE} AS cosine
       FROM e, q WHERE vec_id <> query_id),
@@ -2024,7 +2031,8 @@ SELECT query_id, vec_id, round(cosine, 6) AS cosine, rank FROM r WHERE rank <= 5
 """
 
 _NEARDUP_EMB_ORACLE = """
-WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+           WHERE embedding IS NOT NULL),
 p AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b,
              list_dot_product(a.v, b.v) /
              (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) AS cosine
@@ -2283,7 +2291,8 @@ def oracle_sql() -> dict[str, str]:
                    (SELECT doc_a AS doc_id FROM jp
                     UNION ALL SELECT doc_b FROM jp)),
             e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
-                  FROM embeddings WHERE vec_id < 2000),
+                  FROM embeddings
+                  WHERE vec_id < 2000 AND embedding IS NOT NULL),
             ep AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b
                    FROM e a JOIN e b ON a.vec_id < b.vec_id
                    WHERE list_dot_product(a.v, b.v) /
@@ -2512,7 +2521,7 @@ def oracle_sql() -> dict[str, str]:
                               sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
                                                     CAST(embedding AS DOUBLE[])))
                                   AS norm
-                       FROM embeddings)
+                       FROM embeddings WHERE embedding IS NOT NULL)
             SELECT label, count(*) AS n_vecs,
                    round(avg(norm), 6) AS avg_norm,
                    round(min(norm), 6) AS min_norm,

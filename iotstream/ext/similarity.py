@@ -37,6 +37,16 @@ def cosine(a: Column | str, b: Column | str) -> Column:
     return dot(a, b) / (norm(a) * norm(b))
 
 
+def drop_null_vectors(emb: DataFrame, col: str = "embedding") -> DataFrame:
+    """Rows with a NULL vector — a failed embedding job, routine at
+    corpus scale — participate in NOTHING: they can match no query and
+    no pair, so every kernel excludes them up front instead of
+    np.stack-crashing (ragged object array) or, worse, silently
+    mis-reshaping the broadcast matrix. The DuckDB oracles filter
+    identically (its list arithmetic REJECTS NULL vectors outright)."""
+    return emb.filter(F.col(col).isNotNull())
+
+
 def similarity_topk(
     emb: DataFrame, n_queries: int = 10, k: int = 5
 ) -> DataFrame:
@@ -52,6 +62,7 @@ def similarity_topk(
     import pandas as pd
 
     spark = emb.sparkSession
+    emb = drop_null_vectors(emb)
     qpdf = (
         emb.filter(F.col("vec_id") < n_queries)
         .select("vec_id", "embedding")
@@ -114,7 +125,9 @@ def similarity_topk_expr(
     """
     # Precompute per-vector norms once — the pairwise loop then does one
     # dot product per pair instead of dot + two fresh norm scans.
-    e = emb.select("vec_id", as_double_vec("embedding", "v")).withColumn(
+    e = drop_null_vectors(emb).select(
+        "vec_id", as_double_vec("embedding", "v")
+    ).withColumn(
         "nrm", norm("v")
     )
     q = e.filter(F.col("vec_id") < n_queries).select(
@@ -168,6 +181,7 @@ def neardup_embedding(
     import pandas as pd
 
     spark = emb.sparkSession
+    emb = drop_null_vectors(emb)
     pdf = emb.select("vec_id", "embedding").limit(max_broadcast_rows + 1).toPandas()
     if len(pdf) > max_broadcast_rows:
         raise ValueError(
@@ -491,6 +505,7 @@ def neardup_embedding_lsh(
     import pyarrow as pa_mod
 
     spark = emb.sparkSession
+    emb = drop_null_vectors(emb)
     n_vecs = None
     sizing: dict = {}
     if nbits is None or tables is None:
@@ -825,7 +840,7 @@ def lsh_buckets(emb: DataFrame, nbits: int = 8) -> DataFrame:
     deterministically from xxhash64(b, j) — reproducible across runs
     with no RNG state to ship. Cosine-similar vectors collide with prob
     (1 − θ/π)^nbits; probe only matching buckets at query time."""
-    e = emb.select("vec_id", as_double_vec("embedding", "v"))
+    e = drop_null_vectors(emb).select("vec_id", as_double_vec("embedding", "v"))
     proj = F.expr(
         f"transform(sequence(0, {nbits - 1}), b -> "
         "aggregate(zip_with(v, sequence(0, size(v) - 1), (x, j) -> "
@@ -874,6 +889,7 @@ def similarity_topk_lsh(
     import pandas as pd
 
     spark = emb.sparkSession
+    emb = drop_null_vectors(emb)
     out_schema = "query_id bigint, vec_id bigint, cosine double"
     head = emb.select("embedding").head()
     if head is None:
@@ -977,7 +993,7 @@ def _ivf_codebook(
     numpy for probe selection — no collect round-trip)."""
     import numpy as np
 
-    e = emb.select("vec_id", as_double_vec("embedding", "v"))
+    e = drop_null_vectors(emb).select("vec_id", as_double_vec("embedding", "v"))
     sample = e.orderBy(F.xxhash64("vec_id"), "vec_id").limit(train_cap).toPandas()
     if sample.empty:
         return None, None
@@ -1002,7 +1018,7 @@ def _ivf_assign(emb: DataFrame, present, cmat) -> DataFrame:
     tie-break)."""
     import numpy as np
 
-    e = emb.select("vec_id", as_double_vec("embedding", "v"))
+    e = drop_null_vectors(emb).select("vec_id", as_double_vec("embedding", "v"))
 
     def assign(batches):
         for pdf in batches:
@@ -1096,6 +1112,7 @@ def similarity_topk_ivf(
     import pandas as pd
 
     spark = emb.sparkSession
+    emb = drop_null_vectors(emb)
     out_schema = "query_id bigint, vec_id bigint, cosine double"
     if nlist is None:
         nlist = max(8, math.ceil(math.sqrt(emb.count())))

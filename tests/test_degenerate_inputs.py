@@ -104,3 +104,33 @@ def test_multimodal_null_payload(spark):
     assert feats[2] is None
     assert feats[3] == [0.0] * 16
     assert abs(sum(feats[1]) - 1.0) < 1e-6
+
+
+def test_null_vectors_excluded_everywhere(spark):
+    """A NULL embedding (failed embedding job) participates in NOTHING:
+    no pair, no top-k, no profile row — and never np.stack-crashes or
+    silently mis-reshapes the LSH broadcast matrix (which flattens the
+    corpus and reshapes by count × dim)."""
+    from iotstream.ext.similarity import (
+        neardup_embedding,
+        neardup_embedding_lsh,
+        similarity_topk,
+        similarity_topk_ivf,
+    )
+
+    rows = [(i, [float(i % 7), 1.0, float(i % 3), 0.5], 1) for i in range(30)]
+    rows += [(100, None, 1), (101, None, None)]
+    emb = spark.createDataFrame(
+        rows, "vec_id bigint, embedding array<double>, label int"
+    )
+    clean = emb.filter("embedding IS NOT NULL")
+    for fn in (
+        lambda e: similarity_topk(e, n_queries=5, k=3),
+        lambda e: neardup_embedding(e, threshold=0.9),
+        lambda e: neardup_embedding_lsh(e, threshold=0.9, nbits=4, tables=8),
+        lambda e: similarity_topk_ivf(e, n_queries=5, k=3, nlist=4, nprobe="all"),
+    ):
+        with_nulls = sorted(tuple(r) for r in fn(emb).collect())
+        without = sorted(tuple(r) for r in fn(clean).collect())
+        assert with_nulls == without
+        assert not any(100 in t or 101 in t for t in with_nulls)

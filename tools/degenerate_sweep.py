@@ -64,10 +64,14 @@ def build(spark, n: int) -> str:
 
 
 def build_nulls() -> str:
-    """NULL-bearing documents fixture: sf0.001 plus consistent
-    degenerate rows — NULL text ⇒ NULL n_chars (a failed fetch has no
-    known length; the multimodal oracles derive from n_chars under the
-    documented n_bytes == n_chars invariant), empty text ⇒ n_chars 0."""
+    """NULL-bearing fixture: sf0.001 plus consistent degenerate rows.
+    documents — NULL text ⇒ NULL n_chars (a failed fetch has no known
+    length; the multimodal oracles derive from n_chars under the
+    documented n_bytes == n_chars invariant), empty text ⇒ n_chars 0.
+    embeddings — NULL vectors (a failed embedding job) and one NULL
+    label: content-less vectors must be EXCLUDED from every pair/top-k
+    output (DuckDB's NULL list arithmetic drops them naturally; the
+    engine must match), never reshape-corrupted or np.stack-crashed."""
     import pyarrow as pa
     import pyarrow.parquet as pq
 
@@ -77,9 +81,11 @@ def build_nulls() -> str:
         return out
     shutil.rmtree(out, ignore_errors=True)
     os.makedirs(out, exist_ok=True)
+    special = {"documents.parquet", "embeddings.parquet"}
     for f in os.listdir(SRC):
-        if f.endswith(".parquet") and f != "documents.parquet":
+        if f.endswith(".parquet") and f not in special:
             shutil.copy(os.path.join(SRC, f), os.path.join(out, f))
+
     t = pq.read_table(os.path.join(SRC, "documents.parquet"))
     head = t.slice(0, 6).to_pydict()
     mx = pa.compute.max(t.column("doc_id")).as_py()
@@ -99,6 +105,22 @@ def build_nulls() -> str:
     extra = pa.Table.from_pydict(rows, schema=t.schema)
     pq.write_table(
         pa.concat_tables([t, extra]), os.path.join(out, "documents.parquet")
+    )
+
+    e = pq.read_table(os.path.join(SRC, "embeddings.parquet"))
+    ehead = e.slice(0, 3).to_pydict()
+    emx = pa.compute.max(e.column("vec_id")).as_py()
+    erows = {c: list(ehead[c]) for c in e.column_names}
+    for i in range(3):
+        erows["vec_id"][i] = emx + 1 + i
+        if i < 2:
+            erows["embedding"][i] = None  # failed embedding job
+    # a REAL vector with a NULL label: exercises the NULL GROUP BY path
+    # in label profiling without being excluded by drop_null_vectors
+    erows["label"][2] = None
+    eextra = pa.Table.from_pydict(erows, schema=e.schema)
+    pq.write_table(
+        pa.concat_tables([e, eextra]), os.path.join(out, "embeddings.parquet")
     )
     open(marker, "w").close()
     return out
