@@ -84,6 +84,12 @@ FORCE_WINDOW: tuple[tuple[str, int], ...] = (
 )
 
 
+#: Per-process memo for _grade_ages — the rotation is computed once and
+#: reused so a grading pass and a bench pass in the same process can
+#: never see different windows (ADVICE r9).
+_GRADE_AGES_CACHE: dict[str, int] | None = None
+
+
 def _grade_ages() -> dict[str, int]:
     """name -> latest round whose committed driver grade is green.
 
@@ -91,19 +97,44 @@ def _grade_ages() -> dict[str, int]:
     that deliberately omit an oracle — ``rows_match`` (the driver's
     weaker rows-only check; without this an oracle-less entry could
     never leave the window and would burn a grading slot forever).
-    Reads only the CORRECTNESS_r*.json artifacts committed next to
-    this file, so the rotation is deterministic given the repo state
-    the driver checked out.
+    Reads only GIT-TRACKED CORRECTNESS_r*.json artifacts (ADVICE r9:
+    a glob also saw the artifact the driver had just written untracked
+    into the working tree, so a grading pass and a later bench pass in
+    the same round could rotate differently; `git ls-files` pins the
+    rotation to the commit the driver checked out). Falls back to the
+    plain glob only when git itself is unavailable, and memoizes per
+    process either way.
     """
+    global _GRADE_AGES_CACHE
+    if _GRADE_AGES_CACHE is not None:
+        return _GRADE_AGES_CACHE
     import glob as _glob
     import json as _json
     import os as _os
     import re as _re
+    import subprocess as _sp
 
     here = _os.path.dirname(_os.path.abspath(__file__))
+    paths: list[str]
+    try:
+        out = _sp.run(
+            ["git", "-C", here, "ls-files", "--", "CORRECTNESS_r*.json"],
+            capture_output=True,
+            text=True,
+            timeout=10,
+        )
+        if out.returncode != 0:
+            raise OSError(out.stderr.strip()[:200])
+        paths = [
+            _os.path.join(here, line)
+            for line in out.stdout.splitlines()
+            if line.strip()
+        ]
+    except (OSError, _sp.SubprocessError):
+        paths = _glob.glob(_os.path.join(here, "CORRECTNESS_r*.json"))
     with_oracle = set(oracle_sql())
     ages: dict[str, int] = {}
-    for path in _glob.glob(_os.path.join(here, "CORRECTNESS_r*.json")):
+    for path in paths:
         m = _re.search(r"_r(\d+)\.json$", _os.path.basename(path))
         if not m:
             continue
@@ -123,6 +154,7 @@ def _grade_ages() -> dict[str, int]:
             )
             if green and rnd > ages.get(name, -1):
                 ages[name] = rnd
+    _GRADE_AGES_CACHE = ages
     return ages
 
 
@@ -146,10 +178,24 @@ def _rotate_window(
         n for n, pinned_round in forced
         if n in pos and ages.get(n, -1) < pinned_round
     ]
-    selectable = [n for n in names if n not in set(forced_in)]
+    if len(forced_in) > DRIVER_WINDOW:
+        # Pins past slot DRIVER_WINDOW are never graded and take=0 kills
+        # all age-based rotation — loud, not silent (ADVICE r9).
+        import warnings
+
+        warnings.warn(
+            f"{len(forced_in)} active FORCE_WINDOW pins exceed "
+            f"DRIVER_WINDOW={DRIVER_WINDOW}; pins past the window are "
+            "not graded and age-based rotation is fully displaced — "
+            "trim the pin list",
+            RuntimeWarning,
+            stacklevel=2,
+        )
+    forced_set = set(forced_in)
+    selectable = [n for n in names if n not in forced_set]
     selectable.sort(key=lambda n: (ages.get(n, -1), pos[n]))
     take = max(0, DRIVER_WINDOW - len(forced_in))
-    window = set(forced_in) | set(selectable[:take])
+    window = forced_set | set(selectable[:take])
     ordered = [n for n in names if n in window]
     ordered += [n for n in names if n not in window]
     return {n: declared[n] for n in ordered}

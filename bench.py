@@ -47,6 +47,33 @@ import sys
 import time
 
 
+def _tick_hz() -> float:
+    """Kernel jiffy rate for /proc/stat deltas. Hardcoding 100 breaks
+    the steal ratio (and the contamination verdict) on any kernel built
+    with a non-default USER_HZ (ADVICE r9)."""
+    try:
+        hz = os.sysconf("SC_CLK_TCK")
+        return float(hz) if hz > 0 else 100.0
+    except (ValueError, OSError, AttributeError):  # pragma: no cover
+        return 100.0
+
+
+def _proc_cpus() -> int:
+    """CPUs actually accumulating jiffies, counted from the per-cpu
+    lines of /proc/stat — os.cpu_count() over-divides the steal ratio
+    when CPUs are offline/hotplugged (ADVICE r9)."""
+    try:
+        with open("/proc/stat") as f:
+            n = sum(
+                1
+                for line in f
+                if line.startswith("cpu") and line[3:4].isdigit()
+            )
+        return n or (os.cpu_count() or 1)
+    except OSError:  # pragma: no cover — non-Linux
+        return os.cpu_count() or 1
+
+
 def _load_sample() -> dict:
     """One (timestamp, loadavg, cumulative-steal) sample. Wall-clock is
     ISO-UTC so a reader can line the bench up against external machine
@@ -123,7 +150,7 @@ def one_query(name: str) -> int:
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
     import __spark_entry__ as entrymod
 
-    qs = entrymod.queries()
+    qs = getattr(entrymod, "_declared_queries", entrymod.queries)()
     if name not in qs:
         print(json.dumps({"query": name, "error": "unknown"}))
         return 2
@@ -195,6 +222,14 @@ def main() -> int:
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
     import __spark_entry__ as entrymod
 
+    # The bench times DECLARED order, not the rotated grading order
+    # (ADVICE r9): declaration order encodes the cost layout (cheap
+    # batch queries lead so slot 0 pays JVM warmup; streaming/stateful
+    # fixed costs sit last), and rotation would scramble per-query
+    # timings across rounds as the window moves. Rotation exists only
+    # for the driver's grading gate.
+    bench_queries = getattr(entrymod, "_declared_queries", entrymod.queries)()
+
     spark.range(1_000_000).selectExpr("sum(id)").collect()  # JVM warmup
     # One throwaway REAL-query warm-up before the loop: the synthetic
     # warmup above doesn't touch parquet scans, Arrow, or the Python
@@ -203,7 +238,7 @@ def main() -> int:
     # 2.4 s isolated). A cheap declared query soaks that up untimed,
     # making per-query numbers position-independent.
     try:
-        next(iter(entrymod.queries().values()))(spark, sf_dir).write.format(
+        next(iter(bench_queries.values()))(spark, sf_dir).write.format(
             "noop"
         ).mode("overwrite").save()
     except Exception:  # noqa: BLE001 — warm-up is best-effort
@@ -227,7 +262,7 @@ def main() -> int:
     # it). The reported number is the query's own steady-state cost.
     timings: dict[str, float] = {}
     errors: dict[str, str] = {}
-    for name, fn in entrymod.queries().items():
+    for name, fn in bench_queries.items():
         try:
             timings[name] = round(_time_one(spark, fn, sf_dir), 3)
         except Exception as e:  # noqa: BLE001
@@ -333,12 +368,41 @@ def main() -> int:
     # of the 2× spread on sustained all-core runs (SCALE_PROBE_r9.json
     # records 53-123 s for the same x256 kernel across sessions) — so
     # the contamination verdict must look at both signals.
-    ncpu = os.cpu_count() or 1
+    ncpu = _proc_cpus()
     steal_ratio = (
-        round(steal_delta / (wall_sec * 100.0 * ncpu), 4)
+        round(steal_delta / (wall_sec * _tick_hz() * ncpu), 4)
         if steal_delta >= 0 and wall_sec > 0
         else -1.0
     )
+    # Cause-coded contamination verdict (VERDICT r9 item 3): the r9
+    # capture — the fastest of the project — self-flagged because start
+    # loadavg 2.07 tripped a bare >2.0 test, and a reader couldn't tell
+    # "not provably idle" from "numbers invalid". Each cause now names
+    # itself and its threshold travels in the artifact:
+    #   load_at_start  — pre-session 1-min loadavg above 25% of the
+    #                    machine (floor 2.0): someone ELSE was running
+    #                    before the bench added its own threads. On a
+    #                    32-CPU box load 2 is ~6% busy, which is noise,
+    #                    so the threshold scales with the machine.
+    #   steal          — >5% of machine cycles stolen by the hypervisor
+    #                    during the run; loadavg is blind to this, and
+    #                    it is the measured cause of the 2× spread.
+    #   load_during_sweep — per-query 1-min loadavg peaking above
+    #                    1.5× CPU count: the bench's own 32 threads
+    #                    can't get there alone, so a co-tenant arrived
+    #                    mid-run.
+    thresholds = {
+        "load_at_start": max(2.0, round(0.25 * ncpu, 1)),
+        "steal_ratio": 0.05,
+        "load_during_sweep": round(1.5 * ncpu, 1),
+    }
+    causes = []
+    if load_start["loadavg"][0] > thresholds["load_at_start"]:
+        causes.append("load_at_start")
+    if steal_ratio >= 0 and steal_ratio > thresholds["steal_ratio"]:
+        causes.append("steal")
+    if loads and max(loads) > thresholds["load_during_sweep"]:
+        causes.append("load_during_sweep")
     load_summary = {
         "start": load_start["loadavg"][0],
         "end": load_end["loadavg"][0],
@@ -357,16 +421,13 @@ def main() -> int:
             else -1
         ),
         "steal_ratio": steal_ratio,
-        # Pre-session 1-min loadavg above ~2 on this box means the
-        # machine was already busy before the bench added its own 32
-        # threads — treat the session totals as contaminated and judge
-        # on the isolated series.
-        "contaminated_start": load_start["loadavg"][0] > 2.0,
-        # The headline verdict: busy at start OR >5% of machine cycles
-        # stolen by the hypervisor during the run — either one makes
-        # the session totals untrustworthy.
-        "contaminated": load_start["loadavg"][0] > 2.0
-        or (steal_ratio >= 0 and steal_ratio > 0.05),
+        # Headline verdict + WHY it tripped + the thresholds used, so a
+        # clean capture reads false and a dirty one names its cause.
+        "contaminated": bool(causes),
+        "contamination_causes": causes,
+        "contamination_thresholds": thresholds,
+        "ncpu": ncpu,
+        "tick_hz": _tick_hz(),
     }
     out["load"] = {
         "start": load_start,

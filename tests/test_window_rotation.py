@@ -16,6 +16,8 @@ from __future__ import annotations
 import sys
 import warnings
 
+import pytest
+
 sys.path.insert(0, ".")
 
 import __spark_entry__ as entrymod  # noqa: E402
@@ -82,6 +84,22 @@ class TestRotateWindowUnit:
         order = self.rotate({}, forced=(("nope", 9),))
         assert set(order) == set(self.NAMES)
 
+    def test_pin_overflow_warns(self):
+        # More active pins than window slots silently displaces all
+        # age-based rotation and leaves some pins ungraded — must warn
+        # (ADVICE r9).
+        forced = tuple((n, 99) for n in self.NAMES[:6])
+        with warnings.catch_warnings(record=True) as caught:
+            warnings.simplefilter("always")
+            self.rotate({}, forced=forced, window=4)
+        assert any("FORCE_WINDOW pins exceed" in str(w.message) for w in caught)
+
+    def test_no_warning_when_pins_fit(self):
+        with warnings.catch_warnings(record=True) as caught:
+            warnings.simplefilter("always")
+            self.rotate({}, forced=(("q00", 99),), window=4)
+        assert not [w for w in caught if "FORCE_WINDOW" in str(w.message)]
+
     def test_mapping_preserved(self):
         declared = _fake_declared(self.NAMES)
         out = entrymod._rotate_window(declared, {"q00": 5}, ())
@@ -141,12 +159,20 @@ class TestLiveWindow:
             assert max(unpinned) <= min(ages.get(n, -1) for n in rest)
 
     def test_grade_ages_reads_committed_artifacts(self):
+        # Environment-dependent by design (ADVICE r9): on a fresh clone
+        # without grade artifacts this is vacuous, not a code bug.
+        if not entrymod._grade_ages():
+            pytest.skip("no committed CORRECTNESS_r*.json artifacts")
         ages = entrymod._grade_ages()
         # every declared query has at least one committed green grade
-        # (128/128 cumulative since r8) EXCEPT the protobuf-gated
-        # streaming entry, which is declared only where the optional
-        # dep exists and has never been driver-gradable in this
-        # sandbox; a larger gap means the artifact parsing broke
+        # (128/128 cumulative since r8) EXCEPT capability-gated entries
+        # that were declared only where their optional dep exists and so
+        # were never driver-gradable here. The exception is DERIVED from
+        # the same capability flag the declaration uses, not hard-pinned
+        # to this sandbox's dep set; a larger gap means parsing broke.
+        gated = (
+            {"streaming_status_change"} if entrymod._HAS_PROTOBUF else set()
+        )
         missing = set(entrymod._declared_queries()) - set(ages)
-        assert missing <= {"streaming_status_change"}
+        assert missing <= gated
         assert all(r >= 1 for r in ages.values())
