@@ -63,24 +63,42 @@ DRIVER_WINDOW = 50
 #: similarity.py-composed entries this round's recall-honesty/ADVICE
 #: fixes touch — all expire when their r9 grades land.
 FORCE_WINDOW: tuple[tuple[str, int], ...] = (
-    ("dedup_exact", 9),
-    ("neardup_editdist", 9),
-    ("similarity_topk", 9),
-    ("neardup_embedding", 9),
-    ("similarity_topk_lsh", 9),
-    ("similarity_topk_ivf", 9),
-    ("neardup_embedding_lsh", 9),
-    ("dedup_report", 9),
-    # r9 NULL-robustness churn under fresh r8 grades (walker-flagged
-    # OUT-of-window): gopher_quality's try_divide, the shingle-window
-    # guard under neardup_minhash/dedup_clusters_lsh — populated
-    # outputs re-verified identical vs DuckDB at sf0.01 this round;
-    # the pins buy the driver-grade refresh
-    ("gopher_quality", 9),
-    ("neardup_minhash", 9),
-    ("dedup_clusters_lsh", 9),
-    # NULL-vector exclusion rule (drop_null_vectors) + oracle twin
-    ("embedding_label_stats", 9),
+    # r11 NULL-parity sweep churn (r10 verdict item 1): the extended
+    # degenerate gate (nulls mode now covers EVERY fixture table) found
+    # 24 Spark/oracle divergences on NULL event times, NULL group/join
+    # keys, and malformed JSON. Fixes: the event_time_only contract
+    # (engine + `ts IS NOT NULL` oracle clauses), json_valid lenient-
+    # parse guards, null-stripped JSON serialization oracle, NULL-safe
+    # skeleton joins, pandas dropna=False in the EWMA kernel. All are
+    # no-ops on the NULL-free driver fixtures (verified: full
+    # check_oracle green at sf0.001 + sf0.01), but every query below
+    # had engine and/or oracle text changed, so its existing grade no
+    # longer grades the shipped code — pin for an r11 re-grade. The r9
+    # pins all expired (each pinned query has a >= r9 green grade).
+    ("flagship", 11),
+    ("window_max", 11),
+    ("window_min", 11),
+    ("window_avg", 11),
+    ("hopping_window_max", 11),
+    ("ksql_max_table", 11),
+    ("streaming_window_agg", 11),
+    ("rolling_avg", 11),
+    ("json_parse", 11),
+    ("clean_stream_json", 11),
+    ("props_extract", 11),
+    ("props_variant", 11),
+    ("sessionize", 11),
+    ("streaming_sessionize", 11),
+    ("scd2_history", 11),
+    ("continuous_rollup", 11),
+    ("trending_event_types", 11),
+    ("quantile_sketch", 11),
+    ("candlestick", 11),
+    ("temp_delta", 11),
+    ("status_change", 11),
+    ("ewma_smooth", 11),
+    ("gapfill_locf", 11),
+    ("interpolate_linear", 11),
 )
 
 
@@ -238,7 +256,7 @@ SELECT time_bucket(INTERVAL '1 minute', ts) AS window_start,
        id,
        {aggs}
 FROM sensor
-WHERE {valid}
+WHERE {valid} AND ts IS NOT NULL
 GROUP BY 1, 2, 3
 """
 
@@ -300,7 +318,9 @@ def q_rolling_avg(spark, sf_dir):
     pass of a telemetry pipeline; one shuffle on the partition key."""
     from pyspark.sql import Window
 
-    sensor = _valid(spark, sf_dir)
+    from iotstream.schemas import event_time_only
+
+    sensor = event_time_only(_valid(spark, sf_dir))
     w = (
         Window.partitionBy("id")
         .orderBy("ts", "messageId")
@@ -1170,10 +1190,12 @@ def q_candlestick(spark, sf_dir):
     KSQL downsampling idiom). min_by/max_by over the (ts, messageId)
     struct keeps it one partial-aggregating shuffle — no per-window
     sort, no row_number pass."""
+    from iotstream.schemas import event_time_only
+
     t = F.col("metrics.temperature")
     order = F.struct("ts", "messageId")
     return (
-        _valid(spark, sf_dir)
+        event_time_only(_valid(spark, sf_dir))
         .groupBy(F.window("ts", "1 day").alias("w"), F.col("id"))
         .agg(
             F.min_by(t, order).alias("open_temperature"),
@@ -1199,9 +1221,11 @@ def q_temp_delta(spark, sf_dir):
     window scan; first reading per sensor keeps NULL."""
     from pyspark.sql import Window
 
+    from iotstream.schemas import event_time_only
+
     t = F.col("metrics.temperature")
     w = Window.partitionBy("id").orderBy("ts", "messageId")
-    return _valid(spark, sf_dir).select(
+    return event_time_only(_valid(spark, sf_dir)).select(
         "id",
         "messageId",
         t.alias("temperature"),
@@ -1523,7 +1547,9 @@ def q_trending_event_types(spark, sf_dir):
     from pyspark.sql.window import Window
 
     use_utc(spark)
-    ev = load_table(spark, sf_dir, "events")
+    from iotstream.schemas import event_time_only
+
+    ev = event_time_only(load_table(spark, sf_dir, "events"))
     daily = (
         ev.groupBy(
             F.date_trunc("day", "ts").alias("day"), "event_type"
@@ -1677,7 +1703,9 @@ def q_status_change(spark, sf_dir):
     the sensor id."""
     from pyspark.sql.window import Window
 
-    flat = _sensor(spark, sf_dir).select(
+    from iotstream.schemas import event_time_only
+
+    flat = event_time_only(_sensor(spark, sf_dir)).select(
         "id",
         "ts",
         "messageId",
@@ -2114,7 +2142,7 @@ def oracle_sql() -> dict[str, str]:
                          time_bucket(INTERVAL '1 minute', ts)
                              - k * INTERVAL '1 minute' AS window_start
                   FROM sensor, unnest([0, 1]) AS u(k)
-                  WHERE {VALID_SQL})
+                  WHERE {VALID_SQL} AND ts IS NOT NULL)
             SELECT window_start,
                    window_start + INTERVAL '2 minutes' AS window_end,
                    id, max(temperature) AS max_temperature
@@ -2126,20 +2154,22 @@ def oracle_sql() -> dict[str, str]:
                        PARTITION BY id ORDER BY ts, "messageId"
                        ROWS BETWEEN 3 PRECEDING AND CURRENT ROW), 6)
                        AS rolling_avg_temperature
-            FROM sensor WHERE {VALID_SQL}""",
+            FROM sensor WHERE {VALID_SQL} AND ts IS NOT NULL""",
         "json_parse": (
-            "SELECT event_id, CAST(json_extract(props, '$.k') AS BIGINT) AS k "
+            "SELECT event_id, CASE WHEN json_valid(props) THEN "
+            "CAST(json_extract(props, '$.k') AS BIGINT) END AS k "
             "FROM events"
         ),
         "json_roundtrip": f"WITH sensor AS ({cte}) {_SENSOR_FLAT}",
         "clean_stream_json": f"""
             WITH sensor AS ({cte})
-            SELECT to_json(struct_pack(
+            SELECT CAST(json_merge_patch('{{}}', to_json(struct_pack(
                 id := id,
                 "messageId" := "messageId",
                 "timestamp" := "timestamp",
                 metrics := struct_pack(temperature := temperature,
-                                       humidity := humidity))) AS value
+                                       humidity := humidity)))) AS VARCHAR)
+                AS value
             FROM sensor WHERE {VALID_SQL}""",
         "raw_archive_projection": f"""
             WITH sensor AS ({cte})
@@ -2179,7 +2209,7 @@ def oracle_sql() -> dict[str, str]:
             WITH base AS (
               SELECT user_id, event_id, ts,
                      CAST(floor(epoch(ts)) AS BIGINT) AS ep
-              FROM events),
+              FROM events WHERE ts IS NOT NULL),
             lagged AS (
               SELECT user_id, event_id, ts,
                      CASE WHEN lag(ep) OVER w IS NULL
@@ -2205,7 +2235,7 @@ def oracle_sql() -> dict[str, str]:
             -- pinned by test_session_window_microsecond_boundary.
             WITH base AS (
               SELECT user_id, event_id, ts, epoch_us(ts) AS ep
-              FROM events),
+              FROM events WHERE ts IS NOT NULL),
             lagged AS (
               SELECT user_id, event_id, ts,
                      CASE WHEN lag(ep) OVER w IS NULL
@@ -2620,6 +2650,7 @@ def oracle_sql() -> dict[str, str]:
                    true AS rank_ok
             FROM events e
             CROSS JOIN (SELECT unnest([0.5, 0.9, 0.99]::DOUBLE[]) AS q) q
+            WHERE e.value IS NOT NULL
             GROUP BY e.event_type, q.q""",
         "pivot_event_types": """
             SELECT user_id,
@@ -2655,7 +2686,7 @@ def oracle_sql() -> dict[str, str]:
             obs AS (
               SELECT id, time_bucket(INTERVAL '60 minutes', ts) AS bucket,
                      round(avg(temperature), 6) AS obs_v
-              FROM sensor WHERE {VALID_SQL} GROUP BY 1, 2),
+              FROM sensor WHERE {VALID_SQL} AND ts IS NOT NULL GROUP BY 1, 2),
             spans AS (SELECT id, min(bucket) AS lo, max(bucket) AS hi
                       FROM obs GROUP BY 1),
             skel AS (SELECT id,
@@ -2669,7 +2700,7 @@ def oracle_sql() -> dict[str, str]:
                        AS temperature,
                    o.obs_v IS NULL AS filled
             FROM skel s LEFT JOIN obs o
-              ON s.id = o.id AND s.bucket = o.bucket""",
+              ON s.id IS NOT DISTINCT FROM o.id AND s.bucket = o.bucket""",
         "latest_reading": f"""
             WITH sensor AS ({cte}),
             r AS (SELECT id, temperature, humidity, ts,
@@ -2692,7 +2723,7 @@ def oracle_sql() -> dict[str, str]:
                    min(temperature) AS low_temperature,
                    last(temperature ORDER BY ts, "messageId")
                        AS close_temperature
-            FROM sensor WHERE {VALID_SQL}
+            FROM sensor WHERE {VALID_SQL} AND ts IS NOT NULL
             GROUP BY 1, 2, 3""",
         "temp_delta": f"""
             WITH sensor AS ({cte})
@@ -2700,7 +2731,7 @@ def oracle_sql() -> dict[str, str]:
                    temperature - lag(temperature) OVER (
                        PARTITION BY id ORDER BY ts, "messageId")
                        AS delta_temperature
-            FROM sensor WHERE {VALID_SQL}""",
+            FROM sensor WHERE {VALID_SQL} AND ts IS NOT NULL""",
         "zscore_anomaly": f"""
             WITH sensor AS ({cte}),
             z AS (
@@ -2878,7 +2909,8 @@ def oracle_sql() -> dict[str, str]:
                    min(temperature) AS min_temp,
                    round(CAST(sum(temperature) AS DOUBLE) / count(*), 6) AS avg_temp,
                    count(*) AS n_readings
-            FROM sensor GROUP BY id, date_trunc('hour', ts)""",
+            FROM sensor WHERE ts IS NOT NULL
+            GROUP BY id, date_trunc('hour', ts)""",
         "rolling_5min_count": """
             SELECT event_id, user_id, ts,
                    count(*) OVER (PARTITION BY user_id ORDER BY ts
@@ -2905,8 +2937,8 @@ def oracle_sql() -> dict[str, str]:
             FROM totals""",
         "props_extract": """
             SELECT event_type, count(*) AS n_events,
-                   CAST(SUM(CAST(props->>'$.k' AS BIGINT)) AS BIGINT) AS sum_k,
-                   MAX(CAST(props->>'$.k' AS BIGINT)) AS max_k
+                   CAST(SUM(CASE WHEN json_valid(props) THEN CAST(props->>'$.k' AS BIGINT) END) AS BIGINT) AS sum_k,
+                   MAX(CASE WHEN json_valid(props) THEN CAST(props->>'$.k' AS BIGINT) END) AS max_k
             FROM events GROUP BY event_type""",
         "mad_outliers": f"""
             WITH sensor AS ({cte}),
@@ -2921,8 +2953,8 @@ def oracle_sql() -> dict[str, str]:
             WHERE d.absdev > 3.0 * ma.mad_t""",
         "props_variant": """
             SELECT event_type,
-                   count(DISTINCT CAST(props->>'$.k' AS BIGINT)) AS n_distinct_k,
-                   MIN(CAST(props->>'$.k' AS BIGINT)) AS min_k
+                   count(DISTINCT CASE WHEN json_valid(props) THEN CAST(props->>'$.k' AS BIGINT) END) AS n_distinct_k,
+                   MIN(CASE WHEN json_valid(props) THEN CAST(props->>'$.k' AS BIGINT) END) AS min_k
             FROM events GROUP BY event_type""",
         "neardup_editdist": """
             WITH pick AS (SELECT doc_id, source, n_chars,
@@ -2946,7 +2978,7 @@ def oracle_sql() -> dict[str, str]:
             o AS (SELECT id, "messageId", ts, temperature,
                          row_number() OVER (PARTITION BY id
                                             ORDER BY ts, "messageId") AS rn
-                  FROM sensor),
+                  FROM sensor WHERE ts IS NOT NULL),
             r(id, "messageId", ts, temperature, rn, s) AS (
               SELECT id, "messageId", ts, temperature, rn,
                      CAST(temperature AS DOUBLE)
@@ -2964,7 +2996,7 @@ def oracle_sql() -> dict[str, str]:
                          CASE WHEN (temperature = 0 AND humidity = 0)
                                 OR (temperature >= 50 AND humidity >= 100)
                               THEN 'invalid' ELSE 'valid' END AS status
-                  FROM sensor),
+                  FROM sensor WHERE ts IS NOT NULL),
             l AS (SELECT id, ts, "messageId", status,
                          lag(status) OVER (PARTITION BY id
                                            ORDER BY ts, "messageId")
@@ -2978,7 +3010,7 @@ def oracle_sql() -> dict[str, str]:
                          CASE WHEN (temperature = 0 AND humidity = 0)
                                 OR (temperature >= 50 AND humidity >= 100)
                               THEN 'invalid' ELSE 'valid' END AS status
-                  FROM sensor),
+                  FROM sensor WHERE ts IS NOT NULL),
             l AS (SELECT id, ts, "messageId", status,
                          lag(status) OVER (PARTITION BY id
                                            ORDER BY ts, "messageId")
@@ -3066,7 +3098,7 @@ def oracle_sql() -> dict[str, str]:
         "trending_event_types": """
             WITH daily AS (SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
                                   event_type, count(*) AS n_events
-                           FROM events GROUP BY 1, 2)
+                           FROM events WHERE ts IS NOT NULL GROUP BY 1, 2)
             SELECT day, event_type, n_events, rank FROM (
               SELECT day, event_type, n_events,
                      row_number() OVER (PARTITION BY day
@@ -3320,7 +3352,7 @@ def oracle_sql() -> dict[str, str]:
             obs AS (
               SELECT id, time_bucket(INTERVAL '60 minutes', ts) AS bucket,
                      round(avg(temperature), 6) AS obs_v
-              FROM sensor WHERE {VALID_SQL} GROUP BY 1, 2),
+              FROM sensor WHERE {VALID_SQL} AND ts IS NOT NULL GROUP BY 1, 2),
             spans AS (SELECT id, min(bucket) AS lo, max(bucket) AS hi
                       FROM obs GROUP BY 1),
             skel AS (SELECT id,
@@ -3330,7 +3362,8 @@ def oracle_sql() -> dict[str, str]:
             dense AS (SELECT s.id, s.bucket, o.obs_v,
                              CAST(floor(epoch(s.bucket)) AS BIGINT) AS x
                       FROM skel s LEFT JOIN obs o
-                        ON s.id = o.id AND s.bucket = o.bucket),
+                        ON s.id IS NOT DISTINCT FROM o.id
+                       AND s.bucket = o.bucket),
             fb AS (SELECT *,
                 last_value(obs_v IGNORE NULLS) OVER (
                     PARTITION BY id ORDER BY bucket
@@ -3381,7 +3414,7 @@ def oracle_sql() -> dict[str, str]:
                               lag(event_type) OVER (
                                   PARTITION BY user_id
                                   ORDER BY ts, event_id) AS _prev
-                       FROM events),
+                       FROM events WHERE ts IS NOT NULL),
             ch AS (SELECT * FROM c
                    WHERE _prev IS NULL OR _prev <> event_type)
             SELECT user_id, event_type AS status, ts AS valid_from,

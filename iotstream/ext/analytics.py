@@ -127,7 +127,12 @@ def scd2_history(events: DataFrame) -> DataFrame:
     lead) share the user_id partitioning — the timeline never leaves
     its partition between them, and AQE coalesces the two sorts into
     the same exchange. Ties broken by event_id for determinism.
+    Rows with NULL event time are excluded (schemas.event_time_only
+    contract — an interval build needs a timeline position).
     """
+    from iotstream.schemas import event_time_only
+
+    events = event_time_only(events)
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     cur = events.select("user_id", "ts", "event_id", "event_type")
     changes = cur.withColumn(

@@ -20,7 +20,13 @@ GAP_SECONDS = 1800  # 30 minutes
 def sessionize_batch(events: DataFrame, gap_seconds: int = GAP_SECONDS) -> DataFrame:
     """Per-user sessions: a new session starts when the gap from the
     previous event exceeds ``gap_seconds``. Integer epoch arithmetic
-    keeps the computation bit-identical to the SQL oracle."""
+    keeps the computation bit-identical to the SQL oracle. Rows with
+    NULL event time are excluded (schemas.event_time_only contract —
+    they cannot be placed on a session timeline, and the engines'
+    null-ordering defaults diverge)."""
+    from iotstream.schemas import event_time_only
+
+    events = event_time_only(events)
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     epoch = F.unix_timestamp("ts")
     new_sess = F.when(
@@ -85,9 +91,12 @@ def session_window_stream(
 ) -> DataFrame:
     """Streaming-native sessions via session_window: state merges
     adjacent windows within the gap; the watermark finalizes sessions
-    once no in-gap event can still arrive."""
+    once no in-gap event can still arrive. NULL event times are dropped
+    by session_window itself; the explicit filter keeps the contract
+    visible and the batch twin byte-identical."""
     return (
-        sensor_stream.withWatermark("ts", watermark)
+        sensor_stream.filter(F.col("ts").isNotNull())
+        .withWatermark("ts", watermark)
         .groupBy(F.session_window("ts", gap).alias("w"), key)
         .agg(F.count(F.lit(1)).alias("n_events"))
         .select(

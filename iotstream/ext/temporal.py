@@ -133,6 +133,10 @@ def gapfill_locf(
     if n_min != 1:
         epoch_min = (F.unix_timestamp(bucket) / 60).cast("long")
         bucket = F.timestamp_seconds((epoch_min - epoch_min % n_min) * 60)
+    # event_time_only contract: a NULL timestamp has no bucket; without
+    # the filter it forms a NULL observed bucket that poisons the lead()
+    # segment chain (and the engines' null-ordering defaults differ).
+    sensor = sensor.filter(F.col("ts").isNotNull())
     obs = sensor.groupBy(F.col("id"), bucket.alias("bucket")).agg(
         F.round(F.avg(value), 6).alias("obs_v")
     )
@@ -226,7 +230,9 @@ def ewma_smooth(sensor: DataFrame, alpha: float = 0.2) -> DataFrame:
     import numpy as np
     import pandas as pd
 
-    flat = sensor.select(
+    # event_time_only contract: a recursive smoother is order-defined;
+    # rows with NULL event time have no position in the recursion.
+    flat = sensor.filter(F.col("ts").isNotNull()).select(
         "id", "messageId", "ts", F.col("metrics.temperature").alias("temperature")
     )
     spark = sensor.sparkSession
@@ -259,15 +265,20 @@ def ewma_smooth(sensor: DataFrame, alpha: float = 0.2) -> DataFrame:
             # Grouped C kernel: seed rows sort first within their group
             # (concat order), so each group's recursion resumes from the
             # carried state; row order within groups is already (ts,
-            # messageId) from sortWithinPartitions.
+            # messageId) from sortWithinPartitions. dropna=False: a NULL
+            # sensor id is a legitimate SQL group (pandas' default
+            # silently drops it — and crashes outright on a batch whose
+            # ids are ALL null: zero groups to concatenate).
             s = (
-                work.groupby("id", sort=False)["_x"]
+                work.groupby("id", sort=False, dropna=False)["_x"]
                 .ewm(alpha=alpha, adjust=False)
                 .mean()
                 .reset_index(level=0, drop=True)
             )
             work["_s"] = s
-            carry.update(work.groupby("id", sort=False)["_s"].last().to_dict())
+            carry.update(
+                work.groupby("id", sort=False, dropna=False)["_s"].last().to_dict()
+            )
             out = work[~work["_seed"]]
             yield pd.DataFrame(
                 {
@@ -384,6 +395,7 @@ def interpolate_linear(
     if n_min != 1:
         epoch_min = (F.unix_timestamp(bucket) / 60).cast("long")
         bucket = F.timestamp_seconds((epoch_min - epoch_min % n_min) * 60)
+    sensor = sensor.filter(F.col("ts").isNotNull())  # event_time_only contract
     obs = sensor.groupBy(F.col("id"), bucket.alias("bucket")).agg(
         F.round(F.avg(value), 6).alias("obs_v")
     )

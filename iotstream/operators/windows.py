@@ -47,6 +47,10 @@ def tumbling_agg(
     val = F.col(value) if isinstance(value, str) else value
     exprs = [_AGGS[a](val).alias(f"{a}_{prefix}" if prefix else a) for a in aggs]
     w = F.window(F.col(ts_col), width)
+    # Explicit event-time contract: F.window already drops NULL
+    # timestamps silently; the filter documents it and keeps the
+    # DuckDB oracle's `ts IS NOT NULL` clause an exact mirror.
+    df = df.filter(F.col(ts_col).isNotNull())
     return (
         df.groupBy(w.alias("w"), *keys)
         .agg(*exprs)
@@ -80,6 +84,7 @@ def hopping_agg(
     val = F.col(value) if isinstance(value, str) else value
     exprs = [_AGGS[a](val).alias(f"{a}_{prefix}" if prefix else a) for a in aggs]
     w = F.window(F.col(ts_col), width, slide)
+    df = df.filter(F.col(ts_col).isNotNull())  # same contract as tumbling_agg
     return (
         df.groupBy(w.alias("w"), *keys)
         .agg(*exprs)

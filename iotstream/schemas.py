@@ -101,6 +101,24 @@ def normalize_event_time(df: DataFrame, epoch_str_col: str = "timestamp") -> Dat
     )
 
 
+def event_time_only(df: DataFrame, ts_col: str = "ts") -> DataFrame:
+    """Exclude rows WITHOUT event time from event-time operators.
+
+    Declared semantic (r11 NULL-parity sweep): windowed aggregation,
+    sessionization, ordered analytics (lag/lead/LOCF/EWMA), and
+    time-bucketed rollups all require an event timestamp; a row with
+    NULL event time cannot be placed on any timeline and is excluded —
+    exactly what Structured Streaming's watermark/window operators do
+    implicitly (Spark's ``F.window`` silently drops NULL timestamps).
+    Making the filter explicit keeps batch and streaming twins
+    byte-identical and gives the DuckDB oracles a single clause
+    (``ts IS NOT NULL``) to mirror, instead of relying on the engines'
+    DIVERGENT null-ordering defaults (Spark sorts NULLS FIRST
+    ascending, DuckDB NULLS LAST — every lag/LOCF computation over a
+    NULL-bearing timeline disagrees otherwise)."""
+    return df.filter(F.col(ts_col).isNotNull())
+
+
 def use_utc(spark: SparkSession) -> SparkSession:
     """Pin the session timezone so epoch<->timestamp conversions agree
     with the DuckDB oracle (which treats naive timestamps as UTC)."""

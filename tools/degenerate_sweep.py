@@ -63,15 +63,132 @@ def build(spark, n: int) -> str:
     return out
 
 
+#: Per-table NULL-bearing extra rows (col -> override; None = SQL NULL).
+#: Every row is a copy of an existing head row with the listed overrides,
+#: and — where ``pk`` is set — a fresh beyond-max primary key so the
+#: appended rows never collide with real entities. The shapes mirror what
+#: a 100 TB corpus guarantees: NULL event times (late/raw ingest), NULL
+#: entity/join keys (orphaned references), NULL measures (failed
+#:_enrichment), NULL group keys (uncategorized rows), NULL/malformed JSON
+#: payloads (lenient-parse contract, SURVEY §1.4 / reference
+#: StreamProcessor.java:66 NPE case), and NULL dimension attributes.
+NULL_MUTS: dict[str, tuple[str | None, list[dict]]] = {
+    "events": (
+        "event_id",
+        [
+            {"ts": None},  # NULL event-time → every window/asof oracle
+            {"user_id": None},  # NULL entity key → NULL sensor id
+            {"value": None, "event_type": None},  # NULL measure + group key
+            {"props": None},  # NULL JSON payload
+            {"props": "{not json"},  # malformed JSON → lenient parse
+            {  # fully degenerate row: only the pk survives
+                "ts": None,
+                "user_id": None,
+                "event_type": None,
+                "value": None,
+                "props": None,
+            },
+        ],
+    ),
+    # composite pk: keep the copied row's l_orderkey (so the row still
+    # joins to a real order and its NULL measures reach the aggregates)
+    # and bump l_linenumber far beyond the 1..7 the generator emits.
+    "lineitem": (
+        None,
+        [
+            {"l_linenumber": 901, "l_shipdate": None},
+            {"l_linenumber": 902, "l_partkey": None, "l_suppkey": None},
+            {
+                "l_linenumber": 903,
+                "l_quantity": None,
+                "l_extendedprice": None,
+                "l_discount": None,
+                "l_tax": None,
+            },
+            {"l_linenumber": 904, "l_returnflag": None, "l_linestatus": None},
+        ],
+    ),
+    "orders": (
+        "o_orderkey",
+        [
+            {"o_custkey": None},  # NULL FK → joins, NOT IN / anti-join
+            {"o_orderdate": None},  # NULL date → range filters, date_trunc
+            {"o_orderpriority": None, "o_totalprice": None,
+             "o_orderstatus": None},
+        ],
+    ),
+    "customer": (
+        "c_custkey",
+        [
+            {"c_nationkey": None},
+            {"c_acctbal": None, "c_mktsegment": None},
+            {"c_name": None},
+        ],
+    ),
+    "supplier": (
+        "s_suppkey",
+        [
+            {"s_nationkey": None},
+            {"s_acctbal": None, "s_name": None},
+        ],
+    ),
+    "part": (
+        "p_partkey",
+        [
+            {"p_type": None, "p_brand": None},
+            {"p_size": None, "p_retailprice": None},
+            {"p_name": None},
+        ],
+    ),
+    "nation": (
+        "n_nationkey",
+        [
+            {"n_regionkey": None},
+            {"n_name": None},
+        ],
+    ),
+    "region": (
+        "r_regionkey",
+        [
+            {"r_name": None},
+        ],
+    ),
+}
+
+
+def _extend(src: str, out: str, table: str, pk: str | None, muts: list[dict]):
+    """Append len(muts) copies of head rows with the given overrides,
+    auto-bumping ``pk`` beyond the table max when provided."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    fname = f"{table}.parquet"
+    t = pq.read_table(os.path.join(src, fname))
+    head = t.slice(0, len(muts)).to_pydict()
+    rows = {c: list(head[c]) for c in t.column_names}
+    if pk is not None:
+        mx = pa.compute.max(t.column(pk)).as_py()
+    for i, m in enumerate(muts):
+        if pk is not None:
+            rows[pk][i] = mx + 1 + i
+        for c, v in m.items():
+            rows[c][i] = v
+    extra = pa.Table.from_pydict(rows, schema=t.schema)
+    pq.write_table(pa.concat_tables([t, extra]), os.path.join(out, fname))
+
+
 def build_nulls() -> str:
-    """NULL-bearing fixture: sf0.001 plus consistent degenerate rows.
+    """NULL-bearing fixture: sf0.001 plus consistent degenerate rows in
+    EVERY table (r10 verdict item 1 — the r9 sweep covered only
+    documents/embeddings and found 9 real defects on that one table).
     documents — NULL text ⇒ NULL n_chars (a failed fetch has no known
     length; the multimodal oracles derive from n_chars under the
     documented n_bytes == n_chars invariant), empty text ⇒ n_chars 0.
     embeddings — NULL vectors (a failed embedding job) and one NULL
     label: content-less vectors must be EXCLUDED from every pair/top-k
     output (DuckDB's NULL list arithmetic drops them naturally; the
-    engine must match), never reshape-corrupted or np.stack-crashed."""
+    engine must match), never reshape-corrupted or np.stack-crashed.
+    All other tables — NULL_MUTS above."""
     import pyarrow as pa
     import pyarrow.parquet as pq
 
@@ -84,7 +201,12 @@ def build_nulls() -> str:
     special = {"documents.parquet", "embeddings.parquet"}
     for f in os.listdir(SRC):
         if f.endswith(".parquet") and f not in special:
-            shutil.copy(os.path.join(SRC, f), os.path.join(out, f))
+            table = f[: -len(".parquet")]
+            if table in NULL_MUTS:
+                pk, muts = NULL_MUTS[table]
+                _extend(SRC, out, table, pk, muts)
+            else:
+                shutil.copy(os.path.join(SRC, f), os.path.join(out, f))
 
     t = pq.read_table(os.path.join(SRC, "documents.parquet"))
     head = t.slice(0, 6).to_pydict()
