@@ -115,17 +115,22 @@ def _grade_ages() -> dict[str, int]:
     that deliberately omit an oracle — ``rows_match`` (the driver's
     weaker rows-only check; without this an oracle-less entry could
     never leave the window and would burn a grading slot forever).
-    Reads only GIT-TRACKED CORRECTNESS_r*.json artifacts (ADVICE r9:
-    a glob also saw the artifact the driver had just written untracked
-    into the working tree, so a grading pass and a later bench pass in
-    the same round could rotate differently; `git ls-files` pins the
-    rotation to the commit the driver checked out). Falls back to the
-    plain glob only when git itself is unavailable, and memoizes per
-    process either way.
+    Reads CORRECTNESS_r*.json artifacts AS COMMITTED AT HEAD (ADVICE
+    r9/r10: a glob also saw the artifact the driver had just written
+    untracked into the working tree, so a grading pass and a later
+    bench pass in the same round could rotate differently; and
+    `git ls-files` alone still read working-tree CONTENT, so a tracked
+    artifact overwritten uncommitted mid-round could diverge too —
+    `git show HEAD:<path>` pins both the file set and the content to
+    the commit the driver checked out). Falls back to the working-tree
+    file for a tracked-but-not-yet-committed artifact, and to the plain
+    glob only when git itself is unavailable; memoizes per process
+    either way (callers get a copy — the memo itself is never handed
+    out, so a caller mutating its result can't poison later rotations).
     """
     global _GRADE_AGES_CACHE
     if _GRADE_AGES_CACHE is not None:
-        return _GRADE_AGES_CACHE
+        return dict(_GRADE_AGES_CACHE)
     import glob as _glob
     import json as _json
     import os as _os
@@ -133,7 +138,10 @@ def _grade_ages() -> dict[str, int]:
     import subprocess as _sp
 
     here = _os.path.dirname(_os.path.abspath(__file__))
-    paths: list[str]
+    # (abs working-tree path, git-relative path or None). A git-relative
+    # path means "read the HEAD blob"; None means git is unavailable and
+    # the working-tree file is the only source.
+    paths: list[tuple[str, str | None]]
     try:
         out = _sp.run(
             ["git", "-C", here, "ls-files", "--", "CORRECTNESS_r*.json"],
@@ -144,23 +152,49 @@ def _grade_ages() -> dict[str, int]:
         if out.returncode != 0:
             raise OSError(out.stderr.strip()[:200])
         paths = [
-            _os.path.join(here, line)
+            (_os.path.join(here, line), line)
             for line in out.stdout.splitlines()
             if line.strip()
         ]
     except (OSError, _sp.SubprocessError):
-        paths = _glob.glob(_os.path.join(here, "CORRECTNESS_r*.json"))
+        paths = [
+            (p, None)
+            for p in _glob.glob(_os.path.join(here, "CORRECTNESS_r*.json"))
+        ]
     with_oracle = set(oracle_sql())
     ages: dict[str, int] = {}
-    for path in paths:
+    for path, rel in paths:
         m = _re.search(r"_r(\d+)\.json$", _os.path.basename(path))
         if not m:
             continue
         rnd = int(m.group(1))
+        text = None
+        if rel is not None:
+            # Content pinned to HEAD: a tracked artifact overwritten
+            # uncommitted in the working tree must not shift the
+            # rotation mid-round.
+            try:
+                show = _sp.run(
+                    ["git", "-C", here, "show", f"HEAD:{rel}"],
+                    capture_output=True,
+                    text=True,
+                    timeout=10,
+                )
+                if show.returncode == 0:
+                    text = show.stdout
+            except (OSError, _sp.SubprocessError):
+                pass
+        if text is None:
+            # Tracked-but-not-yet-committed (staged new artifact), or
+            # git show failed: the working tree is the best available.
+            try:
+                with open(path) as f:
+                    text = f.read()
+            except OSError:
+                continue
         try:
-            with open(path) as f:
-                data = _json.load(f)
-        except (OSError, ValueError):
+            data = _json.loads(text)
+        except ValueError:
             continue
         if not isinstance(data, dict):
             continue
@@ -173,7 +207,7 @@ def _grade_ages() -> dict[str, int]:
             if green and rnd > ages.get(name, -1):
                 ages[name] = rnd
     _GRADE_AGES_CACHE = ages
-    return ages
+    return dict(ages)
 
 
 def _rotate_window(
@@ -206,6 +240,19 @@ def _rotate_window(
             f"DRIVER_WINDOW={DRIVER_WINDOW}; pins past the window are "
             "not graded and age-based rotation is fully displaced — "
             "trim the pin list",
+            RuntimeWarning,
+            stacklevel=2,
+        )
+    elif len(forced_in) == DRIVER_WINDOW:
+        # All pins still get graded, but age-based rotation is fully
+        # displaced this round (take=0) — worth a softer note so a
+        # stalling freshness histogram has a visible cause (ADVICE r10).
+        import warnings
+
+        warnings.warn(
+            f"active FORCE_WINDOW pins fill the entire "
+            f"DRIVER_WINDOW={DRIVER_WINDOW}; every pin is graded but "
+            "age-based rotation is displaced this round",
             RuntimeWarning,
             stacklevel=2,
         )

@@ -369,6 +369,15 @@ def main() -> int:
     # records 53-123 s for the same x256 kernel across sessions) — so
     # the contamination verdict must look at both signals.
     ncpu = _proc_cpus()
+    # The bench's own worker count comes from SPARK_GRAFT_CPUS (local[N]),
+    # not from the machine: on a box with fewer CPUs than N, the bench's
+    # own threads alone can push load1 past a machine-sized threshold and
+    # false-flag the verdict (ADVICE r10) — so the sweep threshold scales
+    # with whichever is larger, and both counts are recorded.
+    try:
+        bench_threads = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    except ValueError:
+        bench_threads = 32
     steal_ratio = (
         round(steal_delta / (wall_sec * _tick_hz() * ncpu), 4)
         if steal_delta >= 0 and wall_sec > 0
@@ -388,13 +397,14 @@ def main() -> int:
     #                    during the run; loadavg is blind to this, and
     #                    it is the measured cause of the 2× spread.
     #   load_during_sweep — per-query 1-min loadavg peaking above
-    #                    1.5× CPU count: the bench's own 32 threads
-    #                    can't get there alone, so a co-tenant arrived
-    #                    mid-run.
+    #                    1.5× max(bench thread count, CPU count): the
+    #                    bench's own local[N] threads can't get there
+    #                    alone even when N exceeds the machine's CPUs,
+    #                    so a co-tenant arrived mid-run.
     thresholds = {
         "load_at_start": max(2.0, round(0.25 * ncpu, 1)),
         "steal_ratio": 0.05,
-        "load_during_sweep": round(1.5 * ncpu, 1),
+        "load_during_sweep": round(1.5 * max(bench_threads, ncpu), 1),
     }
     causes = []
     if load_start["loadavg"][0] > thresholds["load_at_start"]:
@@ -427,6 +437,7 @@ def main() -> int:
         "contamination_causes": causes,
         "contamination_thresholds": thresholds,
         "ncpu": ncpu,
+        "bench_threads": bench_threads,
         "tick_hz": _tick_hz(),
     }
     out["load"] = {
