@@ -99,6 +99,15 @@ FORCE_WINDOW: tuple[tuple[str, int], ...] = (
     ("ewma_smooth", 11),
     ("gapfill_locf", 11),
     ("interpolate_linear", 11),
+    # r11 IVF sizing-stats out-param (r10 verdict item 2): the
+    # similarity_topk_ivf function itself changed (stats plumbing is
+    # a no-op for the graded config, but the grade must grade the
+    # shipped code). The OTHER queries window_plan flagged for the
+    # schemas.py module churn were false positives — the only change
+    # was the ADDED event_time_only function they never call (the
+    # raw-text preamble compare saw its blank separator lines; fixed
+    # to an AST behavior-key compare in tools/window_plan.py r11).
+    ("similarity_topk_ivf", 11),
 )
 
 

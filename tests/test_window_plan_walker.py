@@ -103,6 +103,45 @@ def test_slice_precise_hop_does_not_flag_unrelated_queries(tmp_path, monkeypatch
     assert stale_vocab == {"pkg/ranksish.py"}
 
 
+def test_pure_function_addition_does_not_stale_siblings(tmp_path, monkeypatch):
+    """Adding a NEW top-level function to a module (r11: schemas.
+    event_time_only) leaves blank separator lines in the def-stripped
+    preamble; the raw-text preamble compare falsely staled every query
+    using ANY function of that module. The AST behavior-key compare
+    must clear siblings that never call the new function — while a
+    real preamble change (new import / constant) still stales them."""
+    repo = tmp_path
+    (repo / "pkg").mkdir()
+    f_old = "LIMIT = 3\n\n\ndef used(x):\n    return x + LIMIT\n"
+    f_added = (
+        "LIMIT = 3\n\n\ndef used(x):\n    return x + LIMIT\n\n\n"
+        "def newcomer(x):\n    return x - 1\n"
+    )
+    f_preamble = "LIMIT = 4\n\n\ndef used(x):\n    return x + LIMIT\n"
+    (repo / "pkg" / "modish.py").write_text(f_added)
+
+    monkeypatch.setattr(wp, "REPO", str(repo))
+    monkeypatch.setattr(wp, "_show_cached", lambda commit, path: f_old)
+    monkeypatch.setattr(
+        wp, "_module_file",
+        lambda dotted: f"{dotted.replace('.', '/')}.py"
+        if os.path.exists(os.path.join(str(repo), f"{dotted.replace('.', '/')}.py"))
+        else None,
+    )
+    wp._READ_CACHE.clear()
+
+    aliases = {"mo": "pkg.modish"}
+    fsrc = "def q(spark, sf):\n    return mo.used(1)\n"
+    assert wp._refined_module_stale(fsrc, aliases, {"pkg/modish.py"}, "HEAD") == set()
+
+    # a REAL preamble change (constant edit) still stales the sibling
+    (repo / "pkg" / "modish.py").write_text(f_preamble)
+    wp._READ_CACHE.clear()
+    assert wp._refined_module_stale(
+        fsrc, aliases, {"pkg/modish.py"}, "HEAD"
+    ) == {"pkg/modish.py"}
+
+
 def test_behavior_key_ignores_docstrings_and_comments():
     a = 'def f(x):\n    """old docs."""\n    # a comment\n    return x + 1\n'
     b = 'def f(x):\n    """NEW docs, plus a caveat."""\n    return x + 1\n'

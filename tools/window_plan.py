@@ -451,7 +451,15 @@ def _refined_module_stale(
             # executed anything in f. (Scope: ``from x import y``
             # style only, which is the only import style in-repo.)
             continue
-        if _preamble(old_src) != _preamble(new_src):
+        # behavior-key, not raw text: dropping def/class blocks leaves
+        # their blank separator lines behind, so a PURE FUNCTION
+        # ADDITION (r11: schemas.event_time_only) textually changes the
+        # preamble of every sibling-consumer's module and falsely
+        # staled 6 out-of-window grades. The AST key sees only real
+        # preamble statements (imports, constants, module code).
+        if _behavior_key(_preamble(old_src)) != _behavior_key(
+            _preamble(new_src)
+        ):
             stale.add(f)
             continue
         # one helper hop: same-module names called inside used blocks
