@@ -6,6 +6,9 @@ exact set the round-end discipline requires — and writes a committed
 output tail, so any leg failure is visible without log archaeology:
 
     pytest        python -m pytest tests/ -q
+    walker        tools/window_plan.py (freshness audit — fails when a
+                  churn-stale green or never-graded oracle sits OUT of
+                  the rotation window, i.e. needs a FORCE_WINDOW pin)
     oracle_sf0001 tools/check_oracle.py sf0.001
     oracle_sf001  tools/check_oracle.py sf0.01   (the driver's t2 scale)
     oracle_sf01   tools/check_oracle.py sf0.1    (boundary-precision bugs)
@@ -38,6 +41,7 @@ PY = sys.executable
 
 LEGS: list[tuple[str, list[str]]] = [
     ("pytest", [PY, "-m", "pytest", "tests/", "-q"]),
+    ("walker", [PY, "tools/window_plan.py"]),
     ("oracle_sf0001", [PY, "tools/check_oracle.py", "/root/testdata/sf0.001"]),
     ("oracle_sf001", [PY, "tools/check_oracle.py", "/root/testdata/sf0.01"]),
     ("oracle_sf01", [PY, "tools/check_oracle.py", "/root/testdata/sf0.1"]),

@@ -653,6 +653,22 @@ def main() -> int:
     for q in order[:WINDOW]:
         if verdict.get(q, "").startswith("PASS") and q not in stale_names:
             print(f"  {order.index(q):3d} {q}  {verdict[q]}")
+
+    # Exit code for automation (run_matrix's walker leg): the
+    # freshness invariant is violated exactly when a query the driver
+    # will NOT grade this round needs grading — a churn-stale green or
+    # a never-graded oracle out of the window. In-window entries are
+    # about to be re-graded; they are the rotation WORKING, not a
+    # failure.
+    out_stale = [q for q, _, _ in stale if order.index(q) >= WINDOW]
+    if out_window_never or out_stale:
+        print(
+            f"\nFAIL: {len(out_stale)} stale green(s) and "
+            f"{len(out_window_never)} never-graded orphan(s) OUT of "
+            "window — pin them in __spark_entry__.FORCE_WINDOW"
+        )
+        return 1
+    print("\nOK: every stale or ungraded query sits inside the window")
     return 0
 
 
