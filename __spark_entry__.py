@@ -108,6 +108,34 @@ FORCE_WINDOW: tuple[tuple[str, int], ...] = (
     # raw-text preamble compare saw its blank separator lines; fixed
     # to an AST behavior-key compare in tools/window_plan.py r11).
     ("similarity_topk_ivf", 11),
+    # r11 HOSTILE-VALUES sweep churn (the step after the NULL sweep):
+    # the new degenerate_sweep `hostile` mode (NaN/±Inf measures,
+    # pre-epoch + far-future event times, empty-string keys, extreme
+    # JSON, adversarial embedding vectors) surfaced 15 divergences,
+    # fixed by four declared contracts: drop_null_vectors extended to
+    # non-finite/zero-norm vectors (+ oracle _VALID_EMB twins), the
+    # finite-measures contract on exact-decimal aggregates, pmod
+    # (floored) time-bucketing for pre-epoch timestamps, and the
+    # non-negative event-time domain for watermarked streaming ops.
+    # Every query whose engine and/or oracle text changed is pinned —
+    # window_plan's full stale list, so all 41 churn-stale grades
+    # re-grade in r11 regardless of how the age rotation shifts.
+    ("salted_join", 11),
+    ("similarity_topk", 11),
+    ("neardup_embedding", 11),
+    ("similarity_topk_lsh", 11),
+    ("neardup_embedding_lsh", 11),
+    ("streaming_dedup_wm", 11),
+    ("streaming_enrich", 11),
+    ("dedup_report", 11),
+    ("embedding_label_stats", 11),
+    ("grouping_sets_volume", 11),
+    ("revenue_rollup", 11),
+    ("revenue_share", 11),
+    ("dormant_customers", 11),
+    ("enrichment_join", 11),
+    ("rfm_segments", 11),
+    ("user_value_deciles", 11),
 )
 
 
@@ -323,11 +351,14 @@ _AGG_SQL = {
 }
 
 
-def _window_oracle(*aggs: str) -> str:
+def _window_oracle(*aggs: str, extra_where: str = "") -> str:
+    """``extra_where`` is appended to the validity clause — the
+    streaming twin adds the non-negative event-time domain
+    (schemas.nonnegative_event_time) that batch windows must NOT have."""
     return _WINDOW_ORACLE.format(
         cte=sensor_cte(),
         aggs=",\n       ".join(_AGG_SQL[a] for a in aggs),
-        valid=VALID_SQL,
+        valid=VALID_SQL + extra_where,
     )
 
 
@@ -424,14 +455,21 @@ def q_streaming_window_agg(spark, sf_dir):
     foreachBatch keyed upsert (the KSQL MAX_TABLE → Connect → Mongo
     path); returns the final upserted state, which equals the batch
     result under the unbounded correctness watermark."""
-    from iotstream.schemas import load_events_raw, normalize_ns_timestamp
+    from iotstream.schemas import (
+        load_events_raw,
+        nonnegative_event_time,
+        normalize_ns_timestamp,
+    )
     from iotstream.sources import FileStreamSource
     from iotstream.streaming import scoped_shuffle_partitions, windowed_agg_final_state
 
     use_utc(spark)
     raw_schema = load_events_raw(spark, sf_dir).schema  # ts as raw nanos
     stream = FileStreamSource(table_path(sf_dir, "events"), raw_schema).load(spark)
-    valid = validity_filter(sensorize(normalize_ns_timestamp(stream)))
+    # watermarked op: non-negative event-time domain (see schemas)
+    valid = nonnegative_event_time(
+        validity_filter(sensorize(normalize_ns_timestamp(stream)))
+    )
     with scoped_shuffle_partitions(spark, 8):
         return windowed_agg_final_state(
             spark, valid, "ts", ["id"], F.col("metrics.temperature")
@@ -933,9 +971,11 @@ def q_salted_join(spark, sf_dir):
     user dimension — result provably identical to the plain join (the
     oracle IS the plain join). At scale, only `hot_keys` get salted."""
     from iotstream.ext.skew import salted_join
+    from iotstream.schemas import finite_measures
 
     use_utc(spark)
-    ev = load_table(spark, sf_dir, "events")
+    # finite-measures contract: value feeds the exact-decimal total
+    ev = finite_measures(load_table(spark, sf_dir, "events"), "value")
     dim = load_table(spark, sf_dir, "customer").select(
         F.col("c_custkey").alias("user_id"), "c_mktsegment"
     )
@@ -1467,9 +1507,12 @@ def q_user_value_deciles(spark, sf_dir):
         with_scalar_total,
     )
 
+    from iotstream.schemas import finite_measures
+
     use_utc(spark)
     totals = (
-        load_table(spark, sf_dir, "events")
+        # finite-measures contract: value feeds the exact-decimal total
+        finite_measures(load_table(spark, sf_dir, "events"), "value")
         .filter(F.col("event_type") == "purchase")
         .groupBy("user_id")
         .agg(
@@ -1861,7 +1904,11 @@ def q_streaming_dedup_wm(spark, sf_dir):
     watermark passes it (plain dropDuplicates keeps ALL keys forever).
     Fixture event_ids are unique, so the drained result equals batch
     DISTINCT (the oracle) regardless of which duplicate survives."""
-    from iotstream.schemas import load_events_raw, normalize_ns_timestamp
+    from iotstream.schemas import (
+        load_events_raw,
+        nonnegative_event_time,
+        normalize_ns_timestamp,
+    )
     from iotstream.sinks import ParquetUpsertSink
     from iotstream.sources import FileStreamSource
     from iotstream.streaming import run_available_now, scoped_shuffle_partitions
@@ -1870,7 +1917,8 @@ def q_streaming_dedup_wm(spark, sf_dir):
     raw_schema = load_events_raw(spark, sf_dir).schema
     stream = FileStreamSource(table_path(sf_dir, "events"), raw_schema).load(spark)
     deduped = (
-        normalize_ns_timestamp(stream)
+        # watermarked op: non-negative event-time domain (see schemas)
+        nonnegative_event_time(normalize_ns_timestamp(stream))
         .select("event_id", "ts", "user_id", "event_type", "value")
         .withWatermark("ts", "1 hour")
         .dropDuplicatesWithinWatermark(["event_id"])
@@ -2147,9 +2195,22 @@ _COSINE = (
     "(sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(qv, qv)))"
 )
 
+#: Usable-direction predicate, the oracle twin of
+#: ``similarity.drop_null_vectors`` (r11 hostile-values sweep): a NULL
+#: vector, a vector with a NULL/NaN/±Inf component, or the all-zero
+#: vector matches nothing — NaN similarities rank nondeterministically
+#: and ‖0‖ divides by zero. Inlined verbatim at the two plain-string
+#: oracle sites (dedup_report, embedding_label_stats).
+_VALID_EMB = (
+    "embedding IS NOT NULL AND len(list_filter(embedding, "
+    "x -> x IS NULL OR isnan(x) OR isinf(x))) = 0 AND "
+    "list_dot_product(CAST(embedding AS DOUBLE[]), "
+    "CAST(embedding AS DOUBLE[])) > 0"
+)
+
 _TOPK_ORACLE = f"""
 WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
-           WHERE embedding IS NOT NULL),
+           WHERE {_VALID_EMB}),
 q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 10),
 s AS (SELECT query_id, vec_id, {_COSINE} AS cosine
       FROM e, q WHERE vec_id <> query_id),
@@ -2160,9 +2221,9 @@ r AS (SELECT query_id, vec_id, cosine,
 SELECT query_id, vec_id, round(cosine, 6) AS cosine, rank FROM r WHERE rank <= 5
 """
 
-_NEARDUP_EMB_ORACLE = """
+_NEARDUP_EMB_ORACLE = f"""
 WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
-           WHERE embedding IS NOT NULL),
+           WHERE {_VALID_EMB}),
 p AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b,
              list_dot_product(a.v, b.v) /
              (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) AS cosine
@@ -2238,7 +2299,12 @@ def oracle_sql() -> dict[str, str]:
                    round(CAST(count(*) AS DOUBLE) /
                          CAST(greatest({span}, 1) AS DOUBLE), 6) AS msgs_per_sec
             FROM sensor GROUP BY id""",
-        "streaming_window_agg": _window_oracle("max", "min", "avg"),
+        "streaming_window_agg": _window_oracle(
+            "max", "min", "avg",
+            # watermarked op: Spark watermarks start at epoch 0, so the
+            # engine declares ts >= 1970 (schemas.nonnegative_event_time)
+            extra_where=" AND ts >= TIMESTAMP '1970-01-01'",
+        ),
         "stateful_quality_monitor": f"""
             WITH sensor AS ({cte}),
             flagged AS (
@@ -2424,7 +2490,12 @@ def oracle_sql() -> dict[str, str]:
                     UNION ALL SELECT doc_b FROM jp)),
             e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
                   FROM embeddings
-                  WHERE vec_id < 2000 AND embedding IS NOT NULL),
+                  -- _VALID_EMB inlined (plain string can't interpolate)
+                  WHERE vec_id < 2000 AND embedding IS NOT NULL
+                    AND len(list_filter(embedding,
+                            x -> x IS NULL OR isnan(x) OR isinf(x))) = 0
+                    AND list_dot_product(CAST(embedding AS DOUBLE[]),
+                                         CAST(embedding AS DOUBLE[])) > 0),
             ep AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b
                    FROM e a JOIN e b ON a.vec_id < b.vec_id
                    WHERE list_dot_product(a.v, b.v) /
@@ -2653,7 +2724,13 @@ def oracle_sql() -> dict[str, str]:
                               sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
                                                     CAST(embedding AS DOUBLE[])))
                                   AS norm
-                       FROM embeddings WHERE embedding IS NOT NULL)
+                       FROM embeddings
+                       -- _VALID_EMB inlined (plain string can't interpolate)
+                       WHERE embedding IS NOT NULL
+                         AND len(list_filter(embedding,
+                                 x -> x IS NULL OR isnan(x) OR isinf(x))) = 0
+                         AND list_dot_product(CAST(embedding AS DOUBLE[]),
+                                              CAST(embedding AS DOUBLE[])) > 0)
             SELECT label, count(*) AS n_vecs,
                    round(avg(norm), 6) AS avg_norm,
                    round(min(norm), 6) AS min_norm,
@@ -2669,6 +2746,7 @@ def oracle_sql() -> dict[str, str]:
             SELECT c_mktsegment, count(*) AS n_events,
                    CAST(SUM(CAST(value AS DECIMAL(12,4))) AS DOUBLE) AS total_value
             FROM events JOIN customer ON user_id = c_custkey
+            WHERE (value IS NULL OR isfinite(value))
             GROUP BY c_mktsegment""",
         "streaming_dedup": """
             SELECT DISTINCT ON (event_id) event_id, user_id, event_type, value
@@ -2677,6 +2755,7 @@ def oracle_sql() -> dict[str, str]:
             SELECT c_mktsegment, count(*) AS n_events,
                    CAST(SUM(CAST(value AS DECIMAL(12,4))) AS DOUBLE) AS total_value
             FROM events JOIN customer ON user_id = c_custkey
+            WHERE (value IS NULL OR isfinite(value))
             GROUP BY c_mktsegment""",
         "streaming_interval_join": """
             SELECT e.event_id AS error_event_id,
@@ -2872,6 +2951,7 @@ def oracle_sql() -> dict[str, str]:
             JOIN customer ON o_custkey = c_custkey
             JOIN nation ON c_nationkey = n_nationkey
             JOIN region ON n_regionkey = r_regionkey
+            WHERE (o_totalprice IS NULL OR isfinite(o_totalprice))
             GROUP BY r_name, n_name""",
         "topk_per_group": """
             SELECT o_custkey, o_orderkey, o_totalprice, rn FROM (
@@ -2907,6 +2987,7 @@ def oracle_sql() -> dict[str, str]:
             JOIN customer ON o_custkey = c_custkey
             JOIN nation ON c_nationkey = n_nationkey
             JOIN region ON n_regionkey = r_regionkey
+            WHERE (o_totalprice IS NULL OR isfinite(o_totalprice))
             GROUP BY ROLLUP(r_name, n_name)""",
         "local_supplier_volume": """
             SELECT n_name,
@@ -2936,14 +3017,19 @@ def oracle_sql() -> dict[str, str]:
             JOIN customer ON o_custkey = c_custkey
             ORDER BY o_totalprice DESC, o_orderkey LIMIT 100""",
         "dormant_customers": """
-            WITH bal AS (SELECT SUM(CAST(c_acctbal AS DECIMAL(18,4))) AS sum_bal,
-                                count(*) AS n_bal
-                         FROM customer WHERE c_acctbal > 0),
+            -- finite-measures contract CTE (not a WHERE clause on the
+            -- main query: the DECIMAL cast in its WHERE could be
+            -- evaluated before the finite predicate and raise)
+            WITH cust AS (SELECT * FROM customer
+                          WHERE (c_acctbal IS NULL OR isfinite(c_acctbal))),
+            bal AS (SELECT SUM(CAST(c_acctbal AS DECIMAL(18,4))) AS sum_bal,
+                           count(*) AS n_bal
+                    FROM cust WHERE c_acctbal > 0),
             recent AS (SELECT DISTINCT o_custkey FROM orders
                        WHERE o_orderdate >= TIMESTAMP '2000-01-01')
             SELECT n_name, count(*) AS n_dormant,
                    CAST(SUM(CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE) AS total_balance
-            FROM customer CROSS JOIN bal
+            FROM cust CROSS JOIN bal
             JOIN nation ON c_nationkey = n_nationkey
             WHERE CAST(c_acctbal AS DECIMAL(18,4)) * n_bal > sum_bal
               AND c_custkey NOT IN (SELECT o_custkey FROM recent)
@@ -2980,12 +3066,15 @@ def oracle_sql() -> dict[str, str]:
             JOIN customer ON o_custkey = c_custkey
             JOIN nation ON c_nationkey = n_nationkey
             JOIN region ON n_regionkey = r_regionkey
+            WHERE (o_totalprice IS NULL OR isfinite(o_totalprice))
             GROUP BY GROUPING SETS ((n_name), (o_orderpriority))""",
         "user_value_deciles": """
             WITH totals AS (
               SELECT user_id,
                      CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value
-              FROM events WHERE event_type = 'purchase' GROUP BY user_id)
+              FROM events WHERE event_type = 'purchase'
+                AND (value IS NULL OR isfinite(value))
+              GROUP BY user_id)
             SELECT user_id, total_value,
                    ntile(10) OVER (ORDER BY total_value DESC, user_id) AS decile,
                    round(percent_rank() OVER (ORDER BY total_value DESC, user_id), 6)
@@ -3178,6 +3267,7 @@ def oracle_sql() -> dict[str, str]:
                          JOIN customer ON o_custkey = c_custkey
                          JOIN nation ON c_nationkey = n_nationkey
                          JOIN region ON n_regionkey = r_regionkey
+                         WHERE (o_totalprice IS NULL OR isfinite(o_totalprice))
                          GROUP BY r_name, n_name)
             SELECT r_name, n_name, revenue,
                    CAST(round(CAST(revenue AS DECIMAL(18,4)) /
@@ -3484,6 +3574,7 @@ def oracle_sql() -> dict[str, str]:
                               count(*) AS frequency,
                               sum(CAST(value AS DECIMAL(12,4))) AS _mon
                        FROM events WHERE event_type = 'purchase'
+                         AND (value IS NULL OR isfinite(value))
                        GROUP BY 1),
             s AS (SELECT user_id, last_purchase_ts, frequency, _mon,
                          5 - ntile(4) OVER (
@@ -3518,5 +3609,6 @@ def oracle_sql() -> dict[str, str]:
                   FROM sc)
             SELECT doc_id, word, tf, df, tfidf FROM r WHERE _rn <= 3""",
         "streaming_dedup_wm": """
-            SELECT event_id, ts, user_id, event_type, value FROM events""",
+            SELECT event_id, ts, user_id, event_type, value FROM events
+            WHERE ts IS NULL OR ts >= TIMESTAMP '1970-01-01'""",
     }

@@ -164,9 +164,13 @@ def rfm_segments(events: DataFrame) -> DataFrame:
     rank instability).
     """
     from iotstream.ext.ranks import ntile_expr, with_global_row_number
+    from iotstream.schemas import finite_measures
 
     p = (
-        events.filter(F.col("event_type") == "purchase")
+        # finite-measures contract: value feeds the exact-decimal
+        # Monetary sum (schemas.finite_measures)
+        finite_measures(events, "value")
+        .filter(F.col("event_type") == "purchase")
         .groupBy("user_id")
         .agg(
             F.max("ts").alias("last_purchase_ts"),

@@ -20,7 +20,7 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from iotstream.schemas import load_table
+from iotstream.schemas import finite_measures, load_table
 
 
 def dec_sum(col: Column | str, alias: str) -> Column:
@@ -273,7 +273,11 @@ def dormant_customers(
     DECIMAL-exact: no float-ulp boundary flips between engines. The
     anti-join side is pre-shrunk to distinct recent customer keys; AQE
     broadcasts it when small, shuffles on c_custkey otherwise."""
-    cust = load_table(spark, sf_dir, "customer")
+    # finite-measures contract: c_acctbal feeds the exact-decimal
+    # threshold comparison and the final total (schemas.finite_measures)
+    cust = finite_measures(
+        load_table(spark, sf_dir, "customer"), "c_acctbal"
+    )
     bal = cust.filter(F.col("c_acctbal") > 0).agg(
         F.sum(F.col("c_acctbal").cast("decimal(18,4)")).alias("_sum_bal"),
         F.count(F.lit(1)).alias("_n_bal"),
@@ -319,7 +323,11 @@ def priority_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _orders_with_geo(spark: SparkSession, sf_dir: str) -> DataFrame:
-    orders = load_table(spark, sf_dir, "orders")
+    # finite-measures contract: every consumer of this frame feeds
+    # o_totalprice into an exact-decimal sum (see schemas.finite_measures)
+    orders = finite_measures(
+        load_table(spark, sf_dir, "orders"), "o_totalprice"
+    )
     customer = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
     nation = load_table(spark, sf_dir, "nation")
     region = load_table(spark, sf_dir, "region")

@@ -38,13 +38,36 @@ def cosine(a: Column | str, b: Column | str) -> Column:
 
 
 def drop_null_vectors(emb: DataFrame, col: str = "embedding") -> DataFrame:
-    """Rows with a NULL vector — a failed embedding job, routine at
-    corpus scale — participate in NOTHING: they can match no query and
-    no pair, so every kernel excludes them up front instead of
-    np.stack-crashing (ragged object array) or, worse, silently
-    mis-reshaping the broadcast matrix. The DuckDB oracles filter
-    identically (its list arithmetic REJECTS NULL vectors outright)."""
-    return emb.filter(F.col(col).isNotNull())
+    """Rows WITHOUT a usable direction participate in NOTHING — they
+    can match no query and no pair, so every kernel excludes them up
+    front. Three shapes qualify (all routine at corpus scale):
+
+    - NULL vector (failed embedding job): would np.stack-crash a
+      ragged object array or, worse, silently mis-reshape the
+      broadcast matrix (r9).
+    - A NULL / NaN / ±Inf COMPONENT (failed normalization, overflow
+      upstream): one poison component makes every dot product with
+      the vector NaN, and NaN similarities rank nondeterministically
+      (numpy sorts NaN last, Spark ORDER BY DESC sorts NaN first) —
+      the r11 hostile-values sweep caught all three kernels
+      disagreeing with the oracle on such rows.
+    - The all-zero vector: cosine divides by ‖v‖ = 0, so its
+      similarity to anything is 0/0 = NaN — no direction, no match.
+
+    The DuckDB oracles filter identically (the `_VALID_EMB` predicate
+    in ``__spark_entry__``: NOT NULL, no non-finite component,
+    positive squared norm)."""
+    c = F.col(col)
+    poison = F.exists(
+        c,
+        lambda x: x.isNull() | F.isnan(x) | (F.abs(x) == F.lit(float("inf"))),
+    )
+    sq_norm = F.aggregate(
+        F.transform(c, lambda x: x.cast("double") * x.cast("double")),
+        F.lit(0.0),
+        lambda s, x: s + x,
+    )
+    return emb.filter(c.isNotNull() & ~poison & (sq_norm > 0))
 
 
 def similarity_topk(

@@ -132,7 +132,15 @@ def gapfill_locf(
     bucket = F.date_trunc("minute", F.col("ts"))
     if n_min != 1:
         epoch_min = (F.unix_timestamp(bucket) / 60).cast("long")
-        bucket = F.timestamp_seconds((epoch_min - epoch_min % n_min) * 60)
+        # pmod, not %: Spark's % takes the DIVIDEND's sign, so for a
+        # pre-epoch timestamp (negative epoch) `e - e % n` rounds UP
+        # into the NEXT bucket while DuckDB's time_bucket floors — the
+        # r11 hostile-values sweep caught a 1969-12-31 observation
+        # landing in the 1970-01-01 bucket. pmod is always >= 0, so
+        # the subtraction floors on both sides of the epoch.
+        bucket = F.timestamp_seconds(
+            (epoch_min - F.pmod(epoch_min, F.lit(n_min))) * 60
+        )
     # event_time_only contract: a NULL timestamp has no bucket; without
     # the filter it forms a NULL observed bucket that poisons the lead()
     # segment chain (and the engines' null-ordering defaults differ).
@@ -394,7 +402,15 @@ def interpolate_linear(
     bucket = F.date_trunc("minute", F.col("ts"))
     if n_min != 1:
         epoch_min = (F.unix_timestamp(bucket) / 60).cast("long")
-        bucket = F.timestamp_seconds((epoch_min - epoch_min % n_min) * 60)
+        # pmod, not %: Spark's % takes the DIVIDEND's sign, so for a
+        # pre-epoch timestamp (negative epoch) `e - e % n` rounds UP
+        # into the NEXT bucket while DuckDB's time_bucket floors — the
+        # r11 hostile-values sweep caught a 1969-12-31 observation
+        # landing in the 1970-01-01 bucket. pmod is always >= 0, so
+        # the subtraction floors on both sides of the epoch.
+        bucket = F.timestamp_seconds(
+            (epoch_min - F.pmod(epoch_min, F.lit(n_min))) * 60
+        )
     sensor = sensor.filter(F.col("ts").isNotNull())  # event_time_only contract
     obs = sensor.groupBy(F.col("id"), bucket.alias("bucket")).agg(
         F.round(F.avg(value), 6).alias("obs_v")

@@ -119,6 +119,52 @@ def event_time_only(df: DataFrame, ts_col: str = "ts") -> DataFrame:
     return df.filter(F.col(ts_col).isNotNull())
 
 
+def finite_measures(df: DataFrame, *cols: str) -> DataFrame:
+    """Exclude rows whose measure is non-finite (NaN or ±Inf) from
+    exact-decimal aggregation paths.
+
+    Declared semantic (r11 hostile-values sweep): an exact DECIMAL sum
+    is only defined over finite inputs — Spark's ``CAST(double AS
+    DECIMAL)`` silently maps NaN/±Inf to NULL (the row vanishes from
+    the sum with no trace; at corpus scale that is silent revenue
+    loss), while DuckDB raises outright. Making the exclusion explicit
+    gives both engines one clause (``x IS NULL OR isfinite(x)``) and
+    turns silent divergence into a declared, auditable rule. NULL
+    measures are NOT excluded — SUM skips them identically on both
+    engines (the r11 NULL-parity contract) — and rows quarantined here
+    remain visible to data-quality profiling (``dq_report``)."""
+    cond = F.lit(True)
+    for name in cols:
+        c = F.col(name)
+        cond = cond & (
+            c.isNull() | (~F.isnan(c) & (F.abs(c) != F.lit(float("inf"))))
+        )
+    return df.filter(cond)
+
+
+def nonnegative_event_time(df: DataFrame, ts_col: str = "ts") -> DataFrame:
+    """Non-negative event-time domain for WATERMARKED streaming
+    operators.
+
+    Declared semantic (r11 hostile-values sweep): Structured Streaming
+    initializes every watermark at epoch 0, so a pre-epoch event is
+    "late" to the very first micro-batch and is silently dropped no
+    matter the configured delay — a Spark limitation, not a choice this
+    engine can make. Watermarked streaming queries therefore declare
+    ts >= 1970-01-01 explicitly (the DuckDB twins mirror the clause),
+    turning the silent drop into a visible contract. Batch operators
+    are NOT restricted — the batch twins handle pre-epoch rows exactly
+    (see the pmod bucket fix in ext/temporal.py from the same sweep).
+    NULL event times pass through untouched: they do not participate
+    in lateness at all (the r11 NULL-parity contract — watermarked
+    dedup keeps them, windowed aggs drop them downstream on both
+    engines), and this filter must not change that."""
+    c = F.col(ts_col)
+    return df.filter(
+        c.isNull() | (c >= F.lit("1970-01-01 00:00:00").cast("timestamp"))
+    )
+
+
 def use_utc(spark: SparkSession) -> SparkSession:
     """Pin the session timezone so epoch<->timestamp conversions agree
     with the DuckDB oracle (which treats naive timestamps as UTC)."""

@@ -42,7 +42,11 @@ def enrich_against_dim_final(
     """Stream×static broadcast join → running per-segment totals,
     drained availableNow; returns the final upserted state. The dim is
     explicitly broadcast: the join never shuffles the stream."""
-    joined = stream.join(F.broadcast(dim), key)
+    from iotstream.schemas import finite_measures
+
+    # finite-measures contract: value feeds the exact-decimal total
+    # (schemas.finite_measures) — the filter rides the stream scan
+    joined = finite_measures(stream, "value").join(F.broadcast(dim), key)
     agg = joined.groupBy(segment_col).agg(
         F.count(F.lit(1)).alias("n_events"),
         F.sum(F.col("value").cast("decimal(12,4)"))

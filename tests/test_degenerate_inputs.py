@@ -134,3 +134,99 @@ def test_null_vectors_excluded_everywhere(spark):
         without = sorted(tuple(r) for r in fn(clean).collect())
         assert with_nulls == without
         assert not any(100 in t or 101 in t for t in with_nulls)
+
+
+def test_invalid_vectors_excluded_everywhere(spark):
+    """r11 hostile-values sweep: a vector with a NaN / ±Inf / NULL
+    component, or the all-zero vector, has no usable direction — NaN
+    similarities rank nondeterministically (numpy sorts NaN last,
+    Spark ORDER BY DESC sorts NaN first) and ‖0‖ divides by zero. Every
+    kernel must produce EXACTLY the clean-corpus result."""
+    from iotstream.ext.similarity import (
+        neardup_embedding,
+        similarity_topk,
+        similarity_topk_ivf,
+    )
+
+    rows = [(i, [float(i % 7), 1.0, float(i % 3), 0.5], 1) for i in range(30)]
+    bad = [
+        (200, [float("nan"), 1.0, 1.0, 1.0], 1),
+        (201, [float("inf"), 1.0, 1.0, 1.0], 1),
+        (202, [-float("inf"), 1.0, 1.0, 1.0], 1),
+        (203, [0.0, 0.0, 0.0, 0.0], 1),
+        (204, [1.0, None, 1.0, 1.0], 1),
+    ]
+    emb = spark.createDataFrame(
+        rows + bad, "vec_id bigint, embedding array<double>, label int"
+    )
+    clean = spark.createDataFrame(
+        rows, "vec_id bigint, embedding array<double>, label int"
+    )
+    for fn in (
+        lambda e: similarity_topk(e, n_queries=5, k=3),
+        lambda e: neardup_embedding(e, threshold=0.9),
+        lambda e: similarity_topk_ivf(e, n_queries=5, k=3, nlist=4, nprobe="all"),
+    ):
+        hostile = sorted(tuple(r) for r in fn(emb).collect())
+        baseline = sorted(tuple(r) for r in fn(clean).collect())
+        assert hostile == baseline
+        assert not any(any(v in (200, 201, 202, 203, 204) for v in t if isinstance(v, int)) for t in hostile)
+
+
+def test_finite_measures_keeps_nulls_drops_nonfinite(spark):
+    """The finite-measures contract (schemas.finite_measures): NaN/±Inf
+    measures leave the exact-decimal path explicitly (Spark's
+    CAST(double AS DECIMAL) would silently map them to NULL — invisible
+    revenue loss; DuckDB raises), while NULL measures stay — SUM skips
+    them identically on both engines."""
+    from iotstream.schemas import finite_measures
+
+    df = spark.createDataFrame(
+        [(1, 10.0), (2, None), (3, float("nan")),
+         (4, float("inf")), (5, -float("inf"))],
+        "k int, value double",
+    )
+    kept = sorted(r.k for r in finite_measures(df, "value").collect())
+    assert kept == [1, 2]
+
+
+def test_bucket_floors_pre_epoch(spark):
+    """r11 hostile-values sweep: Spark's % takes the dividend's sign,
+    so `e - e % n` bucketing rounded a 1969-12-31 23:59:59 observation
+    UP into the 1970-01-01 00:00 bucket while DuckDB's time_bucket
+    floors to 23:00. The pmod fix must floor on both sides of the
+    epoch."""
+    import datetime as dt
+
+    from iotstream.ext.temporal import gapfill_locf
+
+    sensor = spark.createDataFrame(
+        [("s1", "m1", dt.datetime(1969, 12, 31, 23, 59, 59), (10.0, 1.0)),
+         ("s1", "m2", dt.datetime(1970, 1, 1, 0, 30, 0), (20.0, 1.0))],
+        "id string, messageId string, ts timestamp, "
+        "metrics struct<temperature double, humidity double>",
+    )
+    out = {r.bucket: r.temperature
+           for r in gapfill_locf(sensor, bucket_width="60 minutes").collect()}
+    assert dt.datetime(1969, 12, 31, 23, 0, 0) in out
+    assert out[dt.datetime(1969, 12, 31, 23, 0, 0)] == 10.0
+    assert out[dt.datetime(1970, 1, 1, 0, 0, 0)] == 20.0
+
+
+def test_nonnegative_event_time_keeps_nulls(spark):
+    """The streaming event-time domain (schemas.nonnegative_event_time)
+    drops pre-epoch rows (Spark watermarks initialize at epoch 0 — a
+    pre-epoch event is late to the FIRST micro-batch) but passes NULL
+    event times through untouched (they never participate in
+    lateness; the NULL-parity contract owns them downstream)."""
+    import datetime as dt
+
+    from iotstream.schemas import nonnegative_event_time
+
+    df = spark.createDataFrame(
+        [(1, dt.datetime(1969, 12, 31, 23, 59, 59)),
+         (2, dt.datetime(1970, 1, 1)), (3, None)],
+        "k int, ts timestamp",
+    )
+    kept = sorted(r.k for r in nonnegative_event_time(df).collect())
+    assert kept == [2, 3]

@@ -29,8 +29,21 @@ decontaminate, gopher_quality's ANSI divide-by-zero on empty docs,
 doc_chunks' phantom negative chunk ids, and the multimodal NULL
 payload crashes.
 
-Usage: python tools/degenerate_sweep.py [empty|one|both|nulls|all]
-Exit 1 on any raising query (empty/one) or any parity failure (nulls).
+A fourth mode, ``hostile`` (r11), injects hostile VALUES rather than
+NULLs — IEEE NaN/±Inf measures, pre-epoch and far-future event times,
+empty-string group keys, quote/newline/control characters through the
+JSON serde, extreme-but-valid JSON, whitespace-only / punctuation-only
+/ one-enormous-token documents, and adversarial embedding vectors
+(NaN component, +Inf component, all-zero = no direction, exact
+duplicate of a real vector) — and runs the FULL parity gate on the
+result. Unicode document text is deliberately NOT injected: the
+multimodal fake-codec oracles build on the documented n_bytes ==
+n_chars ASCII contract, and redefining that contract is a separate
+piece of work, not a sweep shape.
+
+Usage: python tools/degenerate_sweep.py [empty|one|both|nulls|hostile|all]
+Exit 1 on any raising query (empty/one) or any parity failure
+(nulls/hostile).
 """
 
 from __future__ import annotations
@@ -248,8 +261,144 @@ def build_nulls() -> str:
     return out
 
 
+#: Hostile-VALUES mutations (r11, the step after NULLs): rows whose
+#: values are legal for the schema but adversarial for the semantics —
+#: what a 100 TB corpus guarantees somewhere. IEEE specials (NaN/±Inf
+#: from failed enrichments and overflow), boundary event times
+#: (pre-epoch backfills, far-future clock bugs), empty-string group
+#: keys (distinct from NULL), quote/newline/control characters through
+#: the JSON serde paths, and extreme-but-valid JSON payloads. Same
+#: copy-a-head-row-with-overrides mechanics as NULL_MUTS.
+import datetime as _dt
+
+_NAN, _INF = float("nan"), float("inf")
+HOSTILE_MUTS: dict[str, tuple[str | None, list[dict]]] = {
+    "events": (
+        "event_id",
+        [
+            {"value": _NAN},  # NaN measure → aggs, percentiles, sorts
+            {"value": _INF},
+            {"value": -_INF},
+            # pre-epoch event time (negative epoch micros): integer
+            # div/floor semantics and window bucketing below zero
+            {"ts": _dt.datetime(1969, 12, 31, 23, 59, 59)},
+            # far-future event time: watermark/window arithmetic headroom
+            {"ts": _dt.datetime(2199, 1, 1, 0, 0, 0)},
+            {"event_type": ""},  # empty-string group key (NOT NULL)
+            # quotes/newline/tab must survive the JSON serde round-trip
+            {"event_type": 'he said "hi"\n\ttab'},
+            # extreme-but-valid JSON: deep nesting, 1e308, escapes
+            {"props": '{"deep":{"a":{"b":{"c":1e308}}},'
+                      '"s":"back\\\\slash \\"quote\\""}'},
+        ],
+    ),
+    "lineitem": (
+        None,
+        [
+            {"l_linenumber": 911, "l_quantity": -5.0},  # returns
+            {"l_linenumber": 912, "l_discount": 1.0, "l_tax": 0.0},
+            {"l_linenumber": 913, "l_extendedprice": _NAN},
+            {"l_linenumber": 914, "l_shipdate": _dt.datetime(1970, 1, 1)},
+        ],
+    ),
+    "orders": (
+        "o_orderkey",
+        [
+            {"o_totalprice": _NAN},
+            {"o_orderdate": _dt.datetime(1970, 1, 1)},
+        ],
+    ),
+    "customer": ("c_custkey", [{"c_acctbal": -_INF}]),
+    "part": ("p_partkey", [{"p_size": -1, "p_retailprice": 0.0}]),
+}
+
+#: ASCII-only hostile documents (unicode text would break the
+#: DOCUMENTED n_bytes == n_chars fake-codec contract the multimodal
+#: oracles derive from — that contract change is out of scope here;
+#: see the mode docstring). n_chars stays consistent with the text.
+HOSTILE_DOCS: list[str] = [
+    "   \n\t   ",          # whitespace-only
+    "a" * 20000,            # one enormous token
+    "!!! ??? ;;; ***",      # punctuation-only
+    "x",                    # single character
+    "ctrl\x01char one two three four five",  # C0 control byte
+]
+
+
+def build_hostile() -> str:
+    """Hostile-VALUES fixture: sf0.001 plus HOSTILE_MUTS rows in the
+    relational tables, HOSTILE_DOCS in documents, and three adversarial
+    embeddings — a vector with a NaN component, one with +Inf, the
+    all-zero vector (no direction: cosine divides by ‖v‖ = 0), plus an
+    exact duplicate of a real vector (top-k tie-breaking must be
+    deterministic). The full check_oracle parity gate runs on it."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    out = f"{ROOT}/hostile"
+    marker = f"{out}/.complete"
+    if os.path.exists(marker):
+        return out
+    shutil.rmtree(out, ignore_errors=True)
+    os.makedirs(out, exist_ok=True)
+    special = {"documents.parquet", "embeddings.parquet"}
+    for f in os.listdir(SRC):
+        if f.endswith(".parquet") and f not in special:
+            table = f[: -len(".parquet")]
+            if table in HOSTILE_MUTS:
+                pk, muts = HOSTILE_MUTS[table]
+                _extend(SRC, out, table, pk, muts)
+            else:
+                shutil.copy(os.path.join(SRC, f), os.path.join(out, f))
+
+    t = pq.read_table(os.path.join(SRC, "documents.parquet"))
+    head = t.slice(0, len(HOSTILE_DOCS)).to_pydict()
+    mx = pa.compute.max(t.column("doc_id")).as_py()
+    rows = {c: list(head[c]) for c in t.column_names}
+    for i, text in enumerate(HOSTILE_DOCS):
+        rows["doc_id"][i] = mx + 1 + i
+        rows["text"][i] = text
+        rows["n_chars"][i] = len(text)
+    pq.write_table(
+        pa.concat_tables(
+            [t, pa.Table.from_pydict(rows, schema=t.schema)]
+        ),
+        os.path.join(out, "documents.parquet"),
+    )
+
+    e = pq.read_table(os.path.join(SRC, "embeddings.parquet"))
+    ehead = e.slice(0, 4).to_pydict()
+    emx = pa.compute.max(e.column("vec_id")).as_py()
+    erows = {c: list(ehead[c]) for c in e.column_names}
+    dim = len(erows["embedding"][0])
+    for i in range(4):
+        erows["vec_id"][i] = emx + 1 + i
+    erows["embedding"][0] = [_NAN] + [0.25] * (dim - 1)
+    erows["embedding"][1] = [_INF] + [0.25] * (dim - 1)
+    erows["embedding"][2] = [0.0] * dim
+    # row 3 keeps its copied REAL embedding verbatim → exact duplicate
+    pq.write_table(
+        pa.concat_tables(
+            [e, pa.Table.from_pydict(erows, schema=e.schema)]
+        ),
+        os.path.join(out, "embeddings.parquet"),
+    )
+    open(marker, "w").close()
+    return out
+
+
 def main() -> int:
     mode = sys.argv[1] if len(sys.argv) > 1 else "both"
+    if mode in ("hostile", "all"):
+        import subprocess
+
+        hostile_dir = build_hostile()
+        here = os.path.dirname(os.path.abspath(__file__))
+        rc = subprocess.call(
+            [sys.executable, os.path.join(here, "check_oracle.py"), hostile_dir]
+        )
+        if mode == "hostile" or rc != 0:
+            return rc
     if mode in ("nulls", "all"):
         import subprocess
 

@@ -16,6 +16,8 @@ output tail, so any leg failure is visible without log archaeology:
     dtypes        tools/check_dtypes.py sf0.01
     degenerate    tools/degenerate_sweep.py both (empty + single-row)
     nulls         tools/degenerate_sweep.py nulls (full NULL-parity gate)
+    hostile       tools/degenerate_sweep.py hostile (NaN/±Inf, boundary
+                  timestamps, adversarial vectors — full parity gate)
     bench         python bench.py (solo — never concurrent with other
                   Spark work; the compact JSON line is recorded)
 
@@ -53,6 +55,7 @@ LEGS: list[tuple[str, list[str]]] = [
     ("dtypes", [PY, "tools/check_dtypes.py", "/root/testdata/sf0.01"]),
     ("degenerate", [PY, "tools/degenerate_sweep.py", "both"]),
     ("nulls", [PY, "tools/degenerate_sweep.py", "nulls"]),
+    ("hostile", [PY, "tools/degenerate_sweep.py", "hostile"]),
     ("bench", [PY, "bench.py"]),
 ]
 
