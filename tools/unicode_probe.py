@@ -1,0 +1,187 @@
+"""REPORT-ONLY unicode divergence probe (r11; r12 planning input).
+
+The hostile-values sweep deliberately injects only ASCII document
+text: the multimodal fake-codec oracles build on the DOCUMENTED
+n_bytes == n_chars ASCII contract, so unicode text would fail them
+BY CONSTRUCTION, not by bug. But a 100 TB training corpus is
+overwhelmingly multilingual, and the interesting unknown is which of
+the OTHER query families silently diverge between Spark and DuckDB on
+non-ASCII input — regex word classes (Java regex vs DuckDB's RE2),
+length semantics (code points vs bytes), case folding, collation of
+ORDER BY on non-ASCII keys, JSON serde escaping of astral-plane
+characters.
+
+This tool builds a unicode-bearing twin of the sf0.001 fixtures
+(documents text in accented Latin / CJK / emoji / RTL Arabic /
+combining marks; unicode event_type group keys; unicode JSON string
+values in props) and runs the full check_oracle parity gate — but it
+NEVER fails the build: the per-query outcome is written to
+``UNICODE_PROBE_r{N}.json`` as a map, with expected-by-construction
+multimodal failures marked separately from genuine divergences. The
+artifact is the work-list for a future byte-based-codec contract and
+unicode sweep; nothing here gates the matrix.
+
+Usage: python tools/unicode_probe.py <round>
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import shutil
+import subprocess
+import sys
+import time
+
+HERE = os.path.dirname(os.path.abspath(__file__))
+REPO = os.path.dirname(HERE)
+sys.path.insert(0, REPO)
+
+SRC = "/root/testdata/sf0.001"
+OUT = "/tmp/iotstream-degenerate/unicode"
+
+#: documents.text rows; n_chars is set to the CODE-POINT count (python
+#: len == Spark length() == DuckDB length()), which already breaks the
+#: n_bytes == n_chars ASCII contract for every non-ASCII row — that is
+#: the point of the probe, and why multimodal failures are "expected".
+UNICODE_DOCS = [
+    "café résumé naïve déjà vu über straße",          # accented Latin
+    "这是 一个 测试 文本 分析 的 例子 你好 世界",          # CJK (spaced)
+    "hello \U0001f44b world \U0001f30d emoji test",     # astral emoji
+    "مرحبا بالعالم",  # RTL Arabic
+    "élégant combining marks café",   # NFD combining
+    "ΑΛΦΑ βήτα ΓΆΜΜΑ mixed ΚΕΦΑΛΑΙΑ greek case",       # case folding
+]
+
+#: queries whose oracle is DERIVED from the n_bytes == n_chars ASCII
+#: fake-codec contract — failing on this corpus is the documented
+#: contract boundary, not a divergence discovery.
+EXPECTED_CONTRACT_FAILURES = {
+    "multimodal_ingest",
+    "multimodal_decode",
+    "multimodal_features",
+    "multimodal_frame_sample",
+    "multimodal_resize",
+}
+
+
+def build() -> str:
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    marker = f"{OUT}/.complete"
+    if os.path.exists(marker):
+        return OUT
+    shutil.rmtree(OUT, ignore_errors=True)
+    os.makedirs(OUT, exist_ok=True)
+    for f in os.listdir(SRC):
+        if not f.endswith(".parquet"):
+            continue
+        if f not in ("documents.parquet", "events.parquet"):
+            shutil.copy(os.path.join(SRC, f), os.path.join(OUT, f))
+
+    t = pq.read_table(os.path.join(SRC, "documents.parquet"))
+    head = t.slice(0, len(UNICODE_DOCS)).to_pydict()
+    mx = pa.compute.max(t.column("doc_id")).as_py()
+    rows = {c: list(head[c]) for c in t.column_names}
+    for i, text in enumerate(UNICODE_DOCS):
+        rows["doc_id"][i] = mx + 1 + i
+        rows["text"][i] = text
+        rows["n_chars"][i] = len(text)
+    pq.write_table(
+        pa.concat_tables([t, pa.Table.from_pydict(rows, schema=t.schema)]),
+        os.path.join(OUT, "documents.parquet"),
+    )
+
+    e = pq.read_table(os.path.join(SRC, "events.parquet"))
+    ehead = e.slice(0, 3).to_pydict()
+    emx = pa.compute.max(e.column("event_id")).as_py()
+    erows = {c: list(ehead[c]) for c in e.column_names}
+    muts = [
+        {"event_type": "café_click"},                       # unicode group key
+        {"event_type": "购买"},                      # CJK group key
+        {"props": '{"k": 1, "s": "emoji \U0001f680 café"}'},  # unicode JSON value
+    ]
+    for i, m in enumerate(muts):
+        erows["event_id"][i] = emx + 1 + i
+        for c, v in m.items():
+            erows[c][i] = v
+    pq.write_table(
+        pa.concat_tables([e, pa.Table.from_pydict(erows, schema=e.schema)]),
+        os.path.join(OUT, "events.parquet"),
+    )
+    open(marker, "w").close()
+    return OUT
+
+
+def main() -> int:
+    if len(sys.argv) < 2 or not sys.argv[1].isdigit():
+        print(__doc__)
+        return 2
+    rnd = int(sys.argv[1])
+    fixture = build()
+    proc = subprocess.run(
+        [sys.executable, os.path.join(HERE, "check_oracle.py"), fixture],
+        capture_output=True,
+        text=True,
+        timeout=3600,
+    )
+    out = proc.stdout + proc.stderr
+    results: dict[str, dict] = {}
+    for raw in out.splitlines():
+        for seg in raw.split("\r"):
+            m = re.match(r"\s*(OK|FAIL)\s+(\w+):\s*(.*)", seg.strip())
+            if not m:
+                continue
+            status, name, detail = m.groups()
+            rec: dict = {"status": status.lower()}
+            if status == "FAIL":
+                rec["detail"] = detail.strip()[:200]
+                rec["expected_contract_failure"] = (
+                    name in EXPECTED_CONTRACT_FAILURES
+                )
+            results[name] = rec
+    genuine = sorted(
+        n
+        for n, r in results.items()
+        if r["status"] == "fail" and not r.get("expected_contract_failure")
+    )
+    expected = sorted(
+        n
+        for n, r in results.items()
+        if r["status"] == "fail" and r.get("expected_contract_failure")
+    )
+    artifact = {
+        "round": rnd,
+        "purpose": (
+            "REPORT-ONLY unicode parity probe: which queries diverge "
+            "between Spark and DuckDB on non-ASCII document text, "
+            "unicode group keys, and unicode JSON values. NOT a gate — "
+            "the multimodal family fails by construction (documented "
+            "n_bytes == n_chars ASCII fake-codec contract) and is "
+            "marked expected. The genuine list is the work-list for a "
+            "byte-based codec contract + unicode sweep in a later round."
+        ),
+        "started_unix": int(time.time()),
+        "fixture": fixture,
+        "n_queries": len(results),
+        "n_pass": sum(1 for r in results.values() if r["status"] == "ok"),
+        "genuine_divergences": genuine,
+        "expected_contract_failures": expected,
+        "queries": results,
+    }
+    path = os.path.join(REPO, f"UNICODE_PROBE_r{rnd}.json")
+    with open(path, "w") as f:
+        json.dump(artifact, f, indent=1)
+        f.write("\n")
+    print(
+        f"wrote {path}: {artifact['n_pass']}/{len(results)} pass, "
+        f"{len(genuine)} genuine divergences {genuine}, "
+        f"{len(expected)} expected contract failures"
+    )
+    return 0  # report-only by design
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
