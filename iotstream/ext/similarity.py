@@ -1165,7 +1165,11 @@ def similarity_topk_ivf(
         nlist_auto = False
         if sizing_stats is not None:
             n = emb.count()
-    nprobe_auto = not isinstance(nprobe, int)
+    # Only the genuinely derived nlist//4 default is "auto": an explicit
+    # caller pin of nprobe='all' (the graded exhaustive config) is a
+    # requested configuration and must be reported as such, or a
+    # production gate reading sizing_stats misattributes it.
+    nprobe_auto = nprobe is None
     if nprobe == "all":
         nprobe = nlist
     elif nprobe is None:

@@ -248,11 +248,17 @@ def ewma_smooth(sensor: DataFrame, alpha: float = 0.2) -> DataFrame:
     rep = flat.repartition(n, "id").sortWithinPartitions("id", "ts", "messageId")
 
     def smooth(batches):
-        carry: dict = {}  # id -> last smoothed value (unrounded)
+        carry: dict = {}  # id (None for the NULL group) -> last smoothed value
+        # Missing-key normalizer: pandas labels the dropna=False NULL
+        # group NaN (a float) while Arrow delivers NULL string ids as
+        # None — without one canonical key the NULL group's carried
+        # state is stored under NaN and looked up under None, silently
+        # restarting its recursion at every Arrow batch boundary.
+        norm = lambda k: None if pd.isna(k) else k  # noqa: E731
         for pdf in batches:
             if pdf.empty:
                 continue
-            seeds = [s for s in pdf["id"].unique() if s in carry]
+            seeds = [s for s in pdf["id"].unique() if norm(s) in carry]
             if seeds:
                 seed_df = pd.DataFrame(
                     {
@@ -260,7 +266,7 @@ def ewma_smooth(sensor: DataFrame, alpha: float = 0.2) -> DataFrame:
                         "messageId": "",
                         "ts": pd.NaT,
                         "temperature": 0,
-                        "_x": [carry[s] for s in seeds],
+                        "_x": [carry[norm(s)] for s in seeds],
                         "_seed": True,
                     }
                 )
@@ -285,7 +291,10 @@ def ewma_smooth(sensor: DataFrame, alpha: float = 0.2) -> DataFrame:
             )
             work["_s"] = s
             carry.update(
-                work.groupby("id", sort=False, dropna=False)["_s"].last().to_dict()
+                (norm(k), v)
+                for k, v in work.groupby("id", sort=False, dropna=False)["_s"]
+                .last()
+                .items()
             )
             out = work[~work["_seed"]]
             yield pd.DataFrame(

@@ -158,11 +158,15 @@ def nonnegative_event_time(df: DataFrame, ts_col: str = "ts") -> DataFrame:
     NULL event times pass through untouched: they do not participate
     in lateness at all (the r11 NULL-parity contract — watermarked
     dedup keeps them, windowed aggs drop them downstream on both
-    engines), and this filter must not change that."""
+    engines), and this filter must not change that.
+
+    The boundary is built timezone-independently (epoch second 0, the
+    instant Spark's watermark actually initializes at) — a string
+    literal cast to timestamp would be read in the session timezone and
+    silently shift the domain by the session offset for any caller that
+    has not pinned UTC."""
     c = F.col(ts_col)
-    return df.filter(
-        c.isNull() | (c >= F.lit("1970-01-01 00:00:00").cast("timestamp"))
-    )
+    return df.filter(c.isNull() | (c >= F.timestamp_seconds(F.lit(0))))
 
 
 def use_utc(spark: SparkSession) -> SparkSession:

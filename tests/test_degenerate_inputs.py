@@ -230,3 +230,30 @@ def test_nonnegative_event_time_keeps_nulls(spark):
     )
     kept = sorted(r.k for r in nonnegative_event_time(df).collect())
     assert kept == [2, 3]
+
+
+def test_nonnegative_event_time_boundary_is_tz_independent(spark):
+    """The domain boundary is epoch SECOND 0 — the instant Spark's
+    watermark initializes at — not local midnight 1970-01-01 in
+    whatever the session timezone happens to be (r11 ADVICE item: a
+    string literal cast to timestamp shifts the cutoff by the session
+    offset for any caller that has not pinned UTC)."""
+    from iotstream.schemas import nonnegative_event_time
+
+    old = spark.conf.get("spark.sql.session.timeZone")
+    spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+    try:
+        # SQL timestamp literals are read in the SESSION timezone
+        # (createDataFrame would use the OS tz instead). In NY (UTC-5):
+        # 20:00 Dec 31 is epoch +3600 — must be KEPT even though it
+        # reads "pre-1970" locally (the old string-literal boundary
+        # dropped it); 18:00 Dec 31 is epoch -3600 — must be dropped.
+        df = spark.sql(
+            "SELECT 1 AS k, timestamp'1969-12-31 20:00:00' AS ts "
+            "UNION ALL SELECT 2, timestamp'1969-12-31 18:00:00' "
+            "UNION ALL SELECT 3, timestamp'1970-01-01 00:00:00'"
+        )
+        kept = sorted(r.k for r in nonnegative_event_time(df).collect())
+        assert kept == [1, 3]
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", old)

@@ -469,6 +469,10 @@ def test_ivf_sizing_stats_symmetry(spark):
     }
     assert st2["exhaustive"] and st2["probe_coverage"] == 1.0
     assert st2["nprobe"] == st2["cells_present"]
+    # nprobe='all' is a caller PIN, not a derived default — a gate
+    # reading the stats must see it attributed to the caller (r11
+    # ADVICE item: only the nlist//4 default is auto)
+    assert not st2["nprobe_auto"]
     assert got2 == exact
 
     # explicit pins are reported verbatim (and cost one count job)

@@ -192,6 +192,61 @@ def test_ewma_matches_pandas_reference(spark):
     pd.testing.assert_frame_equal(got, expect, check_like=True)
 
 
+def test_ewma_null_id_recursion_survives_arrow_batch_splits(spark):
+    """The NULL-id group's carried state must survive Arrow batch
+    boundaries: pandas labels the dropna=False missing group NaN while
+    Arrow hands NULL string ids back as None, so an unnormalized carry
+    key silently restarts the NULL group's recursion at every batch
+    (~10k rows in production; forced to 7 rows here). Regression for
+    the r11 ADVICE item on iotstream/ext/temporal.py."""
+    import numpy as np
+    import pandas as pd
+
+    from iotstream.ext.temporal import ewma_smooth
+
+    old = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch")
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "7")
+    try:
+        # 30 NULL-id rows interleaved with a real sensor: both timelines
+        # span many 7-row batches after the id-partitioned sort.
+        rows = [
+            (
+                None if k % 2 == 0 else "s1",
+                f"m{k:03d}",
+                T0 + dt.timedelta(seconds=k),
+                (k * 7 % 13, 0),
+            )
+            for k in range(60)
+        ]
+        sensor = spark.createDataFrame(
+            rows,
+            "id string, messageId string, ts timestamp, "
+            "metrics struct<temperature long, humidity long>",
+        )
+        got = (
+            ewma_smooth(sensor, alpha=0.2)
+            .toPandas()
+            .sort_values(["id", "ts", "messageId"], na_position="first")
+            .reset_index(drop=True)
+        )
+        flat = pd.DataFrame(
+            {
+                "id": [r[0] for r in rows],
+                "messageId": [r[1] for r in rows],
+                "ts": [r[2] for r in rows],
+                "temperature": [r[3][0] for r in rows],
+            }
+        ).sort_values(["id", "ts", "messageId"], na_position="first")
+        expect = flat.assign(
+            ewma_t=flat.groupby("id", dropna=False)["temperature"]
+            .transform(lambda s: s.ewm(alpha=0.2, adjust=False).mean())
+            .transform(lambda s: np.floor(s * 1e6 + 0.5) / 1e6)
+        ).reset_index(drop=True)
+        pd.testing.assert_frame_equal(got, expect, check_like=True)
+    finally:
+        spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", old)
+
+
 def _sensor_mid(spark, rows):
     """rows: (id, minute_offset, temperature) — includes messageId."""
     return spark.createDataFrame(
