@@ -63,79 +63,42 @@ DRIVER_WINDOW = 50
 #: similarity.py-composed entries this round's recall-honesty/ADVICE
 #: fixes touch — all expire when their r9 grades land.
 FORCE_WINDOW: tuple[tuple[str, int], ...] = (
-    # r11 NULL-parity sweep churn (r10 verdict item 1): the extended
-    # degenerate gate (nulls mode now covers EVERY fixture table) found
-    # 24 Spark/oracle divergences on NULL event times, NULL group/join
-    # keys, and malformed JSON. Fixes: the event_time_only contract
-    # (engine + `ts IS NOT NULL` oracle clauses), json_valid lenient-
-    # parse guards, null-stripped JSON serialization oracle, NULL-safe
-    # skeleton joins, pandas dropna=False in the EWMA kernel. All are
-    # no-ops on the NULL-free driver fixtures (verified: full
-    # check_oracle green at sf0.001 + sf0.01), but every query below
-    # had engine and/or oracle text changed, so its existing grade no
-    # longer grades the shipped code — pin for an r11 re-grade. The r9
-    # pins all expired (each pinned query has a >= r9 green grade).
-    ("flagship", 11),
-    ("window_max", 11),
-    ("window_min", 11),
-    ("window_avg", 11),
-    ("hopping_window_max", 11),
-    ("ksql_max_table", 11),
-    ("streaming_window_agg", 11),
-    ("rolling_avg", 11),
-    ("json_parse", 11),
-    ("clean_stream_json", 11),
-    ("props_extract", 11),
-    ("props_variant", 11),
-    ("sessionize", 11),
-    ("streaming_sessionize", 11),
-    ("scd2_history", 11),
-    ("continuous_rollup", 11),
-    ("trending_event_types", 11),
-    ("quantile_sketch", 11),
-    ("candlestick", 11),
-    ("temp_delta", 11),
-    ("status_change", 11),
-    ("ewma_smooth", 11),
-    ("gapfill_locf", 11),
-    ("interpolate_linear", 11),
-    # r11 IVF sizing-stats out-param (r10 verdict item 2): the
-    # similarity_topk_ivf function itself changed (stats plumbing is
-    # a no-op for the graded config, but the grade must grade the
-    # shipped code). The OTHER queries window_plan flagged for the
-    # schemas.py module churn were false positives — the only change
-    # was the ADDED event_time_only function they never call (the
-    # raw-text preamble compare saw its blank separator lines; fixed
-    # to an AST behavior-key compare in tools/window_plan.py r11).
-    ("similarity_topk_ivf", 11),
-    # r11 HOSTILE-VALUES sweep churn (the step after the NULL sweep):
-    # the new degenerate_sweep `hostile` mode (NaN/±Inf measures,
-    # pre-epoch + far-future event times, empty-string keys, extreme
-    # JSON, adversarial embedding vectors) surfaced 15 divergences,
-    # fixed by four declared contracts: drop_null_vectors extended to
-    # non-finite/zero-norm vectors (+ oracle _VALID_EMB twins), the
-    # finite-measures contract on exact-decimal aggregates, pmod
-    # (floored) time-bucketing for pre-epoch timestamps, and the
-    # non-negative event-time domain for watermarked streaming ops.
-    # Every query whose engine and/or oracle text changed is pinned —
-    # window_plan's full stale list, so all 41 churn-stale grades
-    # re-grade in r11 regardless of how the age rotation shifts.
-    ("salted_join", 11),
-    ("similarity_topk", 11),
-    ("neardup_embedding", 11),
-    ("similarity_topk_lsh", 11),
-    ("neardup_embedding_lsh", 11),
-    ("streaming_dedup_wm", 11),
-    ("streaming_enrich", 11),
-    ("dedup_report", 11),
-    ("embedding_label_stats", 11),
-    ("grouping_sets_volume", 11),
-    ("revenue_rollup", 11),
-    ("revenue_share", 11),
-    ("dormant_customers", 11),
-    ("enrichment_join", 11),
-    ("rfm_segments", 11),
-    ("user_value_deciles", 11),
+    # All 41 r11 pins expired (CORRECTNESS_r11 landed 50/50 green, so
+    # every pinned query has an r11 grade >= its pinned_round) and are
+    # pruned — r12 carries only this round's churn, window_plan's full
+    # stale list. With 12 pins, 38 slots go to the age rotation, which
+    # pulls in the 9 r8-vintage grades (dedup_clusters, hll_distinct,
+    # intersect_users, lm_bigram_xent, neardup_jaccard, sequence_pack,
+    # simhash, tokenize_encode, vocab_build — r11 verdict item 2).
+    #
+    # r12 BYTE-BASED fake-codec contract: the five multimodal oracles
+    # were rewritten from the ASCII n_bytes == n_chars construction to
+    # recompute from the UTF-8 payload bytes (DuckDB strlen/encode +
+    # hex-nibble byte histogram), retiring the 5 documented unicode
+    # contract failures (UNICODE_PROBE_r11). Oracle text changed →
+    # re-grade.
+    ("multimodal_ingest", 12),
+    ("multimodal_decode", 12),
+    ("multimodal_features", 12),
+    ("multimodal_frame_sample", 12),
+    ("multimodal_resize", 12),
+    # r12 NaN-density sweep (r11 verdict item 3): broadened hostile
+    # shapes (NaN ties in a real group, an all-NaN group, NaN+empty-key
+    # compose, multi-line NaN lineitems) caught three exact-DECIMAL
+    # queries without the finite-measures contract — engine + oracle
+    # both gained the declared exclusion.
+    ("pricing_summary", 12),
+    ("large_quantity_orders", 12),
+    ("product_profit", 12),
+    # r11 ADVICE fixes: EWMA NULL-id carry normalized across Arrow
+    # batches (temporal.py kernel changed); IVF nprobe_auto provenance
+    # (similarity.py changed); nonnegative_event_time boundary now
+    # timezone-independent (schemas.py changed → the two watermarked
+    # streaming queries that call it).
+    ("ewma_smooth", 12),
+    ("similarity_topk_ivf", 12),
+    ("streaming_window_agg", 12),
+    ("streaming_dedup_wm", 12),
 )
 
 
@@ -959,9 +922,9 @@ def q_multimodal_ingest(spark, sf_dir):
 
 def q_multimodal_decode(spark, sf_dir):
     """Arrow-batched decode pass (deterministic fake codec), oracle-
-    checked: the stand-in derives dimensions from payload byte length,
-    and fixture payloads are ASCII (n_bytes == n_chars), so the DuckDB
-    twin is plain length arithmetic."""
+    checked: the stand-in derives dimensions from payload BYTE length,
+    and the DuckDB twin mirrors that with strlen() (UTF-8 byte count) —
+    exact on any multilingual corpus, not just ASCII."""
     media = attach_media(load_table(spark, sf_dir, "documents"))
     return decode_media(media, fake=True)
 
@@ -1585,8 +1548,8 @@ def q_neardup_editdist(spark, sf_dir):
 def q_multimodal_resize(spark, sf_dir):
     """Aspect-preserving resize planning over the deterministic
     fake-decoded dimensions — metadata-only codegen expressions, so the
-    whole decode→resize chain is oracle-checkable (payloads are ASCII:
-    n_bytes == n_chars)."""
+    whole decode→resize chain is oracle-checkable (byte-based fake
+    codec; the oracle recomputes dims from strlen(text))."""
     docs = load_table(spark, sf_dir, "documents")
     return resize_media(decode_media(attach_media(docs), fake=True))
 
@@ -1596,7 +1559,8 @@ def q_multimodal_features(spark, sf_dir):
     feature-extract slot; engine-side numpy). The declared projection
     posexplodes the 16-bin array to (doc_id, bin, feature) scalar rows
     so the driver can hash it; the oracle recomputes the histogram from
-    ASCII char codes with the kernel's half-up 6-decimal rounding."""
+    the UTF-8 payload bytes (hex-nibble unnest) with the kernel's
+    half-up 6-decimal rounding."""
     docs = load_table(spark, sf_dir, "documents")
     return extract_features(attach_media(docs)).select(
         "doc_id", F.posexplode("features").alias("bin", "feature")
@@ -1607,7 +1571,7 @@ def q_multimodal_frame_sample(spark, sf_dir):
     """Frame sampling (every 4th frame index) over the deterministic
     fake-decoded n_frames — sequence + HOF filter + explode, no UDF, so
     the decode→frame-sample chain is oracle-checkable like resize
-    (payloads are ASCII: n_bytes == n_chars)."""
+    (byte-based fake codec; n_frames from strlen(text))."""
     from iotstream.ext.multimodal import sample_frames
 
     docs = load_table(spark, sf_dir, "documents")
@@ -2708,14 +2672,17 @@ def oracle_sql() -> dict[str, str]:
         "similarity_topk_lsh": _TOPK_ORACLE,
         "similarity_topk_ivf": _TOPK_ORACLE,
         "neardup_embedding_lsh": _NEARDUP_EMB_ORACLE,
-        # multimodal_decode: deterministic fake codec over ASCII payloads
-        # (n_bytes == n_chars) — plain length arithmetic in SQL.
+        # multimodal_decode: deterministic fake codec over the UTF-8
+        # payload BYTES — strlen() is DuckDB's byte length (length() is
+        # code points), matching the engine's len(payload) on any
+        # multilingual corpus, not just ASCII (r12: the former
+        # n_bytes == n_chars ASCII contract is retired).
         "multimodal_decode": """
             SELECT doc_id,
                    'application/x-fixture-' || source AS mime,
-                   CAST(length(text) % 640 + 1 AS BIGINT) AS width,
-                   CAST(length(text) % 480 + 1 AS BIGINT) AS height,
-                   CAST(length(text) % 24 + 1 AS BIGINT) AS n_frames
+                   CAST(strlen(text) % 640 + 1 AS BIGINT) AS width,
+                   CAST(strlen(text) % 480 + 1 AS BIGINT) AS height,
+                   CAST(strlen(text) % 24 + 1 AS BIGINT) AS n_frames
             FROM documents""",
         "similarity_topk": _TOPK_ORACLE,
         "neardup_embedding": _NEARDUP_EMB_ORACLE,
@@ -2736,10 +2703,12 @@ def oracle_sql() -> dict[str, str]:
                    round(min(norm), 6) AS min_norm,
                    round(max(norm), 6) AS max_norm
             FROM e GROUP BY label""",
+        # strlen = UTF-8 byte count (CAST(text AS BLOB) raises on
+        # non-ASCII input; encode()/strlen() are the lossless paths)
         "multimodal_ingest": """
             SELECT doc_id,
                    'application/x-fixture-' || source AS mime,
-                   CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS n_bytes,
+                   CAST(strlen(text) AS BIGINT) AS n_bytes,
                    sha256(text) AS sha256
             FROM documents""",
         "salted_join": """
@@ -2979,6 +2948,10 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS count_order
             FROM lineitem
             WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+              AND (l_quantity IS NULL OR isfinite(l_quantity))
+              AND (l_extendedprice IS NULL OR isfinite(l_extendedprice))
+              AND (l_discount IS NULL OR isfinite(l_discount))
+              AND (l_tax IS NULL OR isfinite(l_tax))
             GROUP BY l_returnflag, l_linestatus""",
         "revenue_rollup": """
             SELECT r_name, n_name, count(*) AS n_orders,
@@ -3009,7 +2982,9 @@ def oracle_sql() -> dict[str, str]:
             WITH qty AS (SELECT l_orderkey,
                                 CAST(SUM(CAST(l_quantity AS DECIMAL(12,4))) AS DOUBLE)
                                     AS total_qty
-                         FROM lineitem GROUP BY l_orderkey
+                         FROM lineitem
+                         WHERE (l_quantity IS NULL OR isfinite(l_quantity))
+                         GROUP BY l_orderkey
                          HAVING CAST(SUM(CAST(l_quantity AS DECIMAL(12,4))) AS DOUBLE) > 300)
             SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice, total_qty
             FROM orders
@@ -3202,8 +3177,9 @@ def oracle_sql() -> dict[str, str]:
                    AND symbol_ratio <= 0.1 AS keep
             FROM sig""",
         "multimodal_resize": """
-            WITH d AS (SELECT doc_id, (n_chars % 640) + 1 AS width,
-                              (n_chars % 480) + 1 AS height FROM documents),
+            WITH d AS (SELECT doc_id, (strlen(text) % 640) + 1 AS width,
+                              (strlen(text) % 480) + 1 AS height
+                       FROM documents),
             s AS (SELECT doc_id, width, height,
                          least(224.0 / width, 224.0 / height, 1.0) AS scale
                   FROM d)
@@ -3213,28 +3189,35 @@ def oracle_sql() -> dict[str, str]:
                    CAST(greatest(floor(height * scale), 1) AS BIGINT) AS out_height
             FROM s""",
         "multimodal_frame_sample": """
-            WITH d AS (SELECT doc_id, (n_chars % 24) + 1 AS n_frames
+            WITH d AS (SELECT doc_id, (strlen(text) % 24) + 1 AS n_frames
                        FROM documents),
             i AS (SELECT doc_id, unnest(range(0, n_frames)) AS frame_idx
                   FROM d)
             SELECT doc_id, frame_idx FROM i WHERE frame_idx % 4 = 0""",
-        # multimodal_features: byte histogram over ASCII payloads; the
-        # kernel rounds half-UP at 6 decimals (floor(x*1e6+0.5)) exactly
+        # multimodal_features: histogram over the UTF-8 payload BYTES
+        # (not char codes — multilingual text has multi-byte chars): a
+        # byte's top nibble IS its first hex digit, so hex(encode(text))
+        # + per-byte nibble lookup recomputes the kernel's bin = byte>>4
+        # exactly. Kernel rounds half-UP at 6 decimals (floor(x*1e6+.5))
         # so this integer-arithmetic twin can match it (np.round's
         # banker's rounding diverges on 128-byte-style .xxxxxx5 ties).
         "multimodal_features": """
-            WITH n AS (SELECT doc_id, length(text) AS n, text FROM documents),
-            i AS (SELECT doc_id, text, n, unnest(range(1, n + 1)) AS i FROM n),
+            WITH n AS (SELECT doc_id, strlen(text) AS n,
+                              hex(encode(text)) AS h
+                       FROM documents),
+            i AS (SELECT doc_id, h, n, unnest(range(1, n + 1)) AS i FROM n),
             b AS (SELECT doc_id, n,
-                         ord(substr(text, CAST(i AS INT), 1)) // 16 AS bin
+                         instr('0123456789ABCDEF',
+                               substr(h, CAST(2 * i - 1 AS INT), 1)) - 1 AS bin
                   FROM i),
             c AS (SELECT doc_id, bin, count(*) AS c FROM b GROUP BY 1, 2),
-            -- text IS NOT NULL: features are UNDEFINED for a failed
-            -- payload — the table omits the doc (Spark's posexplode of
-            -- a NULL array drops it), it does not fabricate 16 NULL bins
+            -- h IS NOT NULL (i.e. text IS NOT NULL): features are
+            -- UNDEFINED for a failed payload — the table omits the doc
+            -- (Spark's posexplode of a NULL array drops it), it does
+            -- not fabricate 16 NULL bins
             dense AS (SELECT d.doc_id, d.n, CAST(r.range AS INT) AS bin
                       FROM n d CROSS JOIN range(16) r
-                      WHERE d.text IS NOT NULL)
+                      WHERE d.h IS NOT NULL)
             SELECT dense.doc_id, dense.bin,
                    floor(COALESCE(c.c, 0) / GREATEST(dense.n, 1) * 1000000
                          + 0.5) / 1000000 AS feature
@@ -3331,6 +3314,10 @@ def oracle_sql() -> dict[str, str]:
             JOIN supplier ON l_suppkey = s_suppkey
             JOIN nation ON s_nationkey = n_nationkey
             JOIN orders ON l_orderkey = o_orderkey
+            WHERE (l_quantity IS NULL OR isfinite(l_quantity))
+              AND (l_extendedprice IS NULL OR isfinite(l_extendedprice))
+              AND (l_discount IS NULL OR isfinite(l_discount))
+              AND (p_retailprice IS NULL OR isfinite(p_retailprice))
             GROUP BY 1, 2""",
         "returned_item_revenue": f"""
             SELECT c_custkey, c_name, revenue, c_acctbal, n_name FROM (

@@ -65,9 +65,16 @@ def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q1-shaped pricing summary over lineitem: filter pushed to
     the parquet scan, decimal-exact sums, avg derived from exact sum /
     count. Single shuffle (4 groups), partial aggregation map-side."""
-    li = load_table(spark, sf_dir, "lineitem").filter(
-        F.col("l_shipdate") <= F.lit("1998-09-02")
-    )
+    # finite-measures contract: every float column feeding an exact-
+    # DECIMAL agg excludes NaN/±Inf (Spark's CAST silently NULLs them,
+    # DuckDB raises — see schemas.finite_measures; r12 NaN-density sweep)
+    li = finite_measures(
+        load_table(spark, sf_dir, "lineitem"),
+        "l_quantity",
+        "l_extendedprice",
+        "l_discount",
+        "l_tax",
+    ).filter(F.col("l_shipdate") <= F.lit("1998-09-02"))
     # DECIMAL(12,4) inputs keep the 3-factor product within the 38-digit
     # cap in BOTH engines (12,4 × 12,4 → 25,8; × 12,4 → 38,12) so every
     # intermediate stays exact — no float drift at any row count.
@@ -233,7 +240,10 @@ def large_quantity_orders(
     l_orderkey, map-side partials), shrinking lineitem to a tiny key
     set that AQE then broadcasts against orders; customer broadcasts.
     Final top-k is TakeOrderedAndProject."""
-    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+    # finite-measures contract on the exact-decimal quantity sum (r12)
+    li = finite_measures(
+        load_table(spark, sf_dir, "lineitem"), "l_quantity"
+    ).select("l_orderkey", "l_quantity")
     qty = (
         li.groupBy("l_orderkey")
         .agg(

@@ -31,7 +31,7 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from iotstream.schemas import load_table
+from iotstream.schemas import finite_measures, load_table
 
 __all__ = [
     "order_priority_check",
@@ -201,9 +201,17 @@ def product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
     Plan: part and supplier⋈nation broadcast; lineitem⋈orders is the
     only shuffle; profit is exact decimal so the nation/year sums are
     partition-order independent."""
-    li = load_table(spark, sf_dir, "lineitem")
+    # finite-measures contract on every float column feeding the exact-
+    # decimal profit (r12 NaN-density sweep: Spark CAST NULLs NaN,
+    # DuckDB raises — the exclusion is the declared, mirrored rule)
+    li = finite_measures(
+        load_table(spark, sf_dir, "lineitem"),
+        "l_quantity",
+        "l_extendedprice",
+        "l_discount",
+    )
     part = (
-        load_table(spark, sf_dir, "part")
+        finite_measures(load_table(spark, sf_dir, "part"), "p_retailprice")
         .filter(F.col("p_name").contains("widget"))
         .select("p_partkey", "p_retailprice")
     )

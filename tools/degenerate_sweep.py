@@ -18,9 +18,9 @@ no-files/no-batches path that a real deployment hits on a quiet
 topic.
 
 A third mode, ``nulls``, builds a NULL-bearing fixture dir (documents
-extended with NULL-text "failed fetch" rows — n_chars NULL too, the
-consistency the multimodal oracles' n_bytes == n_chars contract
-requires — and zero-length rows with n_chars 0) and runs the FULL
+extended with NULL-text "failed fetch" rows — n_chars NULL too, since
+a failed fetch has no known length — and zero-length rows with
+n_chars 0) and runs the FULL
 check_oracle gate on it: not just "doesn't crash" but value-level
 Spark≡DuckDB parity on a corpus with NULL and empty documents. This
 is the sweep that found (r9): the descending-sequence shingle crash
@@ -36,10 +36,15 @@ JSON serde, extreme-but-valid JSON, whitespace-only / punctuation-only
 / one-enormous-token documents, and adversarial embedding vectors
 (NaN component, +Inf component, all-zero = no direction, exact
 duplicate of a real vector) — and runs the FULL parity gate on the
-result. Unicode document text is deliberately NOT injected: the
-multimodal fake-codec oracles build on the documented n_bytes ==
-n_chars ASCII contract, and redefining that contract is a separate
-piece of work, not a sweep shape.
+result. Since r12 the hostile corpus also injects UNICODE shapes
+(multilingual document text, unicode group keys, unicode JSON values):
+the fake-codec contract is byte-based (the oracles recompute from
+UTF-8 bytes via strlen/hex-nibble), so multilingual text is a gated
+parity surface, no longer a report-only probe. The r11 single-NaN-row
+shapes are also broadened here: NaN at BOTH extremes of a group, an
+ALL-NaN group, and NaN ties — the placements percentile/min_by/
+rank-order paths are sensitive to that one row per table cannot
+exercise.
 
 Usage: python tools/degenerate_sweep.py [empty|one|both|nulls|hostile|all]
 Exit 1 on any raising query (empty/one) or any parity failure
@@ -195,8 +200,7 @@ def build_nulls() -> str:
     EVERY table (r10 verdict item 1 — the r9 sweep covered only
     documents/embeddings and found 9 real defects on that one table).
     documents — NULL text ⇒ NULL n_chars (a failed fetch has no known
-    length; the multimodal oracles derive from n_chars under the
-    documented n_bytes == n_chars invariant), empty text ⇒ n_chars 0.
+    length), empty text ⇒ n_chars 0.
     embeddings — NULL vectors (a failed embedding job) and one NULL
     label: content-less vectors must be EXCLUDED from every pair/top-k
     output (DuckDB's NULL list arithmetic drops them naturally; the
@@ -290,6 +294,12 @@ HOSTILE_MUTS: dict[str, tuple[str | None, list[dict]]] = {
             # extreme-but-valid JSON: deep nesting, 1e308, escapes
             {"props": '{"deep":{"a":{"b":{"c":1e308}}},'
                       '"s":"back\\\\slash \\"quote\\""}'},
+            # unicode group keys + unicode JSON values (r12: gated, not
+            # probe-only — collation of ORDER BY, group-key hashing, and
+            # JSON serde escaping must agree on multilingual input)
+            {"event_type": "café_click"},
+            {"event_type": "购买"},
+            {"props": '{"k": 1, "s": "emoji \U0001f680 café"}'},
         ],
     ),
     "lineitem": (
@@ -312,26 +322,65 @@ HOSTILE_MUTS: dict[str, tuple[str | None, list[dict]]] = {
     "part": ("p_partkey", [{"p_size": -1, "p_retailprice": 0.0}]),
 }
 
-#: ASCII-only hostile documents (unicode text would break the
-#: DOCUMENTED n_bytes == n_chars fake-codec contract the multimodal
-#: oracles derive from — that contract change is out of scope here;
-#: see the mode docstring). n_chars stays consistent with the text.
+#: r12 NaN-shape broadening (r11 verdict item 3): a single NaN row per
+#: table cannot exercise NaN TIES, an ALL-NaN group, or NaN landing on
+#: both sides of a group's real extremes — exactly the placements
+#: percentile / min_by / max_by / rank-order paths are sensitive to.
+#: Density is a parameter so future rounds can raise it without
+#: re-deriving the shapes.
+NAN_DENSITY = 4
+HOSTILE_MUTS["events"][1].extend(
+    # NaN ties inside a REAL group ('view'): several rows with the
+    # identical non-value, spread across the head-copied users, so
+    # ordering/percentile ties among NaNs and against real values both
+    # occur within one group and one user's timeline
+    [{"value": _NAN, "event_type": "view"} for _ in range(NAN_DENSITY)]
+    # an ALL-NaN group: no finite value at all → finite-measures
+    # contracts must yield an empty/NULL aggregate identically on both
+    # engines, never a fabricated 0
+    + [{"value": _NAN, "event_type": "all_nan"} for _ in range(3)]
+    # NaN inside the empty-string group (composes two hostile shapes)
+    + [{"value": _NAN, "event_type": ""}]
+)
+HOSTILE_MUTS["lineitem"][1].extend(
+    # NaN price/quantity ties across several lines of real orders —
+    # pricing_summary-style DECIMAL aggs and min_by/max_by paths see
+    # NaN next to real extremes within the same returnflag groups
+    {"l_linenumber": 915 + k, "l_quantity": _NAN, "l_extendedprice": _NAN}
+    for k in range(3)
+)
+
+#: Hostile documents. Since r12 this includes MULTILINGUAL text as a
+#: gated shape: the fake-codec contract is byte-based (oracles
+#: recompute from UTF-8 bytes via strlen/hex-nibble, engine from
+#: len(payload)), so unicode text must hold full value-level parity —
+#: regex word classes, length semantics, collation, JSON escaping and
+#: the byte-histogram kernel all run on it. n_chars stays consistent
+#: with the text (code points, as the generator writes it).
 HOSTILE_DOCS: list[str] = [
     "   \n\t   ",          # whitespace-only
     "a" * 20000,            # one enormous token
     "!!! ??? ;;; ***",      # punctuation-only
     "x",                    # single character
     "ctrl\x01char one two three four five",  # C0 control byte
+    "café résumé naïve déjà vu über straße",   # accented Latin (2-byte)
+    "这是 一个 测试 文本 分析 的 例子 你好 世界",  # CJK (3-byte)
+    "hello \U0001f44b world \U0001f30d emoji test",  # astral plane (4-byte)
+    "مرحبا بالعالم",       # RTL Arabic
+    "élégant combining marks café",  # NFD combining sequences
 ]
 
 
 def build_hostile() -> str:
-    """Hostile-VALUES fixture: sf0.001 plus HOSTILE_MUTS rows in the
-    relational tables, HOSTILE_DOCS in documents, and three adversarial
-    embeddings — a vector with a NaN component, one with +Inf, the
-    all-zero vector (no direction: cosine divides by ‖v‖ = 0), plus an
-    exact duplicate of a real vector (top-k tie-breaking must be
-    deterministic). The full check_oracle parity gate runs on it."""
+    """Hostile-VALUES fixture: sf0.001 plus HOSTILE_MUTS rows (IEEE
+    specials with r12 NaN-density/all-NaN-group shapes, boundary times,
+    empty and unicode group keys, hostile JSON) in the relational
+    tables, HOSTILE_DOCS (degenerate ASCII + multilingual unicode) in
+    documents, and three adversarial embeddings — a vector with a NaN
+    component, one with +Inf, the all-zero vector (no direction: cosine
+    divides by ‖v‖ = 0), plus an exact duplicate of a real vector
+    (top-k tie-breaking must be deterministic). The full check_oracle
+    parity gate runs on it."""
     import pyarrow as pa
     import pyarrow.parquet as pq
 

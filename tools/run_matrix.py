@@ -19,7 +19,12 @@ output tail, so any leg failure is visible without log archaeology:
     hostile       tools/degenerate_sweep.py hostile (NaN/±Inf, boundary
                   timestamps, adversarial vectors — full parity gate)
     bench         python bench.py (solo — never concurrent with other
-                  Spark work; the compact JSON line is recorded)
+                  Spark work; the compact JSON line is recorded). The
+                  leg is load-gated: it waits for loadavg to decay
+                  below bench.py's own start threshold, then re-runs
+                  up to BENCH_MAX_ATTEMPTS times while the capture
+                  self-flags ``contaminated`` — the committed artifact
+                  should need no manual idle chaser.
 
 Legs run one at a time (the bench leg REQUIRES that; oracle checks
 tolerate concurrency but sequential keeps timings attributable).
@@ -58,6 +63,59 @@ LEGS: list[tuple[str, list[str]]] = [
     ("hostile", [PY, "tools/degenerate_sweep.py", "hostile"]),
     ("bench", [PY, "bench.py"]),
 ]
+
+#: Bench-leg contamination discipline (VERDICT r11 item 5): the r11
+#: matrix ran the bench leg after a fixed 90 s settle and still caught
+#: ambient load (95.1 s at load 3.49), forcing a manual idle re-run.
+#: The leg now (a) WAITS until 1-min loadavg decays below bench.py's
+#: own load_at_start threshold (max(2.0, 0.25·ncpu)) before launching,
+#: and (b) parses the capture's self-diagnosed ``contaminated`` flag
+#: and re-runs the bench (with another settle) until it reads false or
+#: the attempt budget is spent — so the committed artifact needs no
+#: manual chaser.
+BENCH_MAX_ATTEMPTS = 3
+BENCH_SETTLE_TIMEOUT = 600  # max seconds to wait for loadavg decay
+BENCH_SETTLE_POLL = 15
+
+
+def _settle_for_bench() -> float:
+    """Block until load1 is under bench.py's start threshold (or the
+    timeout passes — recorded either way; the bench's own verdict is
+    still the authority). Returns seconds waited."""
+    thresh = max(2.0, 0.25 * (os.cpu_count() or 1))
+    t0 = time.monotonic()
+    while time.monotonic() - t0 < BENCH_SETTLE_TIMEOUT:
+        try:
+            load1 = os.getloadavg()[0]
+        except OSError:  # pragma: no cover
+            break
+        if load1 < thresh:
+            break
+        print(
+            f"SETTLE bench: load1 {load1:.2f} >= {thresh:.1f}, waiting",
+            flush=True,
+        )
+        time.sleep(BENCH_SETTLE_POLL)
+    return round(time.monotonic() - t0, 1)
+
+
+def _bench_contaminated(out: str) -> bool | None:
+    """Pull the self-diagnosed contamination flag from the bench's
+    compact JSON line; None when no parsable line is found."""
+    for ln in reversed(out.splitlines()):
+        s = ln.strip()
+        if not s.startswith("{"):
+            continue
+        try:
+            rec = json.loads(s)
+        except ValueError:
+            continue
+        if isinstance(rec, dict) and "metric" in rec:
+            load = rec.get("loadavg")
+            if isinstance(load, dict) and "contaminated" in load:
+                return bool(load["contaminated"])
+            return None
+    return None
 
 
 def git_head() -> str | None:
@@ -102,23 +160,38 @@ def main() -> int:
             result["legs"][name] = {"status": "skipped"}
             print(f"SKIP  {name}")
             continue
-        if name == "bench" and len([l for l in result["legs"].values() if l.get("seconds")]) > 0:
-            # The bench leg runs last, right after eight Spark-heavy
-            # legs: without a settle the capture starts with the
-            # previous leg's 1-min loadavg residue and reads "not
-            # provably idle" even on an otherwise quiet machine. 90 s
-            # lets load1 decay below the contamination threshold.
-            print("SETTLE 90s before bench (loadavg decay)", flush=True)
-            time.sleep(90)
         print(f"RUN   {name}: {' '.join(cmd)}", flush=True)
         t0 = time.monotonic()
-        try:
-            proc = subprocess.run(
-                cmd, cwd=REPO, capture_output=True, text=True, timeout=3600
+        bench_meta: dict = {}
+        attempts = BENCH_MAX_ATTEMPTS if name == "bench" else 1
+        for attempt in range(1, attempts + 1):
+            if name == "bench":
+                # Load-gated settle replaces the r11 fixed 90 s sleep:
+                # the leg runs right after eight Spark-heavy legs and
+                # must not start until load1 has actually decayed.
+                waited = _settle_for_bench()
+                bench_meta.setdefault("settle_seconds", []).append(waited)
+            try:
+                proc = subprocess.run(
+                    cmd, cwd=REPO, capture_output=True, text=True,
+                    timeout=3600,
+                )
+                rc, out = proc.returncode, proc.stdout + proc.stderr
+            except subprocess.TimeoutExpired:
+                rc, out = -1, "TIMEOUT after 3600s"
+            if name != "bench" or rc != 0:
+                break
+            contaminated = _bench_contaminated(out)
+            bench_meta.setdefault("contaminated_attempts", []).append(
+                contaminated
             )
-            rc, out = proc.returncode, proc.stdout + proc.stderr
-        except subprocess.TimeoutExpired:
-            rc, out = -1, "TIMEOUT after 3600s"
+            if not contaminated:  # False or None (flag unavailable)
+                break
+            print(
+                f"RETRY bench: capture self-flagged contaminated "
+                f"(attempt {attempt}/{attempts})",
+                flush=True,
+            )
         dur = round(time.monotonic() - t0, 1)
         # tail: the verdict lines every leg prints last (ALL OK /
         # failure list / pytest summary / bench JSON). Spark progress
@@ -141,6 +214,7 @@ def main() -> int:
             "rc": rc,
             "seconds": dur,
             "tail": tail,
+            **bench_meta,
         }
         print(f"{status:5} {name} in {dur}s")
     result["total_seconds"] = round(

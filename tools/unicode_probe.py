@@ -1,25 +1,28 @@
-"""REPORT-ONLY unicode divergence probe (r11; r12 planning input).
+"""Unicode parity probe (r11: report-only; r12: a GATE).
 
-The hostile-values sweep deliberately injects only ASCII document
-text: the multimodal fake-codec oracles build on the DOCUMENTED
-n_bytes == n_chars ASCII contract, so unicode text would fail them
-BY CONSTRUCTION, not by bug. But a 100 TB training corpus is
-overwhelmingly multilingual, and the interesting unknown is which of
-the OTHER query families silently diverge between Spark and DuckDB on
-non-ASCII input — regex word classes (Java regex vs DuckDB's RE2),
-length semantics (code points vs bytes), case folding, collation of
-ORDER BY on non-ASCII keys, JSON serde escaping of astral-plane
-characters.
+A 100 TB training corpus is overwhelmingly multilingual, so unicode
+parity between Spark and DuckDB is a correctness surface, not a
+curiosity: regex word classes (Java regex vs DuckDB's RE2), length
+semantics (code points vs bytes), case folding, collation of ORDER BY
+on non-ASCII keys, JSON serde escaping of astral-plane characters.
 
 This tool builds a unicode-bearing twin of the sf0.001 fixtures
 (documents text in accented Latin / CJK / emoji / RTL Arabic /
 combining marks; unicode event_type group keys; unicode JSON string
-values in props) and runs the full check_oracle parity gate — but it
-NEVER fails the build: the per-query outcome is written to
-``UNICODE_PROBE_r{N}.json`` as a map, with expected-by-construction
-multimodal failures marked separately from genuine divergences. The
-artifact is the work-list for a future byte-based-codec contract and
-unicode sweep; nothing here gates the matrix.
+values in props) and runs the full check_oracle parity gate on it.
+
+History: in r11 the multimodal fake-codec oracles were derived from an
+ASCII ``n_bytes == n_chars`` contract, so the five multimodal queries
+failed this probe BY CONSTRUCTION and the tool was report-only. In r12
+the fake codec's oracles were rewritten to recompute from the UTF-8
+payload BYTES (DuckDB ``strlen``/hex-nibble histogram — see
+``oracle_sql()`` in ``__spark_entry__.py``), retiring that contract:
+every declared query must now hold full value-level parity on
+multilingual input, and the probe exits nonzero on ANY failure.
+Unicode shapes also run inside the gated hostile sweep
+(``tools/degenerate_sweep.py hostile``); this probe is kept as the
+denser, documents-focused fixture and writes its per-query outcome to
+``UNICODE_PROBE_r{N}.json``.
 
 Usage: python tools/unicode_probe.py <round>
 """
@@ -42,28 +45,17 @@ SRC = "/root/testdata/sf0.001"
 OUT = "/tmp/iotstream-degenerate/unicode"
 
 #: documents.text rows; n_chars is set to the CODE-POINT count (python
-#: len == Spark length() == DuckDB length()), which already breaks the
-#: n_bytes == n_chars ASCII contract for every non-ASCII row — that is
-#: the point of the probe, and why multimodal failures are "expected".
+#: len == Spark length() == DuckDB length()), which differs from the
+#: UTF-8 byte count for every non-ASCII row — exactly the split the
+#: byte-based fake-codec oracles must keep straight.
 UNICODE_DOCS = [
     "café résumé naïve déjà vu über straße",          # accented Latin
     "这是 一个 测试 文本 分析 的 例子 你好 世界",          # CJK (spaced)
     "hello \U0001f44b world \U0001f30d emoji test",     # astral emoji
     "مرحبا بالعالم",  # RTL Arabic
-    "élégant combining marks café",   # NFD combining
+    "élégant combining marks café",   # NFD combining
     "ΑΛΦΑ βήτα ΓΆΜΜΑ mixed ΚΕΦΑΛΑΙΑ greek case",       # case folding
 ]
-
-#: queries whose oracle is DERIVED from the n_bytes == n_chars ASCII
-#: fake-codec contract — failing on this corpus is the documented
-#: contract boundary, not a divergence discovery.
-EXPECTED_CONTRACT_FAILURES = {
-    "multimodal_ingest",
-    "multimodal_decode",
-    "multimodal_features",
-    "multimodal_frame_sample",
-    "multimodal_resize",
-}
 
 
 def build() -> str:
@@ -138,37 +130,26 @@ def main() -> int:
             rec: dict = {"status": status.lower()}
             if status == "FAIL":
                 rec["detail"] = detail.strip()[:200]
-                rec["expected_contract_failure"] = (
-                    name in EXPECTED_CONTRACT_FAILURES
-                )
             results[name] = rec
-    genuine = sorted(
-        n
-        for n, r in results.items()
-        if r["status"] == "fail" and not r.get("expected_contract_failure")
-    )
-    expected = sorted(
-        n
-        for n, r in results.items()
-        if r["status"] == "fail" and r.get("expected_contract_failure")
+    failures = sorted(
+        n for n, r in results.items() if r["status"] == "fail"
     )
     artifact = {
         "round": rnd,
         "purpose": (
-            "REPORT-ONLY unicode parity probe: which queries diverge "
-            "between Spark and DuckDB on non-ASCII document text, "
-            "unicode group keys, and unicode JSON values. NOT a gate — "
-            "the multimodal family fails by construction (documented "
-            "n_bytes == n_chars ASCII fake-codec contract) and is "
-            "marked expected. The genuine list is the work-list for a "
-            "byte-based codec contract + unicode sweep in a later round."
+            "GATED unicode parity probe: every declared query must hold "
+            "value-level Spark≡DuckDB parity on non-ASCII document "
+            "text, unicode group keys, and unicode JSON values. The "
+            "r11 n_bytes == n_chars ASCII fake-codec contract is "
+            "retired — the multimodal oracles recompute from UTF-8 "
+            "bytes, so the multimodal family is graded here like "
+            "everything else."
         ),
         "started_unix": int(time.time()),
         "fixture": fixture,
         "n_queries": len(results),
         "n_pass": sum(1 for r in results.values() if r["status"] == "ok"),
-        "genuine_divergences": genuine,
-        "expected_contract_failures": expected,
+        "failures": failures,
         "queries": results,
     }
     path = os.path.join(REPO, f"UNICODE_PROBE_r{rnd}.json")
@@ -177,10 +158,9 @@ def main() -> int:
         f.write("\n")
     print(
         f"wrote {path}: {artifact['n_pass']}/{len(results)} pass, "
-        f"{len(genuine)} genuine divergences {genuine}, "
-        f"{len(expected)} expected contract failures"
+        f"{len(failures)} failures {failures}"
     )
-    return 0  # report-only by design
+    return 1 if failures else 0
 
 
 if __name__ == "__main__":
