@@ -20,7 +20,7 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from iotstream.schemas import finite_measures, load_table
+from iotstream.schemas import finite_lineitem, finite_measures, load_table
 
 
 def dec_sum(col: Column | str, alias: str) -> Column:
@@ -65,16 +65,12 @@ def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q1-shaped pricing summary over lineitem: filter pushed to
     the parquet scan, decimal-exact sums, avg derived from exact sum /
     count. Single shuffle (4 groups), partial aggregation map-side."""
-    # finite-measures contract: every float column feeding an exact-
-    # DECIMAL agg excludes NaN/±Inf (Spark's CAST silently NULLs them,
-    # DuckDB raises — see schemas.finite_measures; r12 NaN-density sweep)
-    li = finite_measures(
-        load_table(spark, sf_dir, "lineitem"),
-        "l_quantity",
-        "l_extendedprice",
-        "l_discount",
-        "l_tax",
-    ).filter(F.col("l_shipdate") <= F.lit("1998-09-02"))
+    # table-level finite-measures contract (schemas.finite_lineitem,
+    # r12 NaN-density sweep): Spark's CAST silently NULLs NaN/±Inf,
+    # DuckDB raises — the exclusion is the declared, mirrored rule
+    li = finite_lineitem(spark, sf_dir).filter(
+        F.col("l_shipdate") <= F.lit("1998-09-02")
+    )
     # DECIMAL(12,4) inputs keep the 3-factor product within the 38-digit
     # cap in BOTH engines (12,4 × 12,4 → 25,8; × 12,4 → 38,12) so every
     # intermediate stays exact — no float drift at any row count.
@@ -129,7 +125,7 @@ def shipping_priority(
     orders = load_table(spark, sf_dir, "orders").filter(
         F.col("o_orderdate") < F.lit(cutoff)
     )
-    li = load_table(spark, sf_dir, "lineitem").filter(
+    li = finite_lineitem(spark, sf_dir).filter(
         F.col("l_shipdate") > F.lit(cutoff)
     )
     d = lambda c: F.col(c).cast("decimal(12,4)")  # noqa: E731
@@ -153,7 +149,7 @@ def revenue_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
     to the parquet reader (shipdate range, discount band, quantity cap)
     and the plan is scan → partial agg → single-row exchange. The
     benchmark shape for 'filters reached the scan'."""
-    li = load_table(spark, sf_dir, "lineitem")
+    li = finite_lineitem(spark, sf_dir)
     d = lambda c: F.col(c).cast("decimal(12,4)")  # noqa: E731
     return (
         li.filter(
@@ -189,7 +185,7 @@ def local_supplier_volume(
     is small enough at runtime); the customer dim broadcasts. The
     c_nationkey = s_nationkey "local supplier" constraint rides the
     supplier join — no extra shuffle."""
-    li = load_table(spark, sf_dir, "lineitem").select(
+    li = finite_lineitem(spark, sf_dir).select(
         "l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"
     )
     orders = (
@@ -240,10 +236,8 @@ def large_quantity_orders(
     l_orderkey, map-side partials), shrinking lineitem to a tiny key
     set that AQE then broadcasts against orders; customer broadcasts.
     Final top-k is TakeOrderedAndProject."""
-    # finite-measures contract on the exact-decimal quantity sum (r12)
-    li = finite_measures(
-        load_table(spark, sf_dir, "lineitem"), "l_quantity"
-    ).select("l_orderkey", "l_quantity")
+    # table-level finite-measures contract (schemas.finite_lineitem, r12)
+    li = finite_lineitem(spark, sf_dir).select("l_orderkey", "l_quantity")
     qty = (
         li.groupBy("l_orderkey")
         .agg(

@@ -31,7 +31,7 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from iotstream.schemas import finite_measures, load_table
+from iotstream.schemas import finite_lineitem, finite_measures, load_table
 
 __all__ = [
     "order_priority_check",
@@ -102,7 +102,7 @@ def cross_nation_volume(
     tiny); the nation-pair disjunction is applied after both geo tags
     are attached, before aggregation. lineitem⋈orders is the only
     big-to-big shuffle."""
-    li = load_table(spark, sf_dir, "lineitem").filter(
+    li = finite_lineitem(spark, sf_dir).filter(
         (F.col("l_shipdate") >= F.lit("1996-01-01"))
         & (F.col("l_shipdate") < F.lit("1998-01-01"))
     )
@@ -144,7 +144,7 @@ def market_share(
     conditional decimal sum over the same rows as the denominator, so
     the share needs ONE aggregation pass (no second scan or self-join).
     """
-    li = load_table(spark, sf_dir, "lineitem")
+    li = finite_lineitem(spark, sf_dir)
     part = load_table(spark, sf_dir, "part").filter(F.col("p_type") == ptype)
     orders = load_table(spark, sf_dir, "orders").filter(
         (F.col("o_orderdate") >= F.lit("1996-01-01"))
@@ -201,15 +201,10 @@ def product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
     Plan: part and supplier⋈nation broadcast; lineitem⋈orders is the
     only shuffle; profit is exact decimal so the nation/year sums are
     partition-order independent."""
-    # finite-measures contract on every float column feeding the exact-
-    # decimal profit (r12 NaN-density sweep: Spark CAST NULLs NaN,
-    # DuckDB raises — the exclusion is the declared, mirrored rule)
-    li = finite_measures(
-        load_table(spark, sf_dir, "lineitem"),
-        "l_quantity",
-        "l_extendedprice",
-        "l_discount",
-    )
+    # table-level finite-measures contract (schemas.finite_lineitem):
+    # Spark CAST NULLs NaN, DuckDB raises — the exclusion is the
+    # declared, mirrored rule on every exact-DECIMAL lineitem consumer
+    li = finite_lineitem(spark, sf_dir)
     part = (
         finite_measures(load_table(spark, sf_dir, "part"), "p_retailprice")
         .filter(F.col("p_name").contains("widget"))
@@ -242,7 +237,7 @@ def returned_item_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     Plan: quarter filter pushes to the orders scan, returnflag to the
     lineitem scan; customer⋈nation broadcast onto the aggregated
     per-customer revenue; final top-20 is TakeOrderedAndProject."""
-    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    li = finite_lineitem(spark, sf_dir).filter(F.col("l_returnflag") == "R")
     orders = load_table(spark, sf_dir, "orders").filter(
         (F.col("o_orderdate") >= F.lit("1996-01-01"))
         & (F.col("o_orderdate") < F.lit("1996-04-01"))
@@ -323,7 +318,7 @@ def promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Q14 shape — % of one month's revenue from PROMO-type parts.
     Single row; both numerator and denominator from one aggregation
     pass; part dim broadcast."""
-    li = load_table(spark, sf_dir, "lineitem").filter(
+    li = finite_lineitem(spark, sf_dir).filter(
         (F.col("l_shipdate") >= F.lit("1996-09-01"))
         & (F.col("l_shipdate") < F.lit("1996-10-01"))
     )
@@ -355,7 +350,7 @@ def top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     Plan: per-supplier decimal revenue (exact → the max comparison has
     no float ambiguity); the 1-row global max is cross-joined
     (broadcast) back; supplier dim broadcast for the name."""
-    li = load_table(spark, sf_dir, "lineitem").filter(
+    li = finite_lineitem(spark, sf_dir).filter(
         (F.col("l_shipdate") >= F.lit("1996-01-01"))
         & (F.col("l_shipdate") < F.lit("1996-04-01"))
     )
@@ -420,7 +415,7 @@ def small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("p_brand") == "Brand#1")
         .select("p_partkey")
     )
-    li = load_table(spark, sf_dir, "lineitem").join(
+    li = finite_lineitem(spark, sf_dir).join(
         F.broadcast(part), F.col("l_partkey") == F.col("p_partkey")
     )
     per_part = li.groupBy(F.col("l_partkey").alias("_pk")).agg(
@@ -446,7 +441,7 @@ def disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     Plan: part broadcast; Catalyst extracts the common l_quantity
     bounds (1..30) as a scan-level filter while the full disjunction
     evaluates post-join; single-row decimal aggregate."""
-    li = load_table(spark, sf_dir, "lineitem")
+    li = finite_lineitem(spark, sf_dir)
     part = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand", "p_size")
     q = F.col("l_quantity")
     b1 = (
@@ -488,7 +483,7 @@ def excess_supply_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("p_partkey")
     )
     li = (
-        load_table(spark, sf_dir, "lineitem")
+        finite_lineitem(spark, sf_dir)
         .filter(
             (F.col("l_shipdate") >= F.lit("1996-01-01"))
             & (F.col("l_shipdate") < F.lit("1997-01-01"))
@@ -629,7 +624,7 @@ def important_stock(
         .join(F.broadcast(geo), F.col("s_nationkey") == F.col("n_nationkey"), "left_semi")
         .select("s_suppkey")
     )
-    li = load_table(spark, sf_dir, "lineitem").join(
+    li = finite_lineitem(spark, sf_dir).join(
         F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"), "left_semi"
     )
     per_part = li.groupBy("l_partkey").agg(

@@ -142,6 +142,24 @@ def finite_measures(df: DataFrame, *cols: str) -> DataFrame:
     return df.filter(cond)
 
 
+def finite_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lineitem under the TABLE-LEVEL finite-measures contract: rows
+    with a non-finite value in ANY of the four float measures are
+    excluded (r12). The per-query variant ("guard only the columns this
+    query casts") survived the hostile sweep by fixture luck — a NaN
+    row that dodges one query's filters still hits another's — so every
+    exact-DECIMAL lineitem consumer declares the same uniform rule and
+    mirrors it with one oracle clause (``_FINITE_LI`` in
+    ``__spark_entry__.oracle_sql``). A lineitem row with any non-finite
+    measure is corrupt at the source; dropping it whole is the
+    defensible 100 TB semantic, and the conjunction evaluates scan-side
+    (inside the scan's WholeStageCodegen stage, before any shuffle)."""
+    return finite_measures(
+        load_table(spark, sf_dir, "lineitem"),
+        "l_quantity", "l_extendedprice", "l_discount", "l_tax",
+    )
+
+
 def nonnegative_event_time(df: DataFrame, ts_col: str = "ts") -> DataFrame:
     """Non-negative event-time domain for WATERMARKED streaming
     operators.

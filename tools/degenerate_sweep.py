@@ -349,6 +349,24 @@ HOSTILE_MUTS["lineitem"][1].extend(
     {"l_linenumber": 915 + k, "l_quantity": _NAN, "l_extendedprice": _NAN}
     for k in range(3)
 )
+HOSTILE_MUTS["lineitem"][1].extend(
+    [
+        # PLACEMENT rows (r12): NaN engineered INTO the common query
+        # filters (1996 shipdate windows, returnflag 'R', the Q6
+        # discount/quantity band) so the uniform finite_lineitem
+        # contract is exercised by the gate rather than dodged — the
+        # r11 single NaN row survived three contract-less queries
+        # purely because it fell outside their filters.
+        {"l_linenumber": 918, "l_quantity": _NAN, "l_returnflag": "R",
+         "l_shipdate": _dt.datetime(1996, 2, 15)},
+        {"l_linenumber": 919, "l_extendedprice": _NAN, "l_discount": 0.04,
+         "l_quantity": 5.0, "l_shipdate": _dt.datetime(1996, 6, 1)},
+        # NaN in a measure the query never casts (l_tax) still drops
+        # the row under the TABLE-LEVEL rule — both engines must agree
+        {"l_linenumber": 920, "l_tax": _NAN,
+         "l_shipdate": _dt.datetime(1996, 9, 15)},
+    ]
+)
 
 #: Hostile documents. Since r12 this includes MULTILINGUAL text as a
 #: gated shape: the fake-codec contract is byte-based (oracles
