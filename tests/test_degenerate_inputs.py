@@ -232,6 +232,41 @@ def test_nonnegative_event_time_keeps_nulls(spark):
     assert kept == [2, 3]
 
 
+def test_finite_lineitem_drops_row_on_any_nonfinite_measure(spark, tmp_path):
+    """The TABLE-LEVEL finite-measures contract (r12): a lineitem row
+    with NaN/±Inf in ANY of the four float measures is excluded — even
+    one a query never casts — while NULL measures flow through (SUM
+    skips them identically on both engines)."""
+    import math
+
+    from iotstream.schemas import finite_lineitem
+
+    rows = [
+        (1, 1.0, 1.0, 0.1, 0.05),              # clean → kept
+        (2, float("nan"), 1.0, 0.1, 0.05),      # NaN quantity → dropped
+        (3, 1.0, float("inf"), 0.1, 0.05),      # +Inf price → dropped
+        (4, 1.0, 1.0, -float("inf"), 0.05),     # -Inf discount → dropped
+        (5, 1.0, 1.0, 0.1, float("nan")),       # NaN tax → dropped
+        (6, None, 1.0, 0.1, 0.05),              # NULL measure → kept
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "l_orderkey long, l_quantity double, l_extendedprice double, "
+        "l_discount double, l_tax double",
+    )
+    out = str(tmp_path / "li")
+    df.write.parquet(out + "/lineitem.parquet")
+    kept = sorted(
+        r.l_orderkey for r in finite_lineitem(spark, out).collect()
+    )
+    assert kept == [1, 6]
+    assert not any(
+        v is not None and not math.isfinite(v)
+        for r in finite_lineitem(spark, out).collect()
+        for v in (r.l_quantity, r.l_extendedprice, r.l_discount, r.l_tax)
+    )
+
+
 def test_nonnegative_event_time_boundary_is_tz_independent(spark):
     """The domain boundary is epoch SECOND 0 — the instant Spark's
     watermark initializes at — not local midnight 1970-01-01 in

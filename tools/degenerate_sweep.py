@@ -318,8 +318,36 @@ HOSTILE_MUTS: dict[str, tuple[str | None, list[dict]]] = {
             {"o_orderdate": _dt.datetime(1970, 1, 1)},
         ],
     ),
-    "customer": ("c_custkey", [{"c_acctbal": -_INF}]),
-    "part": ("p_partkey", [{"p_size": -1, "p_retailprice": 0.0}]),
+    "customer": (
+        "c_custkey",
+        [
+            {"c_acctbal": -_INF},
+            # unicode dimension attribute (r12): flows through joins and
+            # into projected output columns — value-level parity must
+            # hold on multilingual names, not just ASCII
+            {"c_name": "Müller 客户 \U0001f3ec"},
+        ],
+    ),
+    "supplier": (
+        "s_suppkey",
+        [
+            # unicode name reaches ORDER BY s_name tie-breaks
+            # (waiting_supplier_blame) — Spark and DuckDB must agree on
+            # the collation of non-ASCII keys (both binary UTF-8)
+            {"s_name": "Lieferant 供应商 é"},
+        ],
+    ),
+    "part": (
+        "p_partkey",
+        [
+            {"p_size": -1, "p_retailprice": 0.0},
+            # unicode name CONTAINING the 'widget' needle: LIKE
+            # '%widget%' must match through surrounding multilingual
+            # text identically on both engines, pulling the row into
+            # product_profit / excess_supply_suppliers
+            {"p_name": "naïve widget 小部件"},
+        ],
+    ),
 }
 
 #: r12 NaN-shape broadening (r11 verdict item 3): a single NaN row per
