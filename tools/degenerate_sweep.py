@@ -436,12 +436,33 @@ def build_hostile() -> str:
         return out
     shutil.rmtree(out, ignore_errors=True)
     os.makedirs(out, exist_ok=True)
+    # ALL-NaN USER group (r12): the `all_nan` event_type covers type-
+    # grouped paths, but user-grouped decile/RFM/segment paths never
+    # see a user whose EVERY measure is NaN unless one is built. Pick
+    # the smallest REAL customer key with no events (so the group is
+    # all-NaN by construction yet still joins the customer dim) and
+    # give it three NaN-value events — deterministic per fixture.
+    ev = pq.read_table(os.path.join(SRC, "events.parquet"))
+    cust = pq.read_table(os.path.join(SRC, "customer.parquet"))
+    ev_users = set(ev.column("user_id").to_pylist())
+    eventless = sorted(
+        k for k in cust.column("c_custkey").to_pylist() if k not in ev_users
+    )
+    events_extra = list(HOSTILE_MUTS["events"][1])
+    if eventless:
+        events_extra += [
+            {"user_id": eventless[0], "value": _NAN, "event_type": "view"}
+            for _ in range(3)
+        ]
+    hostile_muts = dict(HOSTILE_MUTS)
+    hostile_muts["events"] = (HOSTILE_MUTS["events"][0], events_extra)
+
     special = {"documents.parquet", "embeddings.parquet"}
     for f in os.listdir(SRC):
         if f.endswith(".parquet") and f not in special:
             table = f[: -len(".parquet")]
-            if table in HOSTILE_MUTS:
-                pk, muts = HOSTILE_MUTS[table]
+            if table in hostile_muts:
+                pk, muts = hostile_muts[table]
                 _extend(SRC, out, table, pk, muts)
             else:
                 shutil.copy(os.path.join(SRC, f), os.path.join(out, f))
