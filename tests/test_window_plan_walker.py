@@ -221,3 +221,66 @@ def test_block_closure_follows_value_references():
     assert "def _fallback" in wp._block_closure(
         VALUE_REF_MODULE, {"dispatch", "HANDLERS"}
     )[0]
+
+
+def test_pure_preamble_addition_does_not_stale_consumers(tmp_path, monkeypatch):
+    """VERDICT r12 item 5: a module-level CONSTANT addition (and an
+    import-line addition) that no consumed function references must not
+    stale the module's consumers — r12 burned 30 FORCE_WINDOW pins on
+    exactly this behavior-neutral preamble churn. A change to a
+    constant the used function DOES reference must still stale."""
+    repo = tmp_path
+    (repo / "pkg").mkdir()
+    f_old = (
+        "import os\n\nLIMIT = 3\n\n\n"
+        "def used(x):\n    return x + LIMIT\n"
+    )
+    # pure additions: a new unreferenced constant AND a new import
+    f_added = (
+        "import os\nimport re\n\nLIMIT = 3\nNEW_KNOB = 99\n\n\n"
+        "def used(x):\n    return x + LIMIT\n\n\n"
+        "def newcomer(y):\n    return re.escape(str(NEW_KNOB + y))\n"
+    )
+    # referenced-constant edit: must stale
+    f_edit = f_added.replace("LIMIT = 3", "LIMIT = 4")
+
+    (repo / "pkg" / "modish.py").write_text(f_added)
+    monkeypatch.setattr(wp, "REPO", str(repo))
+    monkeypatch.setattr(wp, "_show_cached", lambda commit, path: f_old)
+    monkeypatch.setattr(
+        wp, "_module_file",
+        lambda dotted: f"{dotted.replace('.', '/')}.py"
+        if os.path.exists(os.path.join(str(repo), f"{dotted.replace('.', '/')}.py"))
+        else None,
+    )
+    wp._READ_CACHE.clear()
+
+    aliases = {"mo": "pkg.modish"}
+    fsrc = "def q(spark, sf):\n    return mo.used(1)\n"
+    assert wp._refined_module_stale(fsrc, aliases, {"pkg/modish.py"}, "HEAD") == set()
+
+    (repo / "pkg" / "modish.py").write_text(f_edit)
+    wp._READ_CACHE.clear()
+    assert wp._refined_module_stale(
+        fsrc, aliases, {"pkg/modish.py"}, "HEAD"
+    ) == {"pkg/modish.py"}
+
+
+def test_reachable_preamble_transitive_constants():
+    """A constant referenced only through another included constant
+    still takes part in the compare (fixed-point), and unconditional
+    module-level statements (bare calls) are always included."""
+    src = (
+        "import warnings\n\nB = 2\nA = B + 1\nUNUSED = 0\n\n"
+        "warnings.simplefilter('ignore')\n\n\n"
+        "def f(x):\n    return x + A\n"
+    )
+    closure = wp._module_block(src, "f")
+    pre = wp._reachable_preamble(src, closure)
+    assert "A = B + 1" in pre
+    assert "B = 2" in pre  # transitive through A
+    assert "UNUSED = 0" not in pre
+    # the bare warnings call is unconditional, which also pulls in the
+    # import that binds the name it references
+    assert "simplefilter" in pre
+    assert "import warnings" in pre

@@ -18,6 +18,14 @@ output tail, so any leg failure is visible without log archaeology:
     nulls         tools/degenerate_sweep.py nulls (full NULL-parity gate)
     hostile       tools/degenerate_sweep.py hostile (NaN/±Inf, boundary
                   timestamps, adversarial vectors — full parity gate)
+    unicode       tools/unicode_probe.py <round> (multilingual parity
+                  gate — the probe exits nonzero on failure; without a
+                  matrix leg nothing ran it automatically, ADVICE r12)
+    reach         tools/degenerate_sweep.py reach <round> (injection-
+                  reachability audit, VERDICT r12 item 1: FAILS when a
+                  declared query's hostile-fixture output is value-
+                  identical to its clean output — the hostile gate
+                  never reached it)
     bench         python bench.py (solo — never concurrent with other
                   Spark work; the compact JSON line is recorded). The
                   leg is load-gated: it waits for loadavg to decay
@@ -46,23 +54,31 @@ HERE = os.path.dirname(os.path.abspath(__file__))
 REPO = os.path.dirname(HERE)
 PY = sys.executable
 
-LEGS: list[tuple[str, list[str]]] = [
-    ("pytest", [PY, "-m", "pytest", "tests/", "-q"]),
-    ("walker", [PY, "tools/window_plan.py"]),
-    ("oracle_sf0001", [PY, "tools/check_oracle.py", "/root/testdata/sf0.001"]),
-    ("oracle_sf001", [PY, "tools/check_oracle.py", "/root/testdata/sf0.01"]),
-    ("oracle_sf01", [PY, "tools/check_oracle.py", "/root/testdata/sf0.1"]),
-    (
-        "oracle_tz",
-        [PY, "tools/check_oracle.py", "--tz=America/New_York",
-         "/root/testdata/sf0.01"],
-    ),
-    ("dtypes", [PY, "tools/check_dtypes.py", "/root/testdata/sf0.01"]),
-    ("degenerate", [PY, "tools/degenerate_sweep.py", "both"]),
-    ("nulls", [PY, "tools/degenerate_sweep.py", "nulls"]),
-    ("hostile", [PY, "tools/degenerate_sweep.py", "hostile"]),
-    ("bench", [PY, "bench.py"]),
-]
+def build_legs(rnd: int) -> list[tuple[str, list[str]]]:
+    """Leg list for round ``rnd`` — a function because the unicode and
+    reach legs stamp their committed artifacts with the round number."""
+    return [
+        ("pytest", [PY, "-m", "pytest", "tests/", "-q"]),
+        ("walker", [PY, "tools/window_plan.py"]),
+        ("oracle_sf0001",
+         [PY, "tools/check_oracle.py", "/root/testdata/sf0.001"]),
+        ("oracle_sf001",
+         [PY, "tools/check_oracle.py", "/root/testdata/sf0.01"]),
+        ("oracle_sf01",
+         [PY, "tools/check_oracle.py", "/root/testdata/sf0.1"]),
+        (
+            "oracle_tz",
+            [PY, "tools/check_oracle.py", "--tz=America/New_York",
+             "/root/testdata/sf0.01"],
+        ),
+        ("dtypes", [PY, "tools/check_dtypes.py", "/root/testdata/sf0.01"]),
+        ("degenerate", [PY, "tools/degenerate_sweep.py", "both"]),
+        ("nulls", [PY, "tools/degenerate_sweep.py", "nulls"]),
+        ("hostile", [PY, "tools/degenerate_sweep.py", "hostile"]),
+        ("unicode", [PY, "tools/unicode_probe.py", str(rnd)]),
+        ("reach", [PY, "tools/degenerate_sweep.py", "reach", str(rnd)]),
+        ("bench", [PY, "bench.py"]),
+    ]
 
 #: Bench-leg contamination discipline (VERDICT r11 item 5): the r11
 #: matrix ran the bench leg after a fixed 90 s settle and still caught
@@ -78,11 +94,27 @@ BENCH_SETTLE_TIMEOUT = 600  # max seconds to wait for loadavg decay
 BENCH_SETTLE_POLL = 15
 
 
+def _bench_threshold() -> float:
+    """bench.py's OWN load_at_start threshold, imported rather than
+    re-derived (ADVICE r12: a duplicated formula silently diverges from
+    the contamination verdict it pre-empts the moment bench.py's
+    changes). Falls back to the historical formula only if the import
+    itself breaks."""
+    if REPO not in sys.path:
+        sys.path.insert(0, REPO)
+    try:
+        import bench
+
+        return float(bench.load_at_start_threshold())
+    except Exception:  # pragma: no cover — bench.py mid-edit/unreadable
+        return max(2.0, round(0.25 * (os.cpu_count() or 1), 1))
+
+
 def _settle_for_bench() -> float:
     """Block until load1 is under bench.py's start threshold (or the
     timeout passes — recorded either way; the bench's own verdict is
     still the authority). Returns seconds waited."""
-    thresh = max(2.0, 0.25 * (os.cpu_count() or 1))
+    thresh = _bench_threshold()
     t0 = time.monotonic()
     while time.monotonic() - t0 < BENCH_SETTLE_TIMEOUT:
         try:
@@ -142,7 +174,8 @@ def main() -> int:
             skip |= set(a.split("=", 1)[1].split(","))
         elif a.startswith("--only"):
             only = set(a.split("=", 1)[1].split(","))
-    known = {n for n, _ in LEGS}
+    legs = build_legs(rnd)
+    known = {n for n, _ in legs}
     bad = (skip | (only or set())) - known
     if bad:
         print(f"unknown legs: {sorted(bad)}; known: {sorted(known)}")
@@ -155,7 +188,7 @@ def main() -> int:
         "legs": {},
     }
     any_fail = False
-    for name, cmd in LEGS:
+    for name, cmd in legs:
         if name in skip or (only is not None and name not in only):
             result["legs"][name] = {"status": "skipped"}
             print(f"SKIP  {name}")
@@ -163,14 +196,16 @@ def main() -> int:
         print(f"RUN   {name}: {' '.join(cmd)}", flush=True)
         t0 = time.monotonic()
         bench_meta: dict = {}
+        run_secs: list[float] = []
         attempts = BENCH_MAX_ATTEMPTS if name == "bench" else 1
         for attempt in range(1, attempts + 1):
             if name == "bench":
                 # Load-gated settle replaces the r11 fixed 90 s sleep:
-                # the leg runs right after eight Spark-heavy legs and
+                # the leg runs right after the Spark-heavy legs and
                 # must not start until load1 has actually decayed.
                 waited = _settle_for_bench()
                 bench_meta.setdefault("settle_seconds", []).append(waited)
+            a0 = time.monotonic()
             try:
                 proc = subprocess.run(
                     cmd, cwd=REPO, capture_output=True, text=True,
@@ -179,6 +214,7 @@ def main() -> int:
                 rc, out = proc.returncode, proc.stdout + proc.stderr
             except subprocess.TimeoutExpired:
                 rc, out = -1, "TIMEOUT after 3600s"
+            run_secs.append(round(time.monotonic() - a0, 1))
             if name != "bench" or rc != 0:
                 break
             contaminated = _bench_contaminated(out)
@@ -192,7 +228,16 @@ def main() -> int:
                 f"(attempt {attempt}/{attempts})",
                 flush=True,
             )
-        dur = round(time.monotonic() - t0, 1)
+        # "seconds" keeps its pre-r12 meaning — the duration of the run
+        # that produced the recorded verdict, settle waits excluded
+        # (ADVICE r12: folding settle+retries in made the bench leg
+        # incomparable across rounds and inflated total_seconds).
+        # wall_seconds carries the full leg wall-clock for the bench
+        # leg; attempt_seconds itemizes retried runs.
+        dur = run_secs[-1] if run_secs else round(time.monotonic() - t0, 1)
+        if name == "bench":
+            bench_meta["attempt_seconds"] = run_secs
+            bench_meta["wall_seconds"] = round(time.monotonic() - t0, 1)
         # tail: the verdict lines every leg prints last (ALL OK /
         # failure list / pytest summary / bench JSON). Spark progress
         # bars arrive as \r-terminated segments and Spark/parquet log
@@ -209,6 +254,13 @@ def main() -> int:
         status = "pass" if rc == 0 else "FAIL"
         if rc != 0:
             any_fail = True
+        elif name == "bench":
+            # A final capture that still self-flags contaminated must
+            # not read as a clean pass at the verdict level (ADVICE
+            # r12: it previously survived only in the metadata list).
+            ca = bench_meta.get("contaminated_attempts") or []
+            if ca and ca[-1] is True:
+                status = "pass-contaminated"
         result["legs"][name] = {
             "status": status,
             "rc": rc,
@@ -222,8 +274,11 @@ def main() -> int:
             leg.get("seconds", 0) for leg in result["legs"].values()
         ), 1,
     )
-    result["all_pass"] = not any_fail and not any(
-        leg["status"] == "skipped" for leg in result["legs"].values()
+    # pass-contaminated is not a failure (exit stays 0: the numbers are
+    # real, just taken under load), but it is not a CLEAN matrix either
+    # — all_pass only reads true on a fully-run, uncontaminated matrix.
+    result["all_pass"] = not any_fail and all(
+        leg["status"] == "pass" for leg in result["legs"].values()
     )
     path = os.path.join(REPO, f"MATRIX_r{rnd}.json")
     with open(path, "w") as f:

@@ -262,6 +262,73 @@ def _preamble(src: str) -> str:
     return "".join(out)
 
 
+def _reachable_preamble(src: str, closure_src: str) -> str:
+    """The slice of a module's preamble the query can actually observe
+    (VERDICT r12 item 5): assignments and imports whose bound names are
+    referenced — transitively — from the query's block closure, plus
+    every other module-level statement (bare expressions, if/try
+    blocks, ``__future__`` imports: arbitrary module code can have side
+    effects, so those stay in unconditionally). Comparing THIS instead
+    of the whole preamble stops a pure module-level constant or
+    import-line ADDITION from staling every consumer of the module
+    (r12: 30 pins burned on behavior-neutral preamble churn).
+
+    Runs to a fixed point so a constant referenced only by another
+    included constant (``A = B + 1``; the closure uses ``A``) still
+    pulls ``B`` in. Unparseable source falls back to the full
+    ``_preamble`` — conservative, never under-flagging."""
+    import ast
+
+    try:
+        tree = ast.parse(src)
+    except SyntaxError:
+        return _preamble(src)
+    lines = src.splitlines(True)
+    # stmts: (source position, bound names or None=unconditional, text)
+    stmts: list[tuple[int, set[str] | None, str]] = []
+    for node in tree.body:
+        if isinstance(
+            node, (ast.FunctionDef, ast.AsyncFunctionDef, ast.ClassDef)
+        ):
+            continue  # def/class blocks are compared per-function
+        text = "".join(lines[node.lineno - 1 : node.end_lineno])
+        bound: set[str] = set()
+        if isinstance(node, ast.Assign):
+            for t in node.targets:
+                for n in ast.walk(t):
+                    if isinstance(n, ast.Name):
+                        bound.add(n.id)
+        elif isinstance(node, (ast.AnnAssign, ast.AugAssign)) and isinstance(
+            node.target, ast.Name
+        ):
+            bound.add(node.target.id)
+        elif isinstance(node, ast.Import):
+            bound = {a.asname or a.name.split(".")[0] for a in node.names}
+        elif isinstance(node, ast.ImportFrom):
+            if node.module == "__future__":
+                bound = set()  # semantics-bearing: always include
+            else:
+                bound = {a.asname or a.name for a in node.names}
+        stmts.append((node.lineno, bound or None, text))
+
+    take = {i for i, (_, bound, _) in enumerate(stmts) if bound is None}
+    ref_text = closure_src + "".join(stmts[i][2] for i in take)
+    changed = True
+    while changed:
+        changed = False
+        for i, (_, bound, text) in enumerate(stmts):
+            if i in take or bound is None:
+                continue
+            if any(re.search(rf"\b{re.escape(n)}\b", ref_text) for n in bound):
+                take.add(i)
+                ref_text += text
+                changed = True
+    # source order keeps the compare stable: a statement that merely
+    # MOVED still compares equal only if its relative order held —
+    # reordering assignments can change behavior, so that stays stale.
+    return "".join(stmts[i][2] for i in sorted(take))
+
+
 def _used_names_per_module(
     func_src: str, aliases: dict[str, str]
 ) -> dict[str, set[str]]:
@@ -457,9 +524,20 @@ def _refined_module_stale(
         # preamble of every sibling-consumer's module and falsely
         # staled 6 out-of-window grades. The AST key sees only real
         # preamble statements (imports, constants, module code).
-        if _behavior_key(_preamble(old_src)) != _behavior_key(
-            _preamble(new_src)
-        ):
+        # Since r13 the compared preamble is REACHABILITY-SLICED
+        # (VERDICT r12 item 5): only statements whose bound names the
+        # query's block closure (transitively) references take part, so
+        # a pure constant/import ADDITION no longer mass-pins every
+        # consumer of the module. Unresolvable closures fall back to
+        # the whole-preamble compare — conservative.
+        closure_old, ok_old = _block_closure(old_src, names)
+        closure_new, ok_new = _block_closure(new_src, names)
+        if ok_old and ok_new:
+            pre_old = _reachable_preamble(old_src, closure_old)
+            pre_new = _reachable_preamble(new_src, closure_new)
+        else:
+            pre_old, pre_new = _preamble(old_src), _preamble(new_src)
+        if _behavior_key(pre_old) != _behavior_key(pre_new):
             stale.add(f)
             continue
         # one helper hop: same-module names called inside used blocks
