@@ -74,6 +74,17 @@ def _proc_cpus() -> int:
         return os.cpu_count() or 1
 
 
+def load_at_start_threshold(ncpu: int | None = None) -> float:
+    """The bench's load_at_start contamination threshold: pre-session
+    1-min loadavg above 25% of the machine (floor 2.0) means someone
+    ELSE was running before the bench added its own threads. Public so
+    tools/run_matrix.py's settle gate imports it instead of duplicating
+    the formula (ADVICE r12: a re-derived copy silently diverges from
+    the contamination verdict it is meant to pre-empt)."""
+    n = ncpu if ncpu is not None else _proc_cpus()
+    return max(2.0, round(0.25 * n, 1))
+
+
 def _load_sample() -> dict:
     """One (timestamp, loadavg, cumulative-steal) sample. Wall-clock is
     ISO-UTC so a reader can line the bench up against external machine
@@ -402,7 +413,7 @@ def main() -> int:
     #                    alone even when N exceeds the machine's CPUs,
     #                    so a co-tenant arrived mid-run.
     thresholds = {
-        "load_at_start": max(2.0, round(0.25 * ncpu, 1)),
+        "load_at_start": load_at_start_threshold(ncpu),
         "steal_ratio": 0.05,
         "load_during_sweep": round(1.5 * max(bench_threads, ncpu), 1),
     }

@@ -46,9 +46,25 @@ ALL-NaN group, and NaN ties — the placements percentile/min_by/
 rank-order paths are sensitive to that one row per table cannot
 exercise.
 
+A fifth mode, ``reach`` (r13, VERDICT r12 item 1), is the
+injection-reachability audit: the hostile gate is only as strong as
+the rows that actually SURVIVE each query's filter lineage — r12
+proved three lineitem consumers' NaN guards had passed grading purely
+because the injected rows dodged their filters. The audit runs every
+declared query twice, on the clean sf0.001 fixture and on the hostile
+fixture, canonicalizes both outputs (same sort/normalize as the
+oracle gate), and FAILS for any query whose hostile output is
+value-identical to its clean output while reading at least one
+hostile-mutated table — "the gate reached nothing". Queries reading
+only unmutated tables are auto-exempt (attributed via
+``DataFrame.inputFiles``); anything else identical must either get a
+placement-engineered hostile row or a documented ``REACH_EXEMPT``
+entry.
+
 Usage: python tools/degenerate_sweep.py [empty|one|both|nulls|hostile|all]
-Exit 1 on any raising query (empty/one) or any parity failure
-(nulls/hostile).
+       python tools/degenerate_sweep.py reach [round]
+Exit 1 on any raising query (empty/one), any parity failure
+(nulls/hostile), or any unreached query (reach).
 """
 
 from __future__ import annotations
@@ -61,6 +77,26 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 SRC = "/root/testdata/sf0.001"
 ROOT = "/tmp/iotstream-degenerate"
+
+
+def _spec_digest(*objs) -> str:
+    """Digest of a fixture's mutation spec. The ``.complete`` markers
+    used to be empty files, so editing HOSTILE_MUTS/NULL_MUTS silently
+    kept serving the STALE cached fixture until someone remembered to
+    rm -rf it — since r13 the marker stores this digest and a mismatch
+    rebuilds. repr() is deterministic here: the specs are literals
+    (dicts/lists/floats incl. nan/inf, datetimes, strings)."""
+    import hashlib
+
+    return hashlib.sha256(repr(objs).encode()).hexdigest()
+
+
+def _fresh_marker(out: str, digest: str) -> bool:
+    marker = f"{out}/.complete"
+    try:
+        return open(marker).read() == digest
+    except OSError:
+        return False
 
 
 def build(spark, n: int) -> str:
@@ -210,8 +246,8 @@ def build_nulls() -> str:
     import pyarrow.parquet as pq
 
     out = f"{ROOT}/nulls"
-    marker = f"{out}/.complete"
-    if os.path.exists(marker):
+    digest = _spec_digest("nulls-v2", NULL_MUTS, SRC)
+    if _fresh_marker(out, digest):
         return out
     shutil.rmtree(out, ignore_errors=True)
     os.makedirs(out, exist_ok=True)
@@ -261,7 +297,8 @@ def build_nulls() -> str:
     pq.write_table(
         pa.concat_tables([e, eextra]), os.path.join(out, "embeddings.parquet")
     )
-    open(marker, "w").close()
+    with open(f"{out}/.complete", "w") as f:
+        f.write(digest)
     return out
 
 
@@ -431,8 +468,8 @@ def build_hostile() -> str:
     import pyarrow.parquet as pq
 
     out = f"{ROOT}/hostile"
-    marker = f"{out}/.complete"
-    if os.path.exists(marker):
+    digest = _spec_digest("hostile-v2", HOSTILE_MUTS, HOSTILE_DOCS, SRC)
+    if _fresh_marker(out, digest):
         return out
     shutil.rmtree(out, ignore_errors=True)
     os.makedirs(out, exist_ok=True)
@@ -499,12 +536,146 @@ def build_hostile() -> str:
         ),
         os.path.join(out, "embeddings.parquet"),
     )
-    open(marker, "w").close()
+    with open(f"{out}/.complete", "w") as f:
+        f.write(digest)
     return out
+
+
+#: Queries the reach audit accepts as identical-under-hostile, each
+#: with the reason a hostile row cannot (or must not) move its output.
+#: Keep this SHORT — every entry is a hole in the hostile gate and
+#: needs the stated justification to survive judge review.
+REACH_EXEMPT: dict[str, str] = {}
+
+
+def _tables_read(df) -> set[str]:
+    """Fixture tables a DataFrame's plan scans, via inputFiles().
+    Handles both layouts in play: single ``table.parquet`` files (the
+    testdata/hostile fixtures) and ``table.parquet/part-*.parquet``
+    directories (the sweep's own derived fixtures). Empty set = not
+    attributable (streaming-derived results, createDataFrame echoes) —
+    callers treat that as "assume mutated", conservative."""
+    try:
+        files = df.inputFiles()
+    except Exception:  # noqa: BLE001 — streaming plans raise here
+        return set()
+    out: set[str] = set()
+    for f in files:
+        base = os.path.basename(f.rstrip("/"))
+        if base.endswith(".parquet") and not base.startswith("part-"):
+            out.add(base[: -len(".parquet")])
+        else:
+            parent = os.path.basename(os.path.dirname(f))
+            if parent.endswith(".parquet"):
+                out.add(parent[: -len(".parquet")])
+    return out
+
+
+def run_reach(rnd: int | None) -> int:
+    """Injection-reachability audit (VERDICT r12 item 1). For every
+    declared query: run on clean sf0.001 and on the hostile fixture,
+    canonicalize both result frames exactly like the oracle gate
+    (sorted columns, sorted normalized rows), and compare. A query
+    whose two outputs are value-identical while its plan scans at
+    least one hostile-mutated table is UNREACHED — every injected
+    shape died in its filter lineage, so the hostile parity gate was
+    vacuous for it. Writes REACH_AUDIT_r{rnd}.json when a round is
+    given; exits 1 on any unreached or raising query."""
+    import hashlib
+    import json
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    if here not in sys.path:
+        sys.path.insert(0, here)
+    from check_oracle import frame_key
+
+    hostile_dir = build_hostile()
+    mutated = set(HOSTILE_MUTS) | {"documents", "embeddings"}
+
+    from pyspark.sql import SparkSession
+
+    spark = (
+        SparkSession.builder.master("local[8]")
+        .appName("reach-audit")
+        .config("spark.sql.shuffle.partitions", "8")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    import __spark_entry__ as entrymod
+
+    def fingerprint(df) -> str:
+        cols, rows = frame_key(df.columns, df.collect())
+        return hashlib.sha256(repr((cols, rows)).encode()).hexdigest()
+
+    report: dict[str, dict] = {}
+    unreached: list[str] = []
+    raising: list[str] = []
+    for name, fn in entrymod.queries().items():
+        try:
+            df_clean = fn(spark, SRC)
+            tables = sorted(_tables_read(df_clean))
+            key_clean = fingerprint(df_clean)
+            key_host = fingerprint(fn(spark, hostile_dir))
+        except Exception as e:  # noqa: BLE001
+            raising.append(name)
+            report[name] = {"status": "RAISE",
+                            "error": f"{type(e).__name__}: {e}"[:200]}
+            print(f"RAISE {name}: {type(e).__name__}: {e}"[:200])
+            continue
+        touched = key_clean != key_host
+        reads_mutated = not tables or any(t in mutated for t in tables)
+        if touched:
+            status = "touched"
+        elif not reads_mutated:
+            status = "exempt-unmutated-tables"
+        elif name in REACH_EXEMPT:
+            status = f"exempt: {REACH_EXEMPT[name]}"
+        else:
+            status = "UNREACHED"
+            unreached.append(name)
+        report[name] = {"status": status, "tables": tables}
+        print(f"{'ok   ' if status != 'UNREACHED' else 'FAIL '}{name}: "
+              f"{status} (tables: {', '.join(tables) or '<unattributed>'})")
+
+    summary = {
+        "n_queries": len(report),
+        "touched": sum(1 for r in report.values() if r["status"] == "touched"),
+        "exempt": sum(
+            1 for r in report.values() if r["status"].startswith("exempt")
+        ),
+        "unreached": unreached,
+        "raising": raising,
+        "mutated_tables": sorted(mutated),
+    }
+    if rnd is not None:
+        path = os.path.join(
+            os.path.dirname(here), f"REACH_AUDIT_r{rnd}.json"
+        )
+        with open(path, "w") as f:
+            json.dump({"summary": summary, "queries": report}, f, indent=1)
+            f.write("\n")
+        print(f"wrote {path}")
+    print(
+        f"\nreach audit: {summary['touched']} touched, "
+        f"{summary['exempt']} exempt, {len(unreached)} UNREACHED, "
+        f"{len(raising)} raising"
+        + (f"\nUNREACHED: {unreached}" if unreached else "")
+    )
+    return 1 if unreached or raising else 0
 
 
 def main() -> int:
     mode = sys.argv[1] if len(sys.argv) > 1 else "both"
+    if mode == "reach":
+        rnd = (
+            int(sys.argv[2])
+            if len(sys.argv) > 2 and sys.argv[2].isdigit()
+            else None
+        )
+        return run_reach(rnd)
     if mode in ("hostile", "all"):
         import subprocess
 
