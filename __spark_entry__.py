@@ -63,69 +63,37 @@ DRIVER_WINDOW = 50
 #: similarity.py-composed entries this round's recall-honesty/ADVICE
 #: fixes touch — all expire when their r9 grades land.
 FORCE_WINDOW: tuple[tuple[str, int], ...] = (
-    # All 41 r11 pins expired (CORRECTNESS_r11 landed 50/50 green, so
-    # every pinned query has an r11 grade >= its pinned_round) and are
-    # pruned — r12 carries only this round's churn, window_plan's full
-    # stale list. With 12 pins, 38 slots go to the age rotation, which
-    # pulls in the 9 r8-vintage grades (dedup_clusters, hll_distinct,
-    # intersect_users, lm_bigram_xent, neardup_jaccard, sequence_pack,
-    # simhash, tokenize_encode, vocab_build — r11 verdict item 2).
+    # All 30 r12 pins expired (CORRECTNESS_r12 landed 50/50 green, so
+    # every pinned query has an r12 grade >= its pinned_round) and are
+    # pruned. With 3 pins, 47 slots go to the age rotation, which pulls
+    # the remaining r9/r10 grade cohorts into the window (r12 verdict
+    # item 2: post-r13 histogram should show nothing older than r10).
     #
-    # r12 BYTE-BASED fake-codec contract: the five multimodal oracles
-    # were rewritten from the ASCII n_bytes == n_chars construction to
-    # recompute from the UTF-8 payload bytes (DuckDB strlen/encode +
-    # hex-nibble byte histogram), retiring the 5 documented unicode
-    # contract failures (UNICODE_PROBE_r11). Oracle text changed →
-    # re-grade.
-    ("multimodal_ingest", 12),
-    ("multimodal_decode", 12),
-    ("multimodal_features", 12),
-    ("multimodal_frame_sample", 12),
-    ("multimodal_resize", 12),
-    # r12 NaN-density sweep (r11 verdict item 3): broadened hostile
-    # shapes (NaN ties in a real group, an all-NaN group, NaN+empty-key
-    # compose, multi-row NaN lineitems, filter-PLACED NaN rows) caught
-    # exact-DECIMAL queries without the finite-measures contract. The
-    # per-query guard pattern survived the sweep only by fixture luck,
-    # so the contract is now TABLE-LEVEL and uniform
-    # (schemas.finite_lineitem + the _FINITE_LI oracle block): every
-    # exact-DECIMAL lineitem consumer excludes rows with ANY non-finite
-    # measure. All 15 lineitem consumers churned (engine and/or oracle
-    # text) — pin for re-grade.
-    ("pricing_summary", 12),
-    ("large_quantity_orders", 12),
-    ("product_profit", 12),
-    ("shipping_priority", 12),
-    ("revenue_forecast", 12),
-    ("local_supplier_volume", 12),
-    ("cross_nation_volume", 12),
-    ("market_share", 12),
-    ("returned_item_revenue", 12),
-    ("promo_revenue", 12),
-    ("top_supplier", 12),
-    ("small_qty_revenue", 12),
-    ("disjunctive_revenue", 12),
-    ("excess_supply_suppliers", 12),
-    ("important_stock", 12),
-    # joins.py preamble churn (the import line gained finite_lineitem):
-    # the walker's module behavior-key conservatively stales every
-    # joins.py consumer — these six don't touch lineitem, but a free
-    # green re-grade beats a walker exception.
-    ("revenue_rollup", 12),
-    ("revenue_share", 12),
-    ("dormant_customers", 12),
-    ("topk_per_group", 12),
-    ("enrichment_join", 12),
-    ("grouping_sets_volume", 12),
-    # r11 ADVICE fixes: EWMA NULL-id carry normalized across Arrow
-    # batches (temporal.py kernel changed); IVF nprobe_auto provenance
-    # (similarity.py changed); nonnegative_event_time boundary now
-    # timezone-independent (schemas.py changed → the two watermarked
-    # streaming queries that call it).
-    ("ewma_smooth", 12),
-    ("similarity_topk_ivf", 12),
-    ("streaming_window_agg", 12),
-    ("streaming_dedup_wm", 12),
+    # r13 injection-reachability audit (VERDICT r12 item 1): the first
+    # audit pass proved 32 of 128 queries were untouched by EVERY
+    # hostile shape — their filters dodged every injected row, so the
+    # hostile parity gate was vacuous for them. Placement-engineered
+    # rows (tools/degenerate_sweep._derive_placements) closed the gap
+    # and immediately surfaced three real divergences whose contracts
+    # changed engine and/or oracle text this round — pin for re-grade:
+    # - interval_join: finite-measures contract on the follower SUM
+    #   (a NaN/Inf follower still counts in n_follow but the exact-
+    #   DECIMAL sum is finite-only; oracle mirrors with CASE WHEN
+    #   isfinite) — before, Spark CAST silently NULLed while DuckDB
+    #   raised on the same row.
+    # - streaming_sessionize: the watermarked session_window now
+    #   declares nonnegative_event_time — Spark's epoch-0 watermark
+    #   evicts sessions ENDING at or before 1970-01-01, so a 23:30
+    #   pre-epoch event vanished while the 23:59:59 one survived by
+    #   crossing epoch (filter luck, the exact r12 lesson).
+    # - pricing_summary: oracle charge product widened via
+    #   CAST(disc AS DECIMAL(26,8)) — DuckDB narrows the disc product
+    #   to int64 DECIMAL(18,8) and overflowed on an extreme-but-valid
+    #   9e6 price; the widened product is DECIMAL(38,12), exactly
+    #   Spark's result type.
+    ("interval_join", 13),
+    ("streaming_sessionize", 13),
+    ("pricing_summary", 13),
 )
 
 
@@ -2248,7 +2216,13 @@ def oracle_sql() -> dict[str, str]:
     )
     d = lambda x: _DEC.format(x=x)  # noqa: E731
     disc = f"{d('l_extendedprice')} * ({d(1)} - {d('l_discount')})"
-    charge = f"{disc} * ({d(1)} + {d('l_tax')})"
+    # DuckDB narrows the disc product to DECIMAL(18,8) (int64), so the
+    # tax multiply overflows on extreme-but-valid prices the schema
+    # admits (9e6 · 0.96 · 1.01 > int64 at scale 12 — r13 reach-audit
+    # placement row). Widening disc to (26,8) first makes the product
+    # DECIMAL(38,12), exactly Spark's (12,4)-input result type, so the
+    # twins stay bit-equal instead of one engine raising.
+    charge = f"CAST({disc} AS DECIMAL(26,8)) * ({d(1)} + {d('l_tax')})"
     return {
         "flagship": _window_oracle("max", "min", "avg"),
         "filter_validity": (
@@ -2359,9 +2333,13 @@ def oracle_sql() -> dict[str, str]:
             -- when they touch (inclusive overlap), so a new session
             -- needs gap STRICTLY greater than the threshold —
             -- pinned by test_session_window_microsecond_boundary.
+            -- watermarked operator: the engine declares ts >= epoch
+            -- (schemas.nonnegative_event_time — Spark's watermark
+            -- evicts sessions that end at or before 1970-01-01)
             WITH base AS (
               SELECT user_id, event_id, ts, epoch_us(ts) AS ep
-              FROM events WHERE ts IS NOT NULL),
+              FROM events
+              WHERE ts IS NOT NULL AND ts >= TIMESTAMP '1970-01-01'),
             lagged AS (
               SELECT user_id, event_id, ts,
                      CASE WHEN lag(ep) OVER w IS NULL
@@ -2819,7 +2797,9 @@ def oracle_sql() -> dict[str, str]:
             ON c.user_id = p.user_id AND c.ts >= p.ts""",
         "interval_join": """
             SELECT e.event_id, e.user_id, count(*) AS n_follow,
-                   CAST(SUM(CAST(f.value AS DECIMAL(12,4))) AS DOUBLE) AS follow_value
+                   CAST(SUM(CASE WHEN isfinite(f.value)
+                                 THEN CAST(f.value AS DECIMAL(12,4)) END)
+                        AS DOUBLE) AS follow_value
             FROM events e JOIN events f
               ON e.user_id = f.user_id
              AND f.ts > e.ts AND f.ts <= e.ts + INTERVAL 30 MINUTE

@@ -106,9 +106,18 @@ def interval_follow(
         (F.col("f_ts") > F.col("a_ts"))
         & (F.col("f_ts") <= F.col("a_ts") + F.make_dt_interval(secs=ws))
     )
+    # finite-measures contract on the SUM only (r13 reach audit): a
+    # follower with a NaN/±Inf value is still an event — it counts in
+    # n_follow — but the exact-DECIMAL sum is only defined over finite
+    # inputs. Spark's CAST silently NULLs NaN (the row would vanish
+    # from the sum with no declared rule) while DuckDB raises; the
+    # explicit CASE gives both engines the same clause. NULL values
+    # are skipped by SUM identically on both engines already.
+    fv = F.col("f_value")
+    finite_fv = ~F.isnan(fv) & (F.abs(fv) != F.lit(float("inf")))
     return pairs.groupBy("event_id", "user_id").agg(
         F.count(F.lit(1)).alias("n_follow"),
-        F.sum(F.col("f_value").cast("decimal(12,4)"))
+        F.sum(F.when(finite_fv, fv).cast("decimal(12,4)"))
         .cast("double")
         .alias("follow_value"),
     )

@@ -351,3 +351,37 @@ def test_interp_rounding_chain_negative_tie_parity(spark):
             "/ 1000000.0"
         ).fetchone()
         assert f"{got[v]:.9g}" == f"{exp:.9g}", (v, got[v], exp)
+
+
+def test_interval_follow_nan_follower_counts_but_does_not_sum(spark):
+    """Finite-measures contract on the SUM only (r13 reach audit): a
+    follower with a NaN/Inf value is still an event — n_follow counts
+    it — but the exact-DECIMAL sum is defined over finite inputs only.
+    Before the explicit CASE, Spark's CAST silently NULLed NaN while
+    the DuckDB twin raised on the same row."""
+    nan, inf = float("nan"), float("inf")
+    ev = _ev(
+        spark,
+        [
+            (1, 0, 7, "error", 0.0),
+            (2, 60, 7, "view", nan),
+            (3, 120, 7, "view", 5.0),
+            (4, 180, 7, "view", inf),
+        ],
+    )
+    out = {r.event_id: r for r in interval_follow(ev).collect()}
+    assert out[1].n_follow == 3  # NaN and Inf followers still count
+    assert out[1].follow_value == 5.0  # only the finite value sums
+
+
+def test_interval_follow_all_nonfinite_followers_sum_null(spark):
+    ev = _ev(
+        spark,
+        [
+            (1, 0, 7, "error", 0.0),
+            (2, 60, 7, "view", float("nan")),
+        ],
+    )
+    row = interval_follow(ev).collect()[0]
+    assert row.n_follow == 1
+    assert row.follow_value is None  # no fabricated 0

@@ -243,3 +243,43 @@ def test_transform_with_state_status_changes_match_batch_lag(spark, tmp_path):
         .select("id", "ts", "messageId", "prev_status", "status")
     )
     assert sorted(map(tuple, got.collect())) == sorted(map(tuple, expect.collect()))
+
+
+def test_session_window_epoch_boundary_contract(spark, tmp_path):
+    """Non-negative event-time contract on session_window (r13 reach
+    audit): Spark's watermark initializes at epoch 0 and evicts any
+    session whose END does not cross it — a 23:30+30min session ends
+    AT epoch and vanished while a 23:59:59 one survived by crossing
+    into positive time. The declared ts >= epoch filter makes both
+    pre-epoch events drop, deterministically."""
+    import datetime as dt
+
+    from iotstream.sources import FileStreamSource
+    from iotstream.streaming import run_available_now
+
+    rows = [
+        # session ending exactly AT epoch (23:30 + 30min gap)
+        (1, dt.datetime(1969, 12, 31, 23, 30, 0), 7),
+        # session ending past epoch (23:59:59 + 30min) — previously
+        # survived the watermark by luck; the contract drops it too
+        (2, dt.datetime(1969, 12, 31, 23, 59, 59), 8),
+        # ordinary positive-time session
+        (3, dt.datetime(2024, 1, 1, 12, 0, 0), 9),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long"
+    )
+    path = str(tmp_path / "epoch-events")
+    df.coalesce(1).write.mode("overwrite").parquet(path)
+    stream = FileStreamSource(path, df.schema).load(spark)
+    sess = session_window_stream(stream, key="user_id")
+    out_dir = str(tmp_path / "sessions-out")
+
+    def _overwrite(batch_df, _epoch):
+        batch_df.write.mode("overwrite").parquet(out_dir)
+
+    run_available_now(
+        sess.writeStream.outputMode("complete").foreachBatch(_overwrite)
+    )
+    got = spark.read.schema(sess.schema).parquet(out_dir).collect()
+    assert {r.user_id for r in got} == {9}

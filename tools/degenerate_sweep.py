@@ -433,6 +433,39 @@ HOSTILE_MUTS["lineitem"][1].extend(
     ]
 )
 
+#: r13 REACHABILITY placements (VERDICT r12 item 1). The first reach
+#: audit proved 32 of 128 queries were untouched by EVERY hostile
+#: shape — each one's filters (date windows, brand/segment/nation
+#: joins, event-type predicates, near-dup pair membership) happened to
+#: exclude every injected row, so the hostile parity gate was vacuous
+#: for them. These rows are ENGINEERED into those filter lineages, each
+#: still carrying a hostile flavor (extreme-but-valid price/quantity/
+#: discount, negative quantity, boundary band values, far-future and
+#: pre-epoch timestamps, IEEE Inf, unicode dimension keys reaching
+#: ORDER BY output). Entity keys are derived from the fixture by
+#: DuckDB picks (deterministic ORDER BY ... LIMIT 1) in
+#: ``_derive_placements`` — hardcoded keys would silently rot when the
+#: fixture regenerates.
+
+#: Extra documents with per-row column overrides (text + source).
+#: The near-dup TWINS are the placement for the neardup family: 200
+#: same-length tokens, one trailing-token character edit — identical
+#: 64-char prefix and equal n_chars (same edit-distance block, prefix
+#: distance 0), 3-shingle Jaccard (198-3)/(198+3) ≈ 0.97 (caught by
+#: every MinHash band layout, above the 0.5 exact threshold), and both
+#: pass the curation quality floor (200 non-stopword tokens → quality
+#: ~1.0) so corpus_curate gains rows too. The repeated-bigram doc
+#: reaches ngram_counts' min_count=5 floor with a unicode token.
+_TWIN_TOKENS = [f"tok{i:03d}" for i in range(200)]
+_TWIN_TOKENS[100] = "café"
+_TWIN_A = " ".join(_TWIN_TOKENS)
+_TWIN_B = _TWIN_A[:-1] + "x"  # tok199 -> tok19x: same length, 1 edit
+HOSTILE_DOC_ROWS: list[dict] = [
+    {"text": _TWIN_A, "source": "src0"},
+    {"text": _TWIN_B, "source": "src0"},
+    {"text": " ".join(["café", "rocket"] * 6), "source": "src1"},
+]
+
 #: Hostile documents. Since r12 this includes MULTILINGUAL text as a
 #: gated shape: the fake-codec contract is byte-based (oracles
 #: recompute from UTF-8 bytes via strlen/hex-nibble, engine from
@@ -454,6 +487,313 @@ HOSTILE_DOCS: list[str] = [
 ]
 
 
+def _derive_placements(
+    src: str, eventless: list[int]
+) -> dict[str, list[dict]]:
+    """Fixture-derived hostile rows engineered INTO the filter lineage
+    of each query the first reach audit proved unreached (r13). Every
+    entity key comes from a deterministic DuckDB pick over the CLEAN
+    fixture; a pick that finds nothing skips its row (the reach audit
+    then reports the query honestly instead of the fixture lying).
+
+    Key-space convention for rows referencing other injected entities:
+    ``_extend`` assigns appended pks as max+1+i in list order, so the
+    unicode supplier is s_max+1 and the two geo suppliers (NATION_1 /
+    NATION_7, for cross_nation_volume / market_share — sf0.001 has no
+    real supplier in either) are s_max+2 / s_max+3; the unicode
+    'widget' part is p_max+2. Changing HOSTILE_MUTS list order breaks
+    these offsets — the digest-keyed marker forces a rebuild, and the
+    reach audit catches a wrong offset as an unreached query."""
+    import datetime as dt
+
+    import duckdb
+
+    con = duckdb.connect()
+    for t in (
+        "orders", "lineitem", "customer", "supplier", "part",
+        "nation", "region", "events",
+    ):
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM "
+            f"read_parquet('{src}/{t}.parquet')"
+        )
+    one = lambda q: con.execute(q).fetchone()  # noqa: E731
+
+    out: dict[str, list[dict]] = {
+        "lineitem": [], "customer": [], "supplier": [], "events": [],
+    }
+
+    s_mx = one("SELECT max(s_suppkey) FROM supplier")[0]
+    p_mx = one("SELECT max(p_partkey) FROM part")[0]
+    uni_supp = s_mx + 1  # HOSTILE_MUTS['supplier'][0] (unicode name)
+    uni_part = p_mx + 2  # HOSTILE_MUTS['part'][1] (unicode widget)
+
+    n1 = one("SELECT n_nationkey FROM nation WHERE n_name = 'NATION_1'")
+    n7 = one("SELECT n_nationkey FROM nation WHERE n_name = 'NATION_7'")
+    # geo suppliers: s_mx+2 (NATION_1), s_mx+3 (NATION_7)
+    if n1:
+        out["supplier"].append({"s_nationkey": n1[0]})
+    if n7:
+        out["supplier"].append({"s_nationkey": n7[0]})
+    # dormant_customers (Q22): extreme-but-valid balance, far above the
+    # global average, with no orders → n_dormant changes
+    out["customer"].append({"c_acctbal": 999999.0})
+
+    s_any = one("SELECT s_suppkey FROM supplier ORDER BY 1 LIMIT 1")[0]
+    p_any = one("SELECT p_partkey FROM part ORDER BY 1 LIMIT 1")[0]
+    s_asia = one(
+        "SELECT s_suppkey FROM supplier JOIN nation ON "
+        "s_nationkey = n_nationkey JOIN region ON "
+        "n_regionkey = r_regionkey WHERE r_name = 'ASIA' "
+        "ORDER BY 1 LIMIT 1"
+    )
+    # spare orders for placements that only need *an* order, kept
+    # distinct so engineered per-order semantics (Q21 single-blame,
+    # Q18 quantity sum) never interfere
+    spares = [
+        r[0] for r in con.execute(
+            "SELECT o_orderkey FROM orders ORDER BY 1 LIMIT 12"
+        ).fetchall()
+    ]
+    spare = iter(spares)
+
+    def li(ln: int, orderkey, partkey, suppkey, qty, price, disc, tax,
+           flag, status, ship) -> dict:
+        return {
+            "l_linenumber": ln, "l_orderkey": orderkey,
+            "l_partkey": partkey, "l_suppkey": suppkey,
+            "l_quantity": qty, "l_extendedprice": price,
+            "l_discount": disc, "l_tax": tax, "l_returnflag": flag,
+            "l_linestatus": status, "l_shipdate": ship,
+        }
+
+    # L1 — one mega-line reaching Q6 (discount band, qty < 24, 1996),
+    # Q10 (R-line on a 1996-Q1 order), Q15 (1996-Q1 shipdate supplier
+    # max), Q11 (ASIA supplier part value >> 0.1% threshold): extreme-
+    # but-valid price dominates every top-k it enters
+    o1 = one(
+        "SELECT o_orderkey FROM orders WHERE o_orderdate >= "
+        "'1996-01-01' AND o_orderdate < '1996-04-01' ORDER BY 1 LIMIT 1"
+    )
+    if o1 and s_asia:
+        out["lineitem"].append(li(
+            951, o1[0], p_any, s_asia[0], 5.0, 9_000_000.0, 0.04, 0.01,
+            "R", "F", dt.datetime(1996, 2, 20),
+        ))
+    # L2 — Q4: a discount>tax line on a 1996-Q3 order that had none
+    o2 = one(
+        "SELECT o_orderkey FROM orders o WHERE o_orderdate >= "
+        "'1996-07-01' AND o_orderdate < '1996-10-01' AND NOT EXISTS "
+        "(SELECT 1 FROM lineitem l WHERE l.l_orderkey = o.o_orderkey "
+        "AND l.l_discount > l.l_tax) ORDER BY 1 LIMIT 1"
+    )
+    if o2:
+        out["lineitem"].append(li(
+            952, o2[0], p_any, s_any, 7.0, 1000.0, 0.99, 0.0,
+            "N", "O", dt.datetime(1996, 8, 15),
+        ))
+    # L3 — Q9/Q20: a line on the unicode 'widget' part (p_max+2) from
+    # the unicode supplier (s_max+1): widget profit gains a nation row
+    # and the sole supplier of the part ships >50% of its 1996 volume
+    out["lineitem"].append(li(
+        953, next(spare), uni_part, uni_supp, 3.0, 2500.0, 0.1, 0.0,
+        "N", "O", dt.datetime(1996, 6, 15),
+    ))
+    # L4 — Q3/Q18: far-future shipdate on a BUILDING-segment order
+    # (unshipped as of every cutoff) with an extreme 9999 quantity.
+    # The price must be top-k-dominant: Q3 keeps only the 10 highest-
+    # revenue unshipped orders, and the first audit pass proved a
+    # 5000-revenue placement never cracked that top-10 — the one query
+    # still unreached after round one of placements.
+    o4 = one(
+        "SELECT o_orderkey FROM orders o JOIN customer c ON "
+        "o_custkey = c_custkey WHERE c_mktsegment = 'BUILDING' AND "
+        "o_orderdate < '1998-01-01' ORDER BY 1 LIMIT 1"
+    )
+    if o4:
+        out["lineitem"].append(li(
+            954, o4[0], p_any, s_any, 9999.0, 8_000_000.0, 0.0, 0.0,
+            "N", "O", dt.datetime(2199, 1, 1),
+        ))
+    # L5 — Q2: near-zero unit cost undercuts a mid-size part's current
+    # minimum; the argmin supplier becomes the unicode supplier
+    p6 = one(
+        "SELECT p_partkey FROM part p WHERE p_size BETWEEN 10 AND 20 "
+        "AND EXISTS (SELECT 1 FROM lineitem l WHERE "
+        "l.l_partkey = p.p_partkey) ORDER BY 1 LIMIT 1"
+    )
+    if p6:
+        out["lineitem"].append(li(
+            955, next(spare), p6[0], uni_supp, 1.0, 0.01, 0.0, 0.0,
+            "N", "O", dt.datetime(1997, 3, 3),
+        ))
+    # L6 — Q16: a brand-new (part, supplier) pair in a qualifying
+    # bucket, with a negative quantity riding along
+    p7s7 = one(
+        "SELECT p.p_partkey, s.s_suppkey FROM part p, supplier s "
+        "WHERE p.p_brand <> 'Brand#1' AND p.p_size BETWEEN 0 AND 25 "
+        "AND s.s_acctbal >= 1000 AND NOT EXISTS (SELECT 1 FROM "
+        "lineitem l WHERE l.l_partkey = p.p_partkey AND "
+        "l.l_suppkey = s.s_suppkey) ORDER BY 1, 2 LIMIT 1"
+    )
+    if p7s7:
+        out["lineitem"].append(li(
+            956, next(spare), p7s7[0], p7s7[1], -5.0, 800.0, 0.02, 0.01,
+            "N", "O", dt.datetime(1997, 5, 5),
+        ))
+    # L7 — Q17: negative quantity is always below half the per-part
+    # average for a Brand#1 part that has real lines
+    p8 = one(
+        "SELECT p_partkey FROM part p WHERE p_brand = 'Brand#1' AND "
+        "EXISTS (SELECT 1 FROM lineitem l WHERE "
+        "l.l_partkey = p.p_partkey) ORDER BY 1 LIMIT 1"
+    )
+    if p8:
+        out["lineitem"].append(li(
+            957, next(spare), p8[0], s_any, -5.0, 1000.0, 0.0, 0.0,
+            "N", "O", dt.datetime(1997, 6, 6),
+        ))
+    # L8 — Q19: quantity exactly on the inclusive band-2 lower boundary
+    p9 = one(
+        "SELECT p_partkey FROM part WHERE p_brand = 'Brand#2' AND "
+        "p_size BETWEEN 1 AND 25 ORDER BY 1 LIMIT 1"
+    )
+    if p9:
+        out["lineitem"].append(li(
+            958, next(spare), p9[0], s_any, 10.0, 1200.0, 0.05, 0.0,
+            "N", "O", dt.datetime(1997, 7, 7),
+        ))
+    # L9 — Q5: customer and supplier share an ASIA nation, order in the
+    # 1996 window
+    o10 = one(
+        "SELECT o.o_orderkey, s.s_suppkey FROM orders o JOIN customer "
+        "c ON o.o_custkey = c.c_custkey JOIN nation n ON "
+        "c.c_nationkey = n.n_nationkey JOIN region r ON "
+        "n.n_regionkey = r.r_regionkey JOIN supplier s ON "
+        "s.s_nationkey = c.c_nationkey WHERE r.r_name = 'ASIA' AND "
+        "o.o_orderdate >= '1996-01-01' AND o.o_orderdate < "
+        "'1997-01-01' ORDER BY 1, 2 LIMIT 1"
+    )
+    if o10:
+        out["lineitem"].append(li(
+            959, o10[0], p_any, o10[1], 2.0, 3000.0, 0.1, 0.02,
+            "N", "O", dt.datetime(1996, 8, 8),
+        ))
+    # L10 — Q7: NATION_1 geo supplier (s_max+2) ships to a NATION_2
+    # customer's order inside the [1996, 1998) window; sf0.001 has no
+    # real supplier in either nation, so the pair was structurally
+    # unreachable before this row
+    o_n2 = one(
+        "SELECT o_orderkey FROM orders o JOIN customer c ON "
+        "o.o_custkey = c.c_custkey JOIN nation n ON "
+        "c.c_nationkey = n.n_nationkey WHERE n.n_name = 'NATION_2' "
+        "ORDER BY 1 LIMIT 1"
+    )
+    if o_n2 and n1:
+        out["lineitem"].append(li(
+            960, o_n2[0], p_any, s_mx + 2, 2.0, 4000.0, 0.05, 0.0,
+            "N", "O", dt.datetime(1996, 5, 5),
+        ))
+    # L11 — Q8: ECONOMY part sold by the NATION_7 geo supplier
+    # (s_max+3) on an ASIA customer's 1996-1997 order — the market
+    # share numerator moves off zero
+    o12 = one(
+        "SELECT o.o_orderkey FROM orders o JOIN customer c ON "
+        "o.o_custkey = c.c_custkey JOIN nation n ON "
+        "c.c_nationkey = n.n_nationkey JOIN region r ON "
+        "n.n_regionkey = r.r_regionkey WHERE r.r_name = 'ASIA' AND "
+        "o.o_orderdate >= '1996-01-01' AND o.o_orderdate < "
+        "'1998-01-01' ORDER BY 1 LIMIT 1"
+    )
+    p_econ = one(
+        "SELECT p_partkey FROM part WHERE p_type = 'ECONOMY' "
+        "ORDER BY 1 LIMIT 1"
+    )
+    if o12 and p_econ and n7:
+        supp_n7 = s_mx + 2 + (1 if n1 else 0)
+        out["lineitem"].append(li(
+            961, o12[0], p_econ[0], supp_n7, 2.0, 3500.0, 0.03, 0.0,
+            "N", "O", dt.datetime(1996, 4, 4),
+        ))
+    # L12 — Q21: the only R-line on a multi-line F-order, shipped by
+    # the unicode supplier — its multilingual s_name reaches the
+    # ORDER BY s_name output
+    o13 = one(
+        "SELECT o_orderkey FROM orders o WHERE o_orderstatus = 'F' "
+        "AND EXISTS (SELECT 1 FROM lineitem l WHERE "
+        "l.l_orderkey = o.o_orderkey) AND NOT EXISTS (SELECT 1 FROM "
+        "lineitem l WHERE l.l_orderkey = o.o_orderkey AND "
+        "l.l_returnflag = 'R') ORDER BY 1 LIMIT 1"
+    )
+    if o13:
+        out["lineitem"].append(li(
+            962, o13[0], p_any, uni_supp, 1.0, 900.0, 0.0, 0.0,
+            "R", "F", dt.datetime(1997, 9, 9),
+        ))
+    # L13 — Q14: a line in the PROMO-revenue month
+    out["lineitem"].append(li(
+        963, next(spare), p_any, s_any, 2.0, 2000.0, 0.02, 0.01,
+        "N", "O", dt.datetime(1996, 9, 20),
+    ))
+
+    # ---- events placements ----
+    # IEEE Inf through the set-operation filters: a purchase AND a
+    # click above every threshold for a customer with no other events
+    # (intersect_users gains a user; high_value_purchasers too)
+    if len(eventless) > 1:
+        out["events"].append(
+            {"user_id": eventless[1], "event_type": "purchase",
+             "value": _INF}
+        )
+        out["events"].append(
+            {"user_id": eventless[1], "event_type": "click",
+             "value": _INF}
+        )
+    # asof_join: a PRE-EPOCH purchase for a user who clicks but never
+    # purchases — every one of their clicks now has an as-of match
+    u_c = one(
+        "SELECT user_id FROM events WHERE event_type = 'click' AND "
+        "user_id NOT IN (SELECT user_id FROM events WHERE "
+        "event_type = 'purchase' AND user_id IS NOT NULL) "
+        "ORDER BY 1 LIMIT 1"
+    ) or one(
+        "SELECT user_id FROM events WHERE event_type = 'click' "
+        "ORDER BY 1 LIMIT 1"
+    )
+    if u_c:
+        out["events"].append({
+            "user_id": u_c[0], "event_type": "purchase",
+            "ts": dt.datetime(1969, 12, 31, 23, 30, 0), "value": 42.0,
+        })
+    # interval joins (batch + streaming): an error 5 minutes before an
+    # existing same-user event, with a NaN value riding into the pairs
+    u_t = one("SELECT user_id, ts FROM events WHERE user_id IS NOT "
+              "NULL ORDER BY event_id LIMIT 1")
+    if u_t:
+        out["events"].append({
+            "user_id": u_t[0], "event_type": "error",
+            "ts": u_t[1] - dt.timedelta(minutes=5), "value": _NAN,
+        })
+    # zscore_anomaly: temperature derives from event_id arithmetic
+    # (sensorize: temp = 10 + (event_id*7) % 41 on the else branch), so
+    # the outlier is ENGINEERED via chosen event_ids on a fresh sensor:
+    # 8 readings at temp 10 (event_id = 41k) plus one at the boundary
+    # temp 50 (event_id ≡ 35 mod 41) → z = 8/3 ≈ 2.67 > 2. All ids sit
+    # far above max+len(muts) so the auto-assigned pks never collide.
+    if len(eventless) > 2:
+        zsensor = eventless[2]
+        ev_mx = one("SELECT max(event_id) FROM events")[0]
+        base = [41 * k for k in range(51, 59)]  # k%10 != 0: else-branch
+        outlier = 41 * 60 + 35  # ≡ 35 (mod 41), %10 = 5 → temp 50
+        if min(base) > ev_mx + 200:
+            for e in base + [outlier]:
+                out["events"].append({
+                    "event_id": e, "user_id": zsensor,
+                    "event_type": "sensor", "value": 1.0,
+                })
+    return out
+
+
 def build_hostile() -> str:
     """Hostile-VALUES fixture: sf0.001 plus HOSTILE_MUTS rows (IEEE
     specials with r12 NaN-density/all-NaN-group shapes, boundary times,
@@ -468,7 +808,9 @@ def build_hostile() -> str:
     import pyarrow.parquet as pq
 
     out = f"{ROOT}/hostile"
-    digest = _spec_digest("hostile-v2", HOSTILE_MUTS, HOSTILE_DOCS, SRC)
+    digest = _spec_digest(
+        "hostile-v4", HOSTILE_MUTS, HOSTILE_DOCS, HOSTILE_DOC_ROWS, SRC
+    )
     if _fresh_marker(out, digest):
         return out
     shutil.rmtree(out, ignore_errors=True)
@@ -491,8 +833,15 @@ def build_hostile() -> str:
             {"user_id": eventless[0], "value": _NAN, "event_type": "view"}
             for _ in range(3)
         ]
+    # r13 reachability placements: fixture-derived rows engineered into
+    # the filter lineages the first reach audit proved untouched
+    placed = _derive_placements(SRC, eventless)
+    events_extra += placed["events"]
     hostile_muts = dict(HOSTILE_MUTS)
     hostile_muts["events"] = (HOSTILE_MUTS["events"][0], events_extra)
+    for t in ("lineitem", "customer", "supplier"):
+        pk, muts = hostile_muts[t]
+        hostile_muts[t] = (pk, list(muts) + placed[t])
 
     special = {"documents.parquet", "embeddings.parquet"}
     for f in os.listdir(SRC):
@@ -505,13 +854,17 @@ def build_hostile() -> str:
                 shutil.copy(os.path.join(SRC, f), os.path.join(out, f))
 
     t = pq.read_table(os.path.join(SRC, "documents.parquet"))
-    head = t.slice(0, len(HOSTILE_DOCS)).to_pydict()
+    doc_rows = [{"text": d} for d in HOSTILE_DOCS] + HOSTILE_DOC_ROWS
+    head = t.slice(0, len(doc_rows)).to_pydict()
     mx = pa.compute.max(t.column("doc_id")).as_py()
     rows = {c: list(head[c]) for c in t.column_names}
-    for i, text in enumerate(HOSTILE_DOCS):
+    for i, d in enumerate(doc_rows):
         rows["doc_id"][i] = mx + 1 + i
-        rows["text"][i] = text
-        rows["n_chars"][i] = len(text)
+        rows["text"][i] = d["text"]
+        rows["n_chars"][i] = len(d["text"])
+        for c, v in d.items():
+            if c != "text":
+                rows[c][i] = v
     pq.write_table(
         pa.concat_tables(
             [t, pa.Table.from_pydict(rows, schema=t.schema)]
@@ -545,7 +898,16 @@ def build_hostile() -> str:
 #: with the reason a hostile row cannot (or must not) move its output.
 #: Keep this SHORT — every entry is a hole in the hostile gate and
 #: needs the stated justification to survive judge review.
-REACH_EXEMPT: dict[str, str] = {}
+REACH_EXEMPT: dict[str, str] = {
+    # Both queries SYNTHESIZE their rows (S4 generator / S1 Python
+    # DataSource demo) and read zero fixture tables — no fixture
+    # mutation can reach them by construction. Their hostile input
+    # space (malformed JSON, boundary mixes) is owned by the parse/
+    # filter pytest contracts instead (test_generator.py,
+    # test_parse_robustness.py).
+    "synthetic_sensor_stream": "reads no fixture tables (synthetic generator source)",
+    "pydatasource_sensor": "reads no fixture tables (Python DataSource demo source)",
+}
 
 
 def _tables_read(df) -> set[str]:
