@@ -228,3 +228,61 @@ def test_lsh_auto_params_tables_monotone_in_recall(
             n, threshold, recall=recall, max_tables=max_tables
         )
     assert t_high >= t_low
+
+
+# --- connected components vs ground-truth union-find ----------------
+
+cc_graphs = st.builds(
+    lambda n, pairs: (n, [(a % n, b % n) for a, b in pairs if a % n != b % n]),
+    st.integers(min_value=1, max_value=40),
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=400),
+            st.integers(min_value=0, max_value=400),
+        ),
+        max_size=80,
+    ),
+)
+
+
+def _union_find_labels(n: int, edges: list[tuple[int, int]]) -> dict[int, int]:
+    """Independent ground truth: min node id per component via
+    path-compressed union-find (no shared code with graph.py)."""
+    parent = list(range(n))
+
+    def find(x: int) -> int:
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    return {x: find(x) for x in range(n)}
+
+
+@given(cc_graphs)
+@SLOW
+def test_connected_components_match_union_find(spark, graph):
+    """Both CC variants (min-label propagation and pointer doubling)
+    agree with an independent union-find on arbitrary random graphs —
+    unlike test_graph.py's variant-vs-variant check, this catches a
+    flaw shared by both distributed formulations."""
+    from iotstream.ext.graph import connected_components
+
+    n, edges = graph
+    nodes_df = spark.createDataFrame([(x,) for x in range(n)], "node bigint")
+    edges_df = (
+        spark.createDataFrame(edges, "src bigint, dst bigint")
+        if edges
+        else spark.createDataFrame([], "src bigint, dst bigint")
+    )
+    expect = _union_find_labels(n, edges)
+    for kw in ({"max_iter": n + 1}, {"shortcut": True}):
+        got = {
+            r["node"]: r["cluster_id"]
+            for r in connected_components(edges_df, nodes_df, **kw).collect()
+        }
+        assert got == expect
