@@ -286,3 +286,63 @@ def test_connected_components_match_union_find(spark, graph):
             for r in connected_components(edges_df, nodes_df, **kw).collect()
         }
         assert got == expect
+
+
+# --- as-of join vs brute-force scan ----------------------------------
+
+asof_events = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=3),      # user_id
+        st.integers(min_value=0, max_value=50),     # ts (seconds)
+        st.sampled_from(["click", "purchase", "view"]),
+        st.integers(min_value=-5, max_value=5),     # value
+    ),
+    min_size=1,
+    max_size=40,
+)
+
+
+@given(asof_events)
+@SLOW
+def test_asof_last_purchase_matches_bruteforce(spark, rows):
+    """The window-function as-of join equals a per-click brute-force
+    scan: the purchase with max (ts, event_id) at-or-before the click,
+    same user; NULLs when none — including ties at equal ts and
+    multiple purchases sharing a timestamp."""
+    import datetime
+
+    from iotstream.ext.temporal import asof_last_purchase
+
+    data = [
+        (
+            i,
+            datetime.datetime(2024, 1, 1, 0, 0, ts),
+            f"u{u}",
+            etype,
+            float(v),
+        )
+        for i, (u, ts, etype, v) in enumerate(rows)
+    ]
+    df = spark.createDataFrame(
+        data, "event_id long, ts timestamp, user_id string, "
+        "event_type string, value double"
+    )
+    got = {
+        r.event_id: (r.purchase_event_id, r.purchase_ts, r.purchase_value)
+        for r in asof_last_purchase(df).collect()
+    }
+    expect = {}
+    for eid, ts, user, etype, val in data:
+        if etype != "click":
+            continue
+        cands = [
+            (p_ts, p_eid, p_val)
+            for p_eid, p_ts, p_user, p_type, p_val in data
+            if p_user == user and p_type == "purchase" and p_ts <= ts
+        ]
+        if cands:
+            p_ts, p_eid, p_val = max(cands)
+            expect[eid] = (p_eid, p_ts, p_val)
+        else:
+            expect[eid] = (None, None, None)
+    assert got == expect
