@@ -346,3 +346,63 @@ def test_asof_last_purchase_matches_bruteforce(spark, rows):
         else:
             expect[eid] = (None, None, None)
     assert got == expect
+
+
+# --- interval follow (bucketed interval join) vs brute force ----------
+
+follow_events = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=2),       # user_id
+        st.integers(min_value=0, max_value=120),     # ts (seconds)
+        st.sampled_from(["error", "click", "view"]),
+        st.integers(min_value=-4, max_value=4),      # value
+    ),
+    min_size=1,
+    max_size=40,
+)
+
+
+@given(follow_events, st.integers(min_value=1, max_value=40))
+@SLOW
+def test_interval_follow_matches_bruteforce(spark, rows, window_seconds):
+    """The explode-to-two-bins equi-join equals a brute-force scan of
+    (a_ts, a_ts + W] for arbitrary timestamps and window widths —
+    followers landing exactly on either boundary, anchors whose window
+    spans a bin edge, and anchors following other anchors included."""
+    import datetime
+
+    from iotstream.ext.temporal import interval_follow
+
+    data = [
+        (
+            i,
+            datetime.datetime(2024, 1, 1, 0, 0, 0)
+            + datetime.timedelta(seconds=ts),
+            f"u{u}",
+            etype,
+            float(v),
+        )
+        for i, (u, ts, etype, v) in enumerate(rows)
+    ]
+    df = spark.createDataFrame(
+        data, "event_id long, ts timestamp, user_id string, "
+        "event_type string, value double"
+    )
+    got = {
+        r.event_id: (r.n_follow, r.follow_value)
+        for r in interval_follow(df, window_seconds=window_seconds).collect()
+    }
+    expect = {}
+    for eid, ts, user, etype, _ in data:
+        if etype != "error":
+            continue
+        fs = [
+            f_val
+            for f_eid, f_ts, f_user, _, f_val in data
+            if f_user == user
+            and f_ts > ts
+            and (f_ts - ts).total_seconds() <= window_seconds
+        ]
+        if fs:  # inner-join semantics: no-follower anchors are dropped
+            expect[eid] = (len(fs), sum(fs))
+    assert got == expect
