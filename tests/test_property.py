@@ -406,3 +406,110 @@ def test_interval_follow_matches_bruteforce(spark, rows, window_seconds):
         if fs:  # inner-join semantics: no-follower anchors are dropped
             expect[eid] = (len(fs), sum(fs))
     assert got == expect
+
+
+# --- sessionize / SCD2 vs brute-force timeline walks ------------------
+
+timeline_events = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=2),       # user_id
+        st.integers(min_value=0, max_value=200),     # ts (seconds)
+        st.sampled_from(["click", "view", "error"]),
+    ),
+    min_size=1,
+    max_size=40,
+)
+
+
+def _timeline(rows):
+    import datetime
+
+    return [
+        (
+            i,
+            datetime.datetime(2024, 1, 1, 0, 0, 0)
+            + datetime.timedelta(seconds=ts),
+            f"u{u}",
+            etype,
+        )
+        for i, (u, ts, etype) in enumerate(rows)
+    ]
+
+
+@given(timeline_events, st.integers(min_value=1, max_value=60))
+@SLOW
+def test_sessionize_matches_bruteforce(spark, rows, gap_seconds):
+    """The lag+running-sum sessionizer equals a per-user timeline walk:
+    a new session iff the gap from the previous event EXCEEDS the
+    threshold (boundary-equal gaps stay in-session), ids dense from 1
+    in timeline order, duplicate timestamps tie-broken by event_id."""
+    from iotstream.ext.sessions import sessionize_batch
+
+    data = _timeline(rows)
+    df = spark.createDataFrame(
+        data, "event_id long, ts timestamp, user_id string, "
+        "event_type string"
+    )
+    got = {
+        (r.user_id, r.session_id): (r.n_events, r.session_start, r.session_end)
+        for r in sessionize_batch(df, gap_seconds=gap_seconds).collect()
+    }
+    expect = {}
+    by_user = {}
+    for eid, ts, user, _ in sorted(data, key=lambda r: (r[2], r[1], r[0])):
+        by_user.setdefault(user, []).append(ts)
+    for user, tss in by_user.items():
+        sid, prev = 0, None
+        for ts in tss:
+            if prev is None or (ts - prev).total_seconds() > gap_seconds:
+                sid += 1
+                expect[(user, sid)] = [0, ts, ts]
+            expect[(user, sid)][0] += 1
+            expect[(user, sid)][2] = ts
+            prev = ts
+    assert got == {k: tuple(v) for k, v in expect.items()}
+
+
+@given(timeline_events)
+@SLOW
+def test_scd2_history_matches_bruteforce(spark, rows):
+    """The stacked lag/lead SCD2 build equals a per-user timeline walk:
+    one interval per status CHANGE (not per event), half-open
+    [valid_from, valid_to), is_current only on the open interval —
+    including same-timestamp runs tie-broken by event_id."""
+    from iotstream.ext.analytics import scd2_history
+
+    data = _timeline(rows)
+    df = spark.createDataFrame(
+        data, "event_id long, ts timestamp, user_id string, "
+        "event_type string"
+    )
+    # Full-row multiset compare — several changes can share (user, ts,
+    # status) when statuses flip within one timestamp, so a dict keyed
+    # on those would silently collapse rows on both sides.
+    def _key(row):  # None valid_to (open interval) sorts last
+        return (*row[:3], row[3] is None, row[3] or row[1], row[4])
+
+    got = sorted(
+        (
+            (r.user_id, r.valid_from, r.status, r.valid_to, r.is_current)
+            for r in scd2_history(df).collect()
+        ),
+        key=_key,
+    )
+    expect = []
+    by_user = {}
+    for eid, ts, user, etype in sorted(
+        data, key=lambda r: (r[2], r[1], r[0])
+    ):
+        by_user.setdefault(user, []).append((ts, etype))
+    for user, seq in by_user.items():
+        changes = [
+            (ts, etype)
+            for i, (ts, etype) in enumerate(seq)
+            if i == 0 or seq[i - 1][1] != etype
+        ]
+        for i, (ts, etype) in enumerate(changes):
+            nxt = changes[i + 1][0] if i + 1 < len(changes) else None
+            expect.append((user, ts, etype, nxt, nxt is None))
+    assert got == sorted(expect, key=_key)
