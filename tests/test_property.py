@@ -513,3 +513,68 @@ def test_scd2_history_matches_bruteforce(spark, rows):
             nxt = changes[i + 1][0] if i + 1 < len(changes) else None
             expect.append((user, ts, etype, nxt, nxt is None))
     assert got == sorted(expect, key=_key)
+
+
+# --- time-weighted average vs brute-force LOCF integral ---------------
+
+twa_samples = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=1),       # sensor id
+        st.integers(min_value=0, max_value=179),     # offset seconds (3 buckets)
+        st.integers(min_value=0, max_value=40),      # temperature
+    ),
+    min_size=1,
+    max_size=30,
+)
+
+
+@given(twa_samples)
+@SLOW
+def test_time_weighted_avg_matches_bruteforce(spark, rows):
+    """The one-pass lead()+groupBy TWA equals a brute-force bucket-local
+    LOCF integral over irregular samples: each value held until the
+    sensor's next reading in the same bucket, single-sample and
+    zero-width-span buckets degenerating to the min value."""
+    import datetime
+
+    from pytest import approx
+
+    from iotstream.ext.temporal import time_weighted_avg
+
+    data = [
+        (
+            f"s{sid}",
+            f"m{i}",
+            datetime.datetime(2024, 1, 1, 0, 0, 0)
+            + datetime.timedelta(seconds=off),
+            float(t),
+        )
+        for i, (sid, off, t) in enumerate(rows)
+    ]
+    df = spark.createDataFrame(
+        data, "id string, messageId string, ts timestamp, temperature double"
+    ).select(
+        "id",
+        "messageId",
+        "ts",
+        F.struct(F.col("temperature")).alias("metrics"),
+    )
+    got = {
+        (r.id, r.bucket): (r.n_readings, r.twa_temperature)
+        for r in time_weighted_avg(df, bucket_width="1 minute").collect()
+    }
+    groups = {}
+    for sid, mid, ts, v in data:
+        groups.setdefault((sid, ts.replace(second=0)), []).append((ts, mid, v))
+    assert set(got) == set(groups)
+    for key, samples in groups.items():
+        samples.sort()
+        num = den = 0
+        for (t0, _, v), (t1, _, _) in zip(samples, samples[1:]):
+            dur = int((t1 - t0).total_seconds() * 1_000_000)
+            num += v * dur
+            den += dur
+        expect = num / den if den > 0 else min(v for _, _, v in samples)
+        n, twa = got[key]
+        assert n == len(samples)
+        assert twa == approx(expect, abs=1.5e-6)
