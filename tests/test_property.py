@@ -578,3 +578,50 @@ def test_time_weighted_avg_matches_bruteforce(spark, rows):
         n, twa = got[key]
         assert n == len(samples)
         assert twa == approx(expect, abs=1.5e-6)
+
+
+@given(obs_points)
+@SLOW
+def test_interpolate_linear_matches_bruteforce(spark, points):
+    """The segment-explode interpolation equals a brute-force line
+    between surrounding observed bucket averages: dense span per
+    sensor, observed buckets exact, every interior gap bucket on the
+    segment line with the engine's HALF_AWAY 6-dp rounding."""
+    import datetime as dt
+    import math
+
+    from iotstream.ext.temporal import interpolate_linear
+
+    t0 = dt.datetime(2024, 1, 1)
+    df = spark.createDataFrame(
+        [
+            (sid, t0 + dt.timedelta(minutes=m), (float(v), 0.0))
+            for sid, m, v in points
+        ],
+        "id string, ts timestamp, "
+        "metrics struct<temperature double, humidity double>",
+    )
+    got = {
+        (r.id, int((r.bucket - t0).total_seconds()) // 60): (
+            r.temperature,
+            r.filled,
+        )
+        for r in interpolate_linear(df, bucket_width="1 minute").collect()
+    }
+    obs = {}
+    for sid, m, v in points:
+        obs.setdefault(sid, {}).setdefault(m, []).append(v)
+    expect = {}
+    for sid, buckets in obs.items():
+        avg = {m: round(sum(vs) / len(vs), 6) for m, vs in buckets.items()}
+        ms = sorted(avg)
+        for m0, m1 in zip(ms, ms[1:]):
+            expect[(sid, m0)] = (avg[m0], False)
+            for m in range(m0 + 1, m1):
+                raw = avg[m0] + (avg[m1] - avg[m0]) * (m - m0) / (m1 - m0)
+                interp = math.copysign(
+                    math.floor(abs(raw) * 1e6 + 0.5) / 1e6, raw
+                )
+                expect[(sid, m)] = (interp, True)
+        expect[(sid, ms[-1])] = (avg[ms[-1]], False)
+    assert got == expect
