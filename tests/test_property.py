@@ -625,3 +625,53 @@ def test_interpolate_linear_matches_bruteforce(spark, points):
                 expect[(sid, m)] = (interp, True)
         expect[(sid, ms[-1])] = (avg[ms[-1]], False)
     assert got == expect
+
+
+# --- sequence packing prefix-sum identity ------------------------------
+
+pack_docs = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=500),     # doc_id (dedup below)
+        st.integers(min_value=0, max_value=9),       # n tokens
+    ),
+    min_size=1,
+    max_size=30,
+    unique_by=lambda t: t[0],
+)
+
+
+@given(
+    pack_docs,
+    st.integers(min_value=1, max_value=8),           # context_len
+    st.integers(min_value=1, max_value=5),           # block_size
+)
+@SLOW
+def test_sequence_pack_prefix_sum_identity(spark, docs, context_len, block_size):
+    """The block-local + broadcast-prefix formulation equals a plain
+    exclusive cumsum over doc_id order for ANY block size (correctness
+    must be independent of the parallelism knob), sparse non-contiguous
+    doc_ids included. The cumsum runs over the ENGINE's token counts —
+    the property under test is the distributed prefix sum, not the
+    tokenizer."""
+    from iotstream.ext.packing import sequence_pack
+
+    df = spark.createDataFrame(
+        [(i, " ".join(["tok"] * n)) for i, n in docs],
+        "doc_id long, text string",
+    )
+    out = {
+        r.doc_id: (r.n_tokens, r.token_offset, r.chunk_first, r.chunk_last)
+        for r in sequence_pack(
+            df, context_len=context_len, block_size=block_size
+        ).collect()
+    }
+    assert set(out) == {doc_id for doc_id, _ in docs}
+    running = 0
+    for doc_id in sorted(out):
+        n, offset, first, last = out[doc_id]
+        assert (offset, first, last) == (
+            running,
+            running // context_len,
+            (running + n - 1) // context_len,
+        )
+        running += n
