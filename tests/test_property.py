@@ -675,3 +675,42 @@ def test_sequence_pack_prefix_sum_identity(spark, docs, context_len, block_size)
             (running + n - 1) // context_len,
         )
         running += n
+
+
+# --- distributed global row number vs builtin window -------------------
+
+rank_rows = st.lists(
+    st.integers(min_value=0, max_value=5),           # v (heavy ties)
+    min_size=1,
+    max_size=60,
+)
+
+
+@given(rank_rows, st.integers(min_value=1, max_value=8))
+@SLOW
+def test_global_row_number_matches_builtin_property(spark, vs, width):
+    """The range-partition + boundary-sample + prefix-join rank equals
+    the single-partition builtin row_number for ANY partition width and
+    arbitrarily skewed tie distributions (every value identical, widths
+    larger than the row count, etc.)."""
+    from pyspark.sql import Window
+
+    from iotstream.ext.ranks import with_global_row_number
+
+    df = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(vs)], "id long, v long"
+    )
+    order = [F.desc("v"), F.asc("id")]
+    got = {
+        r["id"]: r["_rn"]
+        for r in with_global_row_number(
+            df, order, num_partitions=width
+        ).collect()
+    }
+    want = {
+        r["id"]: r["rn"]
+        for r in df.withColumn(
+            "rn", F.row_number().over(Window.orderBy(*order))
+        ).collect()
+    }
+    assert got == want
