@@ -714,3 +714,108 @@ def test_global_row_number_matches_builtin_property(spark, vs, width):
         ).collect()
     }
     assert got == want
+
+
+# --- hopping window vs brute-force window assignment -------------------
+
+hop_events = st.lists(
+    st.tuples(
+        st.sampled_from(["a", "b"]),                 # key
+        st.integers(min_value=0, max_value=600),     # ts offset seconds
+        st.integers(min_value=-9, max_value=9),      # value
+    ),
+    min_size=1,
+    max_size=40,
+)
+
+
+@given(
+    hop_events,
+    st.integers(min_value=1, max_value=4),           # slide in minutes
+    st.integers(min_value=0, max_value=3),           # width - slide
+)
+@SLOW
+def test_hopping_agg_matches_bruteforce(spark, rows, slide_min, extra_min):
+    """F.window(width, slide) equals a brute-force assignment of each
+    event to every [start, start+width) with start ≡ 0 (mod slide) —
+    any width/slide combination with width >= slide (Spark rejects
+    sampling windows), including width == slide (degenerate tumbling)
+    and non-divisible overlaps."""
+    width_min = slide_min + extra_min
+    import datetime as dt
+
+    from iotstream.operators.windows import hopping_agg
+
+    t0 = dt.datetime(2024, 1, 1)
+    df = spark.createDataFrame(
+        [(k, t0 + dt.timedelta(seconds=s), float(v)) for k, s, v in rows],
+        "id string, ts timestamp, v double",
+    )
+    got = {
+        (r.id, int((r.window_start - t0).total_seconds())): r["max"]
+        for r in hopping_agg(
+            df,
+            "ts",
+            ["id"],
+            "v",
+            width=f"{width_min} minutes",
+            slide=f"{slide_min} minutes",
+        ).collect()
+    }
+    width, slide = width_min * 60, slide_min * 60
+    expect = {}
+    for k, s, v in rows:
+        # all window starts covering s: start <= s < start+width
+        first = ((s - width) // slide + 1) * slide
+        for start in range(max(first, -width), s + 1, slide):
+            if start <= s < start + width:
+                key = (k, start)
+                expect[key] = max(expect.get(key, float(v)), float(v))
+    assert got == expect
+
+
+# --- rate of change vs brute-force first/last scan ---------------------
+
+
+@given(obs_points)
+@SLOW
+def test_rate_of_change_matches_bruteforce(spark, points):
+    """min_by/max_by over the event-order struct equals a brute-force
+    (last − first)/span per sensor-day, duplicate timestamps tie-broken
+    by messageId, single-sample and zero-span days yielding NULL."""
+    import datetime as dt
+
+    from pytest import approx
+
+    from iotstream.ext.temporal import rate_of_change
+
+    t0 = dt.datetime(2024, 1, 1)
+    data = [
+        (sid, f"m{i:03d}", t0 + dt.timedelta(minutes=m), float(v))
+        for i, (sid, m, v) in enumerate(points)
+    ]
+    df = spark.createDataFrame(
+        data, "id string, messageId string, ts timestamp, temperature double"
+    ).select(
+        "id", "messageId", "ts",
+        F.struct(F.col("temperature")).alias("metrics"),
+    )
+    got = {
+        (r.id, r.day): (r.n_readings, r.temp_rate_per_hour)
+        for r in rate_of_change(df).collect()
+    }
+    groups = {}
+    for sid, mid, ts, v in data:
+        day = ts.replace(hour=0, minute=0)
+        groups.setdefault((sid, day), []).append((ts, mid, v))
+    assert set(got) == set(groups)
+    for key, samples in groups.items():
+        samples.sort()
+        (t_first, _, v_first), (t_last, _, v_last) = samples[0], samples[-1]
+        span_h = (t_last - t_first).total_seconds() / 3600
+        n, rate = got[key]
+        assert n == len(samples)
+        if span_h > 0:
+            assert rate == approx((v_last - v_first) / span_h, abs=1.5e-6)
+        else:
+            assert rate is None
