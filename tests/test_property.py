@@ -819,3 +819,98 @@ def test_rate_of_change_matches_bruteforce(spark, points):
             assert rate == approx((v_last - v_first) / span_h, abs=1.5e-6)
         else:
             assert rate is None
+
+
+# --- funnel / cohort retention vs brute force ---------------------------
+
+funnel_events = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=3),       # user
+        st.integers(min_value=0, max_value=100),     # ts offset hours
+        st.sampled_from(["view", "click", "purchase", "error"]),
+    ),
+    min_size=1,
+    max_size=40,
+)
+
+
+@given(funnel_events)
+@SLOW
+def test_funnel_matches_bruteforce(spark, rows):
+    """The stacked conditional-min windows equal a per-user brute-force
+    walk: convert to stage N at the first stage-N event at-or-after the
+    stage-N-1 conversion (inclusive), never before — including clicks
+    that precede every view and equal-timestamp conversions."""
+    import datetime as dt
+
+    from iotstream.ext.analytics import funnel
+
+    t0 = dt.datetime(2024, 1, 1)
+    data = [
+        (f"u{u}", t0 + dt.timedelta(hours=h), etype) for u, h, etype in rows
+    ]
+    df = spark.createDataFrame(data, "user_id string, ts timestamp, event_type string")
+    got = {r.stage: r.users for r in funnel(df).collect()}
+    nv = nc = np_ = 0
+    for user in {d[0] for d in data}:
+        mine = [(ts, ty) for uid, ts, ty in data if uid == user]
+        v = min((ts for ts, ty in mine if ty == "view"), default=None)
+        c = (
+            min(
+                (ts for ts, ty in mine if ty == "click" and ts >= v),
+                default=None,
+            )
+            if v is not None
+            else None
+        )
+        p = (
+            min(
+                (ts for ts, ty in mine if ty == "purchase" and ts >= c),
+                default=None,
+            )
+            if c is not None
+            else None
+        )
+        nv += v is not None
+        nc += c is not None
+        np_ += p is not None
+    assert got == {
+        "view": nv,
+        "click_after_view": nc,
+        "purchase_after_click": np_,
+    }
+
+
+@given(funnel_events)
+@SLOW
+def test_cohort_retention_matches_bruteforce(spark, rows):
+    """The distinct-join-agg cohort build equals a brute-force walk:
+    users bucketed by Monday-truncated first-active week, one row per
+    (cohort, offset) with distinct-user counts."""
+    import datetime as dt
+
+    from iotstream.ext.analytics import cohort_retention
+
+    t0 = dt.datetime(2024, 1, 1)  # a Monday
+    data = [
+        (f"u{u}", t0 + dt.timedelta(hours=h * 7)) for u, h, _ in rows
+    ]
+    df = spark.createDataFrame(data, "user_id string, ts timestamp")
+    got = {
+        (r.cohort_week, r.week_offset): r.active_users
+        for r in cohort_retention(df).collect()
+    }
+    def week(ts):
+        d = ts.date() - dt.timedelta(days=ts.weekday())
+        return dt.datetime(d.year, d.month, d.day)
+
+    weeks = {}
+    for uid, ts in data:
+        weeks.setdefault(uid, set()).add(week(ts))
+    expect = {}
+    for uid, wks in weeks.items():
+        cohort = min(wks)
+        for wk in wks:
+            off = int((wk - cohort).total_seconds()) // 604800
+            expect[(cohort, off)] = expect.get((cohort, off), 0) + 1
+    assert got == expect
