@@ -914,3 +914,73 @@ def test_cohort_retention_matches_bruteforce(spark, rows):
             off = int((wk - cohort).total_seconds()) // 604800
             expect[(cohort, off)] = expect.get((cohort, off), 0) + 1
     assert got == expect
+
+
+# --- EWMA vs pandas under forced Arrow batch splits ---------------------
+
+ewma_rows = st.lists(
+    st.tuples(
+        st.sampled_from(["a", "b", None]),           # id incl. NULL group
+        st.integers(min_value=0, max_value=100),     # ts offset seconds
+        st.integers(min_value=-20, max_value=120),   # temperature
+    ),
+    min_size=1,
+    max_size=45,
+)
+
+
+@given(
+    ewma_rows,
+    st.sampled_from([0.1, 0.2, 0.5, 0.9]),           # alpha
+    st.integers(min_value=1, max_value=9),           # Arrow batch rows
+)
+@SLOW
+def test_ewma_matches_pandas_property(spark, rows, alpha, batch_rows):
+    """The batched grouped-ewm kernel with carried seeds equals a plain
+    pandas groupby-ewm for ANY Arrow batch size (down to 1 row per
+    batch), alpha, NULL-id groups, and duplicate timestamps — the
+    recursion must replay bit-for-bit across every batch boundary."""
+    import datetime as dt
+
+    import numpy as np
+    import pandas as pd
+
+    from iotstream.ext.temporal import ewma_smooth
+
+    t0 = dt.datetime(2024, 1, 1)
+    data = [
+        (sid, f"m{i:03d}", t0 + dt.timedelta(seconds=s), (v, 0))
+        for i, (sid, s, v) in enumerate(rows)
+    ]
+    df = spark.createDataFrame(
+        data,
+        "id string, messageId string, ts timestamp, "
+        "metrics struct<temperature long, humidity long>",
+    )
+    old = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch")
+    spark.conf.set(
+        "spark.sql.execution.arrow.maxRecordsPerBatch", str(batch_rows)
+    )
+    try:
+        got = (
+            ewma_smooth(df, alpha=alpha)
+            .toPandas()
+            .sort_values(["id", "ts", "messageId"], na_position="first")
+            .reset_index(drop=True)
+        )
+    finally:
+        spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", old)
+    flat = pd.DataFrame(
+        {
+            "id": [r[0] for r in data],
+            "messageId": [r[1] for r in data],
+            "ts": [r[2] for r in data],
+            "temperature": [r[3][0] for r in data],
+        }
+    ).sort_values(["id", "ts", "messageId"], na_position="first")
+    expect = flat.assign(
+        ewma_t=flat.groupby("id", dropna=False)["temperature"]
+        .transform(lambda s: s.ewm(alpha=alpha, adjust=False).mean())
+        .transform(lambda s: np.floor(s * 1e6 + 0.5) / 1e6)
+    ).reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, expect, check_like=True)
