@@ -984,3 +984,129 @@ def test_ewma_matches_pandas_property(spark, rows, alpha, batch_rows):
         .transform(lambda s: np.floor(s * 1e6 + 0.5) / 1e6)
     ).reset_index(drop=True)
     pd.testing.assert_frame_equal(got, expect, check_like=True)
+
+
+# --- MAD outliers vs brute-force medians --------------------------------
+
+
+@given(obs_points, st.sampled_from([0.5, 1.0, 3.0]))
+@SLOW
+def test_mad_outliers_matches_bruteforce(spark, points, k):
+    """The broadcast-median two-pass MAD rule equals a brute-force
+    per-sensor computation: |t − median| > k·MAD, with integer
+    temperatures making every median an exact half (deterministic
+    cross-engine comparisons), including all-identical sensors where
+    MAD = 0 and any deviation is an outlier."""
+    import datetime as dt
+    import statistics
+
+    from iotstream.ext.analytics import mad_outliers
+
+    t0 = dt.datetime(2024, 1, 1)
+    data = [
+        (sid, f"m{i:03d}", t0 + dt.timedelta(minutes=m), (v, 0))
+        for i, (sid, m, v) in enumerate(points)
+    ]
+    df = spark.createDataFrame(
+        data,
+        "id string, messageId string, ts timestamp, "
+        "metrics struct<temperature long, humidity long>",
+    )
+    got = {
+        (r.id, r.messageId): (r.temperature, r.med_t, r.mad_t)
+        for r in mad_outliers(df, k=k).collect()
+    }
+    by_id = {}
+    for sid, mid, _, (v, _h) in data:
+        by_id.setdefault(sid, []).append((mid, v))
+    expect = {}
+    for sid, readings in by_id.items():
+        med = statistics.median(v for _, v in readings)
+        mad = statistics.median(abs(v - med) for _, v in readings)
+        for mid, v in readings:
+            if abs(v - med) > k * mad:
+                expect[(sid, mid)] = (v, med, mad)
+    assert got == expect
+
+
+# --- RFM segmentation vs brute-force ntile -------------------------------
+
+rfm_events = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=9),       # user
+        st.integers(min_value=0, max_value=500),     # ts offset hours
+        st.sampled_from(["purchase", "click"]),
+        st.integers(min_value=0, max_value=50),      # value
+    ),
+    min_size=1,
+    max_size=40,
+)
+
+
+def _sql_ntile(rn: int, total: int, n: int) -> int:
+    """SQL NTILE(n): the first total%n tiles get ceil(total/n) rows."""
+    base, rem = divmod(total, n)
+    big = rem * (base + 1)
+    if rn <= big:
+        return (rn - 1) // (base + 1) + 1
+    return rem + (rn - big - 1) // base + 1
+
+
+@given(rfm_events)
+@SLOW
+def test_rfm_segments_matches_bruteforce(spark, rows):
+    """The triple-distributed-rank RFM build equals a brute-force
+    computation: per-user last-purchase/frequency/exact-sum monetary,
+    each ranked by (metric desc, user_id asc) and SQL-NTILE'd into
+    quartiles, scores as 5 − tile — tie-heavy distributions and
+    single-user corpora included."""
+    import datetime as dt
+
+    from iotstream.ext.analytics import rfm_segments
+
+    t0 = dt.datetime(2024, 1, 1)
+    data = [
+        (f"u{u}", t0 + dt.timedelta(hours=h), etype, float(v))
+        for u, h, etype, v in rows
+    ]
+    df = spark.createDataFrame(
+        data, "user_id string, ts timestamp, event_type string, value double"
+    )
+    got = {
+        r.user_id: (
+            r.last_purchase_ts,
+            r.frequency,
+            r.monetary,
+            r.r_score,
+            r.f_score,
+            r.m_score,
+            r.segment,
+        )
+        for r in rfm_segments(df).collect()
+    }
+    agg = {}
+    for uid, ts, etype, v in data:
+        if etype != "purchase":
+            continue
+        last, freq, mon = agg.get(uid, (None, 0, 0.0))
+        agg[uid] = (ts if last is None else max(last, ts), freq + 1, mon + v)
+    if not agg:
+        assert got == {}
+        return
+    total = len(agg)
+    users = list(agg)
+    scores = {}
+    for idx, key in (
+        (0, lambda u: agg[u][0]),
+        (1, lambda u: agg[u][1]),
+        (2, lambda u: agg[u][2]),
+    ):
+        # stable desc on metric, asc on user_id: sort asc by user first
+        ranked = sorted(sorted(users), key=key, reverse=True)
+        for rn, u in enumerate(ranked, start=1):
+            scores.setdefault(u, {})[idx] = 5 - _sql_ntile(rn, total, 4)
+    expect = {}
+    for u, (last, freq, mon) in agg.items():
+        r_s, f_s, m_s = scores[u][0], scores[u][1], scores[u][2]
+        expect[u] = (last, freq, mon, r_s, f_s, m_s, f"{r_s}{f_s}{m_s}")
+    assert got == expect
