@@ -1110,3 +1110,82 @@ def test_rfm_segments_matches_bruteforce(spark, rows):
         r_s, f_s, m_s = scores[u][0], scores[u][1], scores[u][2]
         expect[u] = (last, freq, mon, r_s, f_s, m_s, f"{r_s}{f_s}{m_s}")
     assert got == expect
+
+
+# --- DF-threshold token scrub / TF-IDF top-k vs brute force -------------
+
+df_docs = st.lists(
+    st.text(alphabet="abc ", min_size=0, max_size=30),
+    min_size=1,
+    max_size=10,
+)
+
+
+@given(df_docs, st.sampled_from([0.3, 0.5, 1.0]))
+@SLOW
+def test_remove_high_df_tokens_matches_bruteforce(spark, texts, frac):
+    """The distinct-pair DF count + broadcast anti-join + position-
+    sorted reassembly equals a brute-force scrub: drop every token
+    appearing in >= ceil(N·frac) documents, preserve original token
+    order (duplicate and empty tokens included), emit '' for fully
+    scrubbed docs."""
+    import math
+
+    from iotstream.ext.text import remove_high_df_tokens
+
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id bigint, text string"
+    )
+    got = {
+        r.doc_id: r.clean_text
+        for r in remove_high_df_tokens(docs, min_doc_frac=frac).collect()
+    }
+    toks = {i: t.split(" ") for i, t in enumerate(texts)}
+    df = {}
+    for ws in toks.values():
+        for w in set(ws):
+            df[w] = df.get(w, 0) + 1
+    cut = math.ceil(len(texts) * frac)
+    high = {w for w, c in df.items() if c >= cut}
+    expect = {
+        i: " ".join(w for w in ws if w not in high) for i, ws in toks.items()
+    }
+    assert got == expect
+
+
+@given(df_docs, st.integers(min_value=1, max_value=4))
+@SLOW
+def test_tfidf_top_terms_matches_bruteforce(spark, texts, k):
+    """The broadcast-df TF-IDF ranking equals a brute-force tf·N/df
+    computation with the engine's 6-dp rounding and (score desc, word
+    asc) tie-breaking, for any k — including k above a document's
+    vocabulary size."""
+    import math
+
+    from iotstream.ext.text import tfidf_top_terms
+
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id bigint, text string"
+    )
+    got = sorted(
+        (r.doc_id, r.word, r.tf, r.df, r.tfidf)
+        for r in tfidf_top_terms(docs, k=k).collect()
+    )
+    toks = {i: t.split(" ") for i, t in enumerate(texts)}
+    n_docs = len(texts)
+    df = {}
+    for ws in toks.values():
+        for w in set(ws):
+            df[w] = df.get(w, 0) + 1
+    expect = []
+    for i, ws in toks.items():
+        tf = {}
+        for w in ws:
+            tf[w] = tf.get(w, 0) + 1
+        scored = [
+            (w, c, df[w], math.floor(c * n_docs / df[w] * 1e6 + 0.5) / 1e6)
+            for w, c in tf.items()
+        ]
+        scored.sort(key=lambda s: (-s[3], s[0]))
+        expect += [(i, w, c, d, s) for w, c, d, s in scored[:k]]
+    assert got == sorted(expect)
