@@ -1189,3 +1189,85 @@ def test_tfidf_top_terms_matches_bruteforce(spark, texts, k):
         scored.sort(key=lambda s: (-s[3], s[0]))
         expect += [(i, w, c, d, s) for w, c, d, s in scored[:k]]
     assert got == sorted(expect)
+
+
+# --- document chunking vs Python slicing --------------------------------
+
+
+@given(
+    st.lists(
+        st.text(alphabet="abc xyz", min_size=0, max_size=60),
+        min_size=1,
+        max_size=8,
+    ),
+    st.integers(min_value=1, max_value=12),          # stride
+    st.integers(min_value=0, max_value=12),          # chunk_size - stride
+)
+@SLOW
+def test_doc_chunks_matches_python_slicing(spark, texts, stride, extra):
+    """The explode-sequence chunker equals direct Python slicing for
+    any (chunk_size, stride) with stride <= chunk_size: chunk i covers
+    text[i·stride : i·stride + chunk_size], every char covered, a
+    zero-char doc yields exactly one empty chunk."""
+    from iotstream.ext.curation import doc_chunks
+
+    chunk_size = stride + extra
+    docs = spark.createDataFrame(
+        [(i, t, len(t)) for i, t in enumerate(texts)],
+        "doc_id bigint, text string, n_chars bigint",
+    )
+    got = sorted(
+        (r.doc_id, r.chunk_id, r.chunk_text, r.chunk_len)
+        for r in doc_chunks(
+            docs, chunk_size=chunk_size, stride=stride
+        ).collect()
+    )
+    expect = []
+    for i, t in enumerate(texts):
+        n_chunks = 1 if not t else (len(t) - 1) // stride + 1
+        for c in range(n_chunks):
+            piece = t[c * stride : c * stride + chunk_size]
+            expect.append((i, c, piece, len(piece)))
+    assert got == sorted(expect)
+
+
+# --- vocab build + tokenize-encode vs brute force ------------------------
+
+
+@given(df_docs, st.integers(min_value=1, max_value=3))
+@SLOW
+def test_vocab_and_encode_match_bruteforce(spark, texts, min_count):
+    """vocab_build must assign dense 1-based ids in (count desc, word
+    asc) order above the min-count floor, and tokenize_encode must map
+    every position through that vocabulary with OOV → 0, preserving
+    token order — for any corpus and floor."""
+    from iotstream.ext.text import tokenize_encode, vocab_build
+
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id bigint, text string"
+    )
+    got_vocab = {
+        r.word: (r.cnt, r.token_id) for r in vocab_build(
+            docs, min_count=min_count
+        ).collect()
+    }
+    counts = {}
+    for t in texts:
+        for w in t.split(" "):
+            counts[w] = counts.get(w, 0) + 1
+    kept = sorted(
+        (w for w, c in counts.items() if c >= min_count),
+        key=lambda w: (-counts[w], w),
+    )
+    expect_vocab = {w: (counts[w], i + 1) for i, w in enumerate(kept)}
+    assert got_vocab == expect_vocab
+
+    got_enc = {
+        r.doc_id: (list(r.token_ids), r.n_tokens, r.n_oov)
+        for r in tokenize_encode(docs, min_count=min_count).collect()
+    }
+    expect_enc = {}
+    for i, t in enumerate(texts):
+        ids = [expect_vocab.get(w, (0, 0))[1] for w in t.split(" ")]
+        expect_enc[i] = (ids, len(ids), sum(1 for x in ids if x == 0))
+    assert got_enc == expect_enc
