@@ -63,37 +63,34 @@ DRIVER_WINDOW = 50
 #: similarity.py-composed entries this round's recall-honesty/ADVICE
 #: fixes touch — all expire when their r9 grades land.
 FORCE_WINDOW: tuple[tuple[str, int], ...] = (
-    # All 30 r12 pins expired (CORRECTNESS_r12 landed 50/50 green, so
-    # every pinned query has an r12 grade >= its pinned_round) and are
-    # pruned. With 3 pins, 47 slots go to the age rotation, which pulls
-    # the remaining r9/r10 grade cohorts into the window (r12 verdict
-    # item 2: post-r13 histogram should show nothing older than r10).
+    # The 3 r13 pins (interval_join, streaming_sessionize,
+    # pricing_summary — the reach-audit contract changes) expired when
+    # CORRECTNESS_r13.json landed with all three green at r13
+    # (committed in 5521264) and are pruned. The remaining 49 slots go
+    # to the age rotation, which pulls the entire remaining r11 grade
+    # cohort (29 queries) into the window — after r14 lands, nothing
+    # in the grade union should be older than r12.
     #
-    # r13 injection-reachability audit (VERDICT r12 item 1): the first
-    # audit pass proved 32 of 128 queries were untouched by EVERY
-    # hostile shape — their filters dodged every injected row, so the
-    # hostile parity gate was vacuous for them. Placement-engineered
-    # rows (tools/degenerate_sweep._derive_placements) closed the gap
-    # and immediately surfaced three real divergences whose contracts
-    # changed engine and/or oracle text this round — pin for re-grade:
-    # - interval_join: finite-measures contract on the follower SUM
-    #   (a NaN/Inf follower still counts in n_follow but the exact-
-    #   DECIMAL sum is finite-only; oracle mirrors with CASE WHEN
-    #   isfinite) — before, Spark CAST silently NULLed while DuckDB
-    #   raised on the same row.
-    # - streaming_sessionize: the watermarked session_window now
-    #   declares nonnegative_event_time — Spark's epoch-0 watermark
-    #   evicts sessions ENDING at or before 1970-01-01, so a 23:30
-    #   pre-epoch event vanished while the 23:59:59 one survived by
-    #   crossing epoch (filter luck, the exact r12 lesson).
-    # - pricing_summary: oracle charge product widened via
-    #   CAST(disc AS DECIMAL(26,8)) — DuckDB narrows the disc product
-    #   to int64 DECIMAL(18,8) and overflowed on an extreme-but-valid
-    #   9e6 price; the widened product is DECIMAL(38,12), exactly
-    #   Spark's result type.
-    ("interval_join", 13),
-    ("streaming_sessionize", 13),
-    ("pricing_summary", 13),
+    # r14 epoch-boundary generalization (VERDICT r13 item 4): the
+    # stream-stream interval join silently dropped pairs whose error
+    # event was pre-epoch (Spark's watermark initializes at epoch 0 —
+    # the same class as the r13 session_window fix, proven by a live
+    # probe, not code reading). interval_join_pairs now declares
+    # nonnegative_event_time on BOTH sides and the oracle mirrors the
+    # clause — contract change under a fresh r13 grade, so pin.
+    ("streaming_interval_join", 14),
+    # Same r14 epoch class, found by the hostile boundary shapes (1040
+    # vs 1041 rows): dropDuplicatesWithinWatermark's late-input filter
+    # is ALSO strict (ts <= watermark dropped) — contract moved from
+    # nonnegative_event_time to positive_event_time, oracle mirrored.
+    ("streaming_dedup_wm", 14),
+    # r14 boundary audit follow-on: a single-valid-reading sensor
+    # (n-1 = 0) made the ANSI double division THROW where DuckDB's
+    # x/0.0 yields NULL and silently excludes the sensor — zscore now
+    # uses try_divide (exactly DuckDB's null-on-zero semantic) for the
+    # variance and z divisions. Engine fn changed under a fresh r13
+    # grade, so pin.
+    ("zscore_anomaly", 14),
 )
 
 
@@ -1292,7 +1289,17 @@ def q_zscore_anomaly(spark, sf_dir):
     exact integer sum/sum-of-squares (one whole-partition window, no
     second scan), then the SAME IEEE expression shape as the SQL twin —
     so the filter boundary is bit-deterministic across engines, not a
-    float-rounding gamble."""
+    float-rounding gamble.
+
+    Zero-divisor contract (r14 boundary audit): a sensor with ONE
+    valid reading (n-1 = 0) or zero variance has no z-score. DuckDB's
+    double division by zero yields NULL, silently excluding such
+    sensors via abs(zv) > 2; Spark under ANSI mode THROWS instead —
+    found when an epoch-class placement pair lost one row to the
+    validity filter and left a single-reading sensor. try_divide is
+    exactly DuckDB's null-on-zero-divisor semantic, so both engines
+    exclude these sensors identically (and a real fleet's
+    single-reading sensors can't crash the query)."""
     from pyspark.sql import Window
 
     t = F.col("metrics.temperature")
@@ -1300,7 +1307,8 @@ def q_zscore_anomaly(spark, sf_dir):
     s = F.sum(t).over(w).cast("double")
     n = F.count(t).over(w).cast("double")
     sq = F.sum(t * t).over(w).cast("double")
-    z = (t.cast("double") - s / n) / F.sqrt((sq - s * s / n) / (n - F.lit(1.0)))
+    denom = F.sqrt(F.try_divide(sq - s * s / n, n - F.lit(1.0)))
+    z = F.try_divide(t.cast("double") - s / n, denom)
     return (
         _valid(spark, sf_dir)
         .select(
@@ -1862,11 +1870,19 @@ def q_streaming_dedup_wm(spark, sf_dir):
     the production path where state for a key can be dropped once the
     watermark passes it (plain dropDuplicates keeps ALL keys forever).
     Fixture event_ids are unique, so the drained result equals batch
-    DISTINCT (the oracle) regardless of which duplicate survives."""
+    DISTINCT (the oracle) regardless of which duplicate survives.
+
+    STRICT epoch contract (r14 boundary shapes): like the
+    stream-stream join — and unlike windowed/session aggs, whose
+    eviction keys on window END — this operator's late-input filter
+    tests ``ts <= watermark`` against the initial epoch-0 watermark,
+    so an epoch-EXACT row is silently dropped
+    (schemas.positive_event_time; the hostile gate measured 1040 vs
+    1041 rows under the previous >= contract)."""
     from iotstream.schemas import (
         load_events_raw,
-        nonnegative_event_time,
         normalize_ns_timestamp,
+        positive_event_time,
     )
     from iotstream.sinks import ParquetUpsertSink
     from iotstream.sources import FileStreamSource
@@ -1876,8 +1892,9 @@ def q_streaming_dedup_wm(spark, sf_dir):
     raw_schema = load_events_raw(spark, sf_dir).schema
     stream = FileStreamSource(table_path(sf_dir, "events"), raw_schema).load(spark)
     deduped = (
-        # watermarked op: non-negative event-time domain (see schemas)
-        nonnegative_event_time(normalize_ns_timestamp(stream))
+        # watermarked dedup: STRICTLY-positive event-time domain (the
+        # late-input filter drops ts <= the epoch-0 watermark, r14)
+        positive_event_time(normalize_ns_timestamp(stream))
         .select("event_id", "ts", "user_id", "event_type", "value")
         .withWatermark("ts", "1 hour")
         .dropDuplicatesWithinWatermark(["event_id"])
@@ -2745,13 +2762,21 @@ def oracle_sql() -> dict[str, str]:
             WHERE (value IS NULL OR isfinite(value))
             GROUP BY c_mktsegment""",
         "streaming_interval_join": """
+            -- both sides declare ts STRICTLY > epoch
+            -- (schemas.positive_event_time — the stream-stream join's
+            -- late-input filter drops rows at ts <= the initial
+            -- epoch-0 watermark, measured r14: an epoch-EXACT error
+            -- loses its pair while a 00:00:01 one keeps it; r14
+            -- generalization of the r13 session-window finding)
             SELECT e.event_id AS error_event_id,
                    f.event_id AS follow_event_id,
                    e.user_id, f.value AS follow_value
             FROM events e JOIN events f
               ON e.user_id = f.user_id
              AND f.ts > e.ts AND f.ts <= e.ts + INTERVAL 30 MINUTE
-            WHERE e.event_type = 'error'""",
+            WHERE e.event_type = 'error'
+              AND e.ts > TIMESTAMP '1970-01-01 00:00:00'
+              AND f.ts > TIMESTAMP '1970-01-01 00:00:00'""",
         "cube_docs": """
             SELECT lang, source, count(*) AS n_docs,
                    round(avg(n_chars), 6) AS avg_chars
@@ -3622,6 +3647,12 @@ def oracle_sql() -> dict[str, str]:
                   FROM sc)
             SELECT doc_id, word, tf, df, tfidf FROM r WHERE _rn <= 3""",
         "streaming_dedup_wm": """
+            -- STRICT epoch bound (schemas.positive_event_time):
+            -- dropDuplicatesWithinWatermark's late-input filter tests
+            -- ts <= the initial epoch-0 watermark, dropping an
+            -- epoch-EXACT row — measured by the r14 hostile boundary
+            -- shapes (1040 vs 1041 under the >= oracle). NULL event
+            -- times are kept (r11 NULL-parity contract).
             SELECT event_id, ts, user_id, event_type, value FROM events
-            WHERE ts IS NULL OR ts >= TIMESTAMP '1970-01-01'""",
+            WHERE ts IS NULL OR ts > TIMESTAMP '1970-01-01'""",
     }

@@ -14,10 +14,19 @@ every query, at the end of the query sweep, and at the true end of
 the artifact (after the isolated series and the ingest drain, so a
 steal burst during those phases is recorded too). The compact line
 carries the summary with a headline `contaminated` flag — busy at
-start (loadavg) OR >5% of machine cycles stolen during the run
-(steal_ratio; loadavg is blind to steal, the measured cause of the
-2× cross-session spread) — so a capture taken on a busy machine
-identifies itself instead of reading as a perf regression.
+start (loadavg), >1% of machine cycles stolen over the session, or
+>5% stolen inside any inter-sample window (steal_ratio /
+steal_ratio_window_max; loadavg is blind to steal, the measured cause
+of the 2× cross-session spread) — so a capture taken on a busy
+machine identifies itself instead of reading as a perf regression.
+The session threshold was tightened from 0.05 to 0.01 in r14 after
+the r13 matrix captures (steal 0.012-0.032, ~32-40% inflated vs the
+same code idle at 0.0003) all self-certified clean — see
+contamination_verdict() for the full threshold rationale. The
+deviation-from-idle-median alternative (VERDICT r13) was rejected:
+it couples the gate to a committed reference total that changes with
+every engine/query-set edit, while the steal counter is
+code-independent.
 
 Env: SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1),
      SPARK_GRAFT_CPUS   (default 32).
@@ -110,8 +119,112 @@ def _load_sample() -> dict:
         "ts": datetime.datetime.now(datetime.timezone.utc).isoformat(
             timespec="seconds"
         ),
+        # Monotonic clock for inter-sample windows: the ISO ts is
+        # second-precision (fine for lining up with external machine
+        # records, useless for sub-second steal windows).
+        "mono": round(time.perf_counter(), 3),
         "loadavg": [round(l1, 2), round(l5, 2), round(l15, 2)],
         "steal_jiffies": steal,
+    }
+
+
+def contamination_verdict(
+    load_start: dict,
+    load_end: dict,
+    per_query_load: dict,
+    wall_sec: float,
+    ncpu: int,
+    bench_threads: int,
+    tick_hz: int | None = None,
+) -> dict:
+    """Cause-coded contamination verdict over a capture's load/steal
+    samples — pure (no /proc reads) so tests can replay recorded bands
+    against it (VERDICT r13 item 2).
+
+    Cause codes and why each threshold sits where it does:
+
+      load_at_start  — pre-session 1-min loadavg above 25% of the
+                       machine (floor 2.0): someone ELSE was running
+                       before the bench added its own threads. On a
+                       32-CPU box load 2 is ~6% busy, which is noise,
+                       so the threshold scales with the machine.
+      steal          — session-average hypervisor steal above 1% of
+                       machine cycles. History: the original 0.05
+                       threshold was proven too loose in r13 — matrix
+                       captures at steal 0.012-0.032 self-certified
+                       clean while reading ~32-40% slower than the
+                       SAME engine code idle (82.31 s at 0.0003,
+                       BENCH_IDLE_r13.json, vs 109-121 s in-band).
+                       Steal stalls are bursty and the hypervisor's
+                       co-tenant pressure throttles more than the
+                       steal counter shows, so the ratio is a
+                       DETECTOR, not a proportional inflation
+                       estimate: the threshold must sit just above
+                       idle noise (observed idle: 0.0003-0.002), not
+                       at "5% of cycles". 0.01 splits the measured
+                       bands with ~5× margin to idle and margin below
+                       the contaminated band's floor (0.012).
+      steal_burst    — any inter-sample window (start → per-query
+                       samples → end) with steal above 5% of that
+                       window's cycles: a localized burst a long
+                       session's average dilutes below the session
+                       threshold still invalidates the queries it
+                       landed on.
+      load_during_sweep — per-query 1-min loadavg peaking above 1.5×
+                       max(bench thread count, CPU count): the bench's
+                       own local[N] threads can't get there alone even
+                       when N exceeds the machine's CPUs, so a
+                       co-tenant arrived mid-run.
+    """
+    hz = tick_hz if tick_hz is not None else _tick_hz()
+    loads = [
+        v["load1"] for v in per_query_load.values() if v.get("load1", -1) >= 0
+    ]
+    s0 = load_start.get("steal_jiffies", -1)
+    s1 = load_end.get("steal_jiffies", -1)
+    steal_delta = s1 - s0 if s0 >= 0 and s1 >= 0 else -1
+    steal_ratio = (
+        round(steal_delta / (wall_sec * hz * ncpu), 4)
+        if steal_delta >= 0 and wall_sec > 0
+        else -1.0
+    )
+    # Windowed burst scan over the sample chain. Windows shorter than
+    # 0.2 s are skipped: at 100 Hz × ncpu the denominator is still
+    # hundreds of jiffies so the ratio is meaningful, but below that
+    # the /proc read skew dominates.
+    window_max = -1.0
+    chain = [load_start, *per_query_load.values(), load_end]
+    for a, b in zip(chain, chain[1:]):
+        ma, mb = a.get("mono", -1.0), b.get("mono", -1.0)
+        sa, sb = a.get("steal_jiffies", -1), b.get("steal_jiffies", -1)
+        if ma < 0 or mb < 0 or sa < 0 or sb < 0 or mb - ma < 0.2:
+            continue
+        window_max = max(window_max, (sb - sa) / ((mb - ma) * hz * ncpu))
+    if window_max >= 0:
+        window_max = round(window_max, 4)
+    thresholds = {
+        "load_at_start": load_at_start_threshold(ncpu),
+        "steal_ratio": 0.01,
+        "steal_ratio_window": 0.05,
+        "load_during_sweep": round(1.5 * max(bench_threads, ncpu), 1),
+    }
+    causes = []
+    if load_start["loadavg"][0] > thresholds["load_at_start"]:
+        causes.append("load_at_start")
+    if steal_ratio >= 0 and steal_ratio > thresholds["steal_ratio"]:
+        causes.append("steal")
+    if window_max >= 0 and window_max > thresholds["steal_ratio_window"]:
+        causes.append("steal_burst")
+    if loads and max(loads) > thresholds["load_during_sweep"]:
+        causes.append("load_during_sweep")
+    return {
+        "loads": loads,
+        "steal_delta": steal_delta,
+        "steal_ratio": steal_ratio,
+        "steal_ratio_window_max": window_max,
+        "thresholds": thresholds,
+        "causes": causes,
+        "tick_hz": hz,
     }
 
 
@@ -283,6 +396,7 @@ def main() -> int:
         s = _load_sample()
         per_query_load[name] = {
             "ts": s["ts"],
+            "mono": s["mono"],
             "load1": s["loadavg"][0],
             "steal_jiffies": s["steal_jiffies"],
         }
@@ -367,12 +481,6 @@ def main() -> int:
     # the query sweep.
     load_end = _load_sample()
     wall_sec = time.perf_counter() - t_session0
-    loads = [v["load1"] for v in per_query_load.values() if v["load1"] >= 0]
-    steal_delta = (
-        load_end["steal_jiffies"] - load_start["steal_jiffies"]
-        if load_end["steal_jiffies"] >= 0 and load_start["steal_jiffies"] >= 0
-        else -1
-    )
     # Steal as a fraction of the machine's total cycles over the
     # session (the /proc/stat cpu line aggregates all CPUs at ~100 Hz
     # each): loadavg is BLIND to hypervisor steal — the measured cause
@@ -389,41 +497,18 @@ def main() -> int:
         bench_threads = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     except ValueError:
         bench_threads = 32
-    steal_ratio = (
-        round(steal_delta / (wall_sec * _tick_hz() * ncpu), 4)
-        if steal_delta >= 0 and wall_sec > 0
-        else -1.0
+    # Cause-coded contamination verdict (VERDICT r9 item 3 / r13 item
+    # 2) — computed by the pure contamination_verdict() so the
+    # thresholds that certify a capture are the same ones the tests
+    # replay recorded steal bands against.
+    verdict = contamination_verdict(
+        load_start, load_end, per_query_load, wall_sec, ncpu, bench_threads
     )
-    # Cause-coded contamination verdict (VERDICT r9 item 3): the r9
-    # capture — the fastest of the project — self-flagged because start
-    # loadavg 2.07 tripped a bare >2.0 test, and a reader couldn't tell
-    # "not provably idle" from "numbers invalid". Each cause now names
-    # itself and its threshold travels in the artifact:
-    #   load_at_start  — pre-session 1-min loadavg above 25% of the
-    #                    machine (floor 2.0): someone ELSE was running
-    #                    before the bench added its own threads. On a
-    #                    32-CPU box load 2 is ~6% busy, which is noise,
-    #                    so the threshold scales with the machine.
-    #   steal          — >5% of machine cycles stolen by the hypervisor
-    #                    during the run; loadavg is blind to this, and
-    #                    it is the measured cause of the 2× spread.
-    #   load_during_sweep — per-query 1-min loadavg peaking above
-    #                    1.5× max(bench thread count, CPU count): the
-    #                    bench's own local[N] threads can't get there
-    #                    alone even when N exceeds the machine's CPUs,
-    #                    so a co-tenant arrived mid-run.
-    thresholds = {
-        "load_at_start": load_at_start_threshold(ncpu),
-        "steal_ratio": 0.05,
-        "load_during_sweep": round(1.5 * max(bench_threads, ncpu), 1),
-    }
-    causes = []
-    if load_start["loadavg"][0] > thresholds["load_at_start"]:
-        causes.append("load_at_start")
-    if steal_ratio >= 0 and steal_ratio > thresholds["steal_ratio"]:
-        causes.append("steal")
-    if loads and max(loads) > thresholds["load_during_sweep"]:
-        causes.append("load_during_sweep")
+    loads = verdict["loads"]
+    steal_delta = verdict["steal_delta"]
+    steal_ratio = verdict["steal_ratio"]
+    thresholds = verdict["thresholds"]
+    causes = verdict["causes"]
     load_summary = {
         "start": load_start["loadavg"][0],
         "end": load_end["loadavg"][0],
@@ -442,6 +527,7 @@ def main() -> int:
             else -1
         ),
         "steal_ratio": steal_ratio,
+        "steal_ratio_window_max": verdict["steal_ratio_window_max"],
         # Headline verdict + WHY it tripped + the thresholds used, so a
         # clean capture reads false and a dirty one names its cause.
         "contaminated": bool(causes),
@@ -449,7 +535,7 @@ def main() -> int:
         "contamination_thresholds": thresholds,
         "ncpu": ncpu,
         "bench_threads": bench_threads,
-        "tick_hz": _tick_hz(),
+        "tick_hz": verdict["tick_hz"],
     }
     out["load"] = {
         "start": load_start,

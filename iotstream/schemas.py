@@ -187,6 +187,24 @@ def nonnegative_event_time(df: DataFrame, ts_col: str = "ts") -> DataFrame:
     return df.filter(c.isNull() | (c >= F.timestamp_seconds(F.lit(0))))
 
 
+def positive_event_time(df: DataFrame, ts_col: str = "ts") -> DataFrame:
+    """STRICTLY-positive event-time domain for stream-stream JOIN
+    sides.
+
+    Measured r14 (generalizing the r13 epoch-eviction class): the
+    symmetric-hash join's late-input filter drops rows at EXACTLY
+    epoch — an error event at 1970-01-01T00:00:00 loses its pair while
+    one at 00:00:01 keeps it — because the input-row predicate tests
+    ``ts <= watermark`` against the initial epoch-0 watermark. This
+    differs from windowed/session aggregations, where eviction keys on
+    the WINDOW END and an epoch-exact row survives (its window ends
+    after epoch), hence the separate ``nonnegative_event_time``
+    contract there. NULL event times pass through untouched — the join
+    condition excludes them on both engines."""
+    c = F.col(ts_col)
+    return df.filter(c.isNull() | (c > F.timestamp_seconds(F.lit(0))))
+
+
 def use_utc(spark: SparkSession) -> SparkSession:
     """Pin the session timezone so epoch<->timestamp conversions agree
     with the DuckDB oracle (which treats naive timestamps as UTC)."""

@@ -84,9 +84,28 @@ def interval_join_pairs(
     at sf0.1; state width beyond ~8 strictly hurts (w16/w32 measured
     worse), w4 vs w8 is noise. All of it is per-QUERY fixed cost that
     amortizes under a continuous trigger at production scale — the
-    bench number is micro-batch machinery, not a row-scaling term."""
-    lw = left_stream.withWatermark(left_ts, watermark)
-    rw = right_stream.withWatermark(right_ts, watermark)
+    bench number is micro-batch machinery, not a row-scaling term.
+
+    WATERMARKED operator → STRICTLY-positive event-time contract on
+    BOTH sides (schemas.positive_event_time): Spark initializes every
+    watermark at epoch 0 and the join's late-input filter tests
+    ``ts <= watermark``, so a row at or before epoch on either side is
+    "late" to the very first micro-batch and silently dropped
+    regardless of the configured delay — measured r14 (generalizing
+    the r13 session_window finding): a 1969-12-31 23:50 error with a
+    00:05 follower lost its pair, and so did an error at EXACTLY
+    1970-01-01T00:00:00, while one at 00:00:01 kept it (strict, unlike
+    the >= contract of windowed aggs whose eviction keys on window
+    END). The explicit filter, mirrored in the oracle, turns the
+    silent drop into the declared rule."""
+    from iotstream.schemas import positive_event_time
+
+    lw = positive_event_time(left_stream, left_ts).withWatermark(
+        left_ts, watermark
+    )
+    rw = positive_event_time(right_stream, right_ts).withWatermark(
+        right_ts, watermark
+    )
     cond = (
         (lw[key] == rw[key])
         & (F.col(right_ts) > F.col(left_ts))

@@ -105,3 +105,59 @@ def test_kafka_writer_builds_unstarted(spark, tmp_path):
     # not touch a broker; options live in the writer's internal state.
     assert writer is not None
     assert not spark.streams.active
+
+
+def test_kafka_live_broker_roundtrip(spark, tmp_path):
+    """Opt-in LIVE-broker smoke (VERDICT r13 item 6): byte parity of
+    the Kafka hop against the in-process serde path. Requires BOTH a
+    reachable broker (``KAFKA_BOOTSTRAP`` env) and the
+    spark-sql-kafka connector on the session classpath — this sandbox
+    has neither (no broker, no connector jar in the PySpark dist, no
+    network to fetch one), so here the gate is PERMANENT and the test
+    skips cleanly; on a provisioned machine it runs the real hop.
+    """
+    import os
+    import uuid
+
+    bootstrap = os.environ.get("KAFKA_BOOTSTRAP")
+    if not bootstrap:
+        pytest.skip("KAFKA_BOOTSTRAP not set (no broker in sandbox)")
+    try:  # connector presence probe — fails fast without the jar
+        spark.read.format("kafka").option(
+            "kafka.bootstrap.servers", bootstrap
+        ).option("subscribe", "__probe__").load()
+    except Exception as e:  # noqa: BLE001
+        if "Failed to find data source" in str(e):
+            pytest.skip("spark-sql-kafka connector jar not on classpath")
+        raise
+
+    from iotstream.sinks import kafka_json_writer
+    from iotstream.sources import KafkaJsonSource
+
+    topic = f"iotstream-smoke-{uuid.uuid4().hex[:8]}"
+    conf = EngineConfig(kafka_bootstrap=bootstrap, kafka_topic=topic)
+    events = _sample_events(spark)
+    want = sorted(r.value for r in to_sensor_json(events).collect())
+
+    # produce: batch write through the same JSON serde the stream uses
+    (
+        to_sensor_json(events)
+        .write.format("kafka")
+        .option("kafka.bootstrap.servers", bootstrap)
+        .option("topic", topic)
+        .save()
+    )
+    # consume: the engine's own source, drained availableNow
+    out = str(tmp_path / "out")
+    (
+        KafkaJsonSource(conf)
+        .load(spark)
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination(120)
+    )
+    got = sorted(r.value for r in spark.read.parquet(out).collect())
+    assert got == want  # byte-identical JSON through the broker hop

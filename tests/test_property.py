@@ -590,6 +590,8 @@ def test_interpolate_linear_matches_bruteforce(spark, points):
     import datetime as dt
     import math
 
+    from pytest import approx
+
     from iotstream.ext.temporal import interpolate_linear
 
     t0 = dt.datetime(2024, 1, 1)
@@ -624,7 +626,20 @@ def test_interpolate_linear_matches_bruteforce(spark, points):
                 )
                 expect[(sid, m)] = (interp, True)
         expect[(sid, ms[-1])] = (avg[ms[-1]], False)
-    assert got == expect
+    # Observed buckets (filled=False) must match exactly — both sides
+    # compute the same avg+round. Interpolated values are compared with
+    # a tolerance spanning the 6-dp rounding boundary: a raw value
+    # within 1 ulp of a 0.5e-6 boundary would flip the exact-rounded
+    # digit if the engine's expression evaluation order ever diverges
+    # from this Python model's (ADVICE r13).
+    assert set(got) == set(expect)
+    for key, (val, filled) in expect.items():
+        got_val, got_filled = got[key]
+        assert got_filled == filled, key
+        if filled:
+            assert got_val == approx(val, abs=1.5e-6), key
+        else:
+            assert got_val == val, key
 
 
 # --- sequence packing prefix-sum identity ------------------------------
@@ -763,6 +778,13 @@ def test_hopping_agg_matches_bruteforce(spark, rows, slide_min, extra_min):
         ).collect()
     }
     width, slide = width_min * 60, slide_min * 60
+    # ALIGNMENT ASSUMPTION (ADVICE r13): the brute force computes
+    # window starts relative to t0 (2024-01-01 00:00:00), which matches
+    # Spark's epoch-aligned F.window grid only because (a) conftest
+    # pins spark.sql.session.timeZone to UTC and (b) every generated
+    # slide (60-240 s) divides t0's epoch offset (a whole number of
+    # days). Change either and `first` must be computed from the
+    # epoch-relative timestamp, not the t0-relative offset.
     expect = {}
     for k, s, v in rows:
         # all window starts covering s: start <= s < start+width

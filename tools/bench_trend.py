@@ -49,7 +49,122 @@ def _load(path: str) -> dict[str, float]:
     }
 
 
+def _capture_summary(path: str) -> dict | None:
+    """(total, n_queries, steal_ratio, recorded contamination) from one
+    bench capture, or None when the stdout line didn't parse."""
+    data = json.load(open(path))
+    if "parsed" in data:
+        data = data["parsed"] or {}
+    if not isinstance(data, dict) or "value" not in data:
+        return None
+    load = data.get("loadavg") or {}
+    return {
+        "total": data.get("value"),
+        "n_queries": data.get("n_queries"),
+        "steal_ratio": load.get("steal_ratio"),
+        "contaminated": load.get("contaminated"),
+    }
+
+
+def totals(markdown: bool) -> int:
+    """Steal-normalized round-total series (VERDICT r13 item 7): the
+    README triplet story COMPUTED from the committed artifacts instead
+    of narrated. For each driver round: the recorded total, the
+    capture's steal_ratio, the verdict the capture recorded AT THE
+    TIME, the verdict under the CURRENT gate (bench.py's session steal
+    threshold, imported — re-certifying history when the gate
+    tightens), and the idle twin (``BENCH_IDLE_r{N}.json``) where one
+    was taken. The "idle-equivalent" column is the idle twin when it
+    exists, else the total itself when the current gate reads clean,
+    else "-" — steal is a DETECTOR, not a proportional estimator, so
+    no fabricated division-by-steal correction."""
+    if REPO not in sys.path:
+        sys.path.insert(0, REPO)
+    import bench
+
+    thresh = 0.01
+    try:  # read the live threshold so this table can never diverge
+        thresh = bench.contamination_verdict(
+            {"loadavg": [0.0], "steal_jiffies": 0},
+            {"loadavg": [0.0], "steal_jiffies": 0}, {}, 1.0, 1, 1, 100,
+        )["thresholds"]["steal_ratio"]
+    except Exception:  # pragma: no cover — bench.py mid-edit
+        pass
+
+    rows = []
+    for path in sorted(
+        glob.glob(os.path.join(REPO, "BENCH_r*.json")), key=_round_num
+    ):
+        rnd = _round_num(path)
+        cap = _capture_summary(path)
+        if cap is None or cap["total"] is None:
+            continue
+        idle_path = os.path.join(REPO, f"BENCH_IDLE_r{rnd:02d}.json")
+        if not os.path.exists(idle_path):
+            idle_path = os.path.join(REPO, f"BENCH_IDLE_r{rnd}.json")
+        idle = (
+            _capture_summary(idle_path)
+            if os.path.exists(idle_path) else None
+        )
+        steal = cap["steal_ratio"]
+        current_gate = (
+            "no-steal-data" if steal is None
+            else ("steal-band" if steal > thresh else "clean")
+        )
+        if idle and idle["total"] is not None:
+            idle_eq = idle["total"]
+        elif current_gate == "clean":
+            idle_eq = cap["total"]
+        else:
+            idle_eq = None
+        rows.append({
+            "round": rnd, "total": cap["total"], "nq": cap["n_queries"],
+            "steal": steal, "recorded": cap["contaminated"],
+            "gate": current_gate, "idle": idle, "idle_eq": idle_eq,
+        })
+
+    base = next(
+        (r["idle_eq"] for r in rows if r["idle_eq"] is not None), None
+    )
+    fmt_steal = lambda s: "-" if s is None else f"{s:.4f}"  # noqa: E731
+    if markdown:
+        print(
+            "<!-- generated: python tools/bench_trend.py --totals "
+            f"--markdown (current steal gate: {thresh}) -->"
+        )
+        print("| round | total s | queries | steal | gate now | "
+              "idle twin s | idle-equiv s | vs first clean |")
+        print("|---|---|---|---|---|---|---|---|")
+    else:
+        print(f"{'round':>5} {'total':>8} {'nq':>4} {'steal':>7} "
+              f"{'gate-now':>10} {'idle':>7} {'idle-eq':>8}  vs-base")
+    for r in rows:
+        idle_s = (
+            f"{r['idle']['total']:.2f}" if r["idle"] else "-"
+        )
+        idle_eq = f"{r['idle_eq']:.2f}" if r["idle_eq"] is not None else "-"
+        vs = (
+            f"{r['idle_eq'] / base:.2f}x"
+            if base and r["idle_eq"] is not None else "-"
+        )
+        if markdown:
+            print(
+                f"| r{r['round']} | {r['total']:.2f} | {r['nq']} | "
+                f"{fmt_steal(r['steal'])} | {r['gate']} | {idle_s} | "
+                f"{idle_eq} | {vs} |"
+            )
+        else:
+            print(
+                f"{r['round']:>5} {r['total']:>8.2f} {r['nq']:>4} "
+                f"{fmt_steal(r['steal']):>7} {r['gate']:>10} "
+                f"{idle_s:>7} {idle_eq:>8}  {vs}"
+            )
+    return 0
+
+
 def main() -> int:
+    if "--totals" in sys.argv:
+        return totals("--markdown" in sys.argv)
     show_all = "--all" in sys.argv
     series: dict[str, dict[str, float]] = {}
     cols: list[str] = []

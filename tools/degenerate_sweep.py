@@ -70,6 +70,7 @@ Exit 1 on any raising query (empty/one), any parity failure
 from __future__ import annotations
 
 import os
+import re
 import shutil
 import sys
 
@@ -433,6 +434,267 @@ HOSTILE_MUTS["lineitem"][1].extend(
     ]
 )
 
+#: ---------------------------------------------------------------
+#: r14 BOUNDARY-CLASS shapes (VERDICT r13 item 4). The r13 reach
+#: audit found two divergence CLASSES only because injection happened
+#: to reach two operators (session_window's epoch eviction,
+#: interval_follow's NaN→DECIMAL). These shapes generalize both
+#: classes to every operator in the class, as AUDIT SHAPES — the
+#: ``boundary`` sub-audit inside ``run_reach`` builds one incremental
+#: fixture per class (clean + ONLY that class's rows) and FAILS any
+#: class target whose output does not move, so "the guard is
+#: exercised" is proven per class, not assumed from code reading.
+#: Every class row is ALSO in the hostile fixture (appended below /
+#: via placements), so the full oracle-parity gate covers the same
+#: rows in superset context.
+#:
+#: Class 1 — epoch eviction (watermarked streaming ops): Spark
+#: initializes every watermark at epoch 0; pre-epoch rows are "late"
+#: to the first micro-batch. Each class target declares
+#: schemas.nonnegative_event_time; the DROPPED shape (fully pre-epoch
+#: error→follower pair) proves both engines drop identically, the
+#: SURVIVOR shape (error at exactly 1970-01-01T00:00:00 — the
+#: inclusive boundary — with a post-epoch follower) proves the
+#: operator actually sees boundary rows (output must move).
+#:
+#: Class 2 — non-finite→DECIMAL (exact-decimal aggregation sites):
+#: Spark CAST(NaN AS DECIMAL) silently NULLs where DuckDB raises, so
+#: every such site declares a finite-measures contract. The DROPPED
+#: shapes (NaN/−Inf inside each consumer's filter lineage — purchase
+#: rows for the events consumers, in-band lineitem lines, orders/
+#: customer measures) prove the uniform drop; the SURVIVOR shapes
+#: (extreme-but-valid finite measures that dominate sums and stress
+#: DECIMAL precision, the r13 pricing_summary overflow class) prove
+#: the sum provably moves under the fixture.
+_EPOCH = _dt.datetime(1970, 1, 1, 0, 0, 0)
+
+NANDEC_DROPPED_EVENTS: list[dict] = [
+    # NaN/−Inf PURCHASE rows: the one event_type every monetary
+    # DECIMAL sum filters on (rfm, deciles, revenue rollups) — the
+    # pre-r14 NaN shapes (view/all_nan/empty-string) never entered
+    # those lineages, so their finite guards were graded by luck.
+    {"value": _NAN, "event_type": "purchase"},
+    {"value": -_INF, "event_type": "purchase"},
+]
+NANDEC_SURVIVORS: dict[str, list[dict]] = {
+    # extreme-but-valid purchase: passes finite_measures, dominates
+    # every monetary sum → purchase-filtered DECIMAL consumers move.
+    # Its NaN/−Inf purchase TWINS above share the filter attribute
+    # (event_type), so "survivor flows" ⇒ "twin reached the guard".
+    "events": [{"value": 9_999_999.0, "event_type": "purchase"}],
+    # in-band extreme line: R-flag-free, 1996 shipdate, Q6 discount/
+    # quantity band, extreme price — rides the common lineitem filter
+    # lineages exactly like the r12 placement L1 but deterministic
+    # (no DuckDB pick needed, head-copied join keys stay real)
+    "lineitem": [{
+        "l_linenumber": 921, "l_quantity": 7.0,
+        "l_extendedprice": 9_000_000.0, "l_discount": 0.05,
+        "l_tax": 0.02, "l_shipdate": _dt.datetime(1996, 3, 15),
+    }],
+    # extreme order total → priority/nation revenue sums move
+    "orders": [{"o_totalprice": 99_999_999.0}],
+    # (customer survivor — c_acctbal 999999.0 — predates r14 in
+    # _derive_placements; the class fixture reuses that row.)
+}
+#: NaN TWIN of the static lineitem survivor: identical filter/join
+#: attributes, non-finite measure — if the survivor provably flows to
+#: a DECIMAL sum, the twin provably reached the finite guard (the only
+#: difference is the measure the guard tests).
+NANDEC_TWINS_LINEITEM: list[dict] = [
+    {**r, "l_linenumber": r["l_linenumber"] + 400,
+     "l_extendedprice": _NAN}
+    for r in NANDEC_SURVIVORS["lineitem"]
+]
+HOSTILE_MUTS["events"][1].extend(
+    NANDEC_DROPPED_EVENTS + NANDEC_SURVIVORS["events"]
+)
+HOSTILE_MUTS["lineitem"][1].extend(
+    NANDEC_SURVIVORS["lineitem"] + NANDEC_TWINS_LINEITEM
+)
+HOSTILE_MUTS["orders"][1].extend(NANDEC_SURVIVORS["orders"])
+
+
+def _nandec_event_pairs(src: str) -> list[dict]:
+    """Derived nandec survivor/twin pair for the INTERVAL lineages
+    (batch interval_join / interval_follow): two extra error events
+    shortly before an existing same-user event — one carrying NaN (the
+    twin the r13 reach audit's fix was graded on) and one carrying an
+    extreme-but-valid value (the survivor whose pair provably moves
+    the output). Shared by build_hostile (via _derive_placements) and
+    build_boundary('nandec') so hostile stays a superset."""
+    import datetime as dt
+
+    import duckdb
+
+    con = duckdb.connect()
+    row = con.execute(
+        "SELECT user_id, ts FROM read_parquet(?) WHERE user_id IS NOT "
+        "NULL ORDER BY event_id LIMIT 1",
+        [os.path.join(src, "events.parquet")],
+    ).fetchone()
+    if not row:
+        return []
+    u, t = row
+    return [
+        {"user_id": u, "event_type": "error",
+         "ts": t - dt.timedelta(minutes=5), "value": _NAN},
+        {"user_id": u, "event_type": "error",
+         "ts": t - dt.timedelta(minutes=10), "value": 123_456.0},
+    ]
+
+
+def _epoch_pair_rows(eventless: list[int]) -> list[dict]:
+    """The epoch-class error→follower pairs, on eventless customers so
+    the pairs are self-contained (indexes 3/4; 0-2 are taken by the
+    all-NaN group, the Inf purchase/click pair, and the zscore
+    sensor). Used by BOTH the hostile placements and the epoch class
+    fixture so hostile stays a superset by construction."""
+    rows: list[dict] = []
+    if len(eventless) > 3:
+        u = eventless[3]
+        rows += [
+            # DROPPED shape: both rows pre-epoch — every watermarked op
+            # (and its oracle) must drop them identically
+            {"user_id": u, "event_type": "error",
+             "ts": _dt.datetime(1969, 12, 31, 23, 40, 0), "value": 1.0},
+            {"user_id": u, "event_type": "view",
+             "ts": _dt.datetime(1969, 12, 31, 23, 55, 0), "value": 2.0},
+        ]
+    if len(eventless) > 4:
+        u = eventless[4]
+        rows += [
+            # BOUNDARY DISTINGUISHER: error at EXACTLY epoch. The >=
+            # ops (window/session/dedup — eviction keys on window END)
+            # KEEP this row, so their outputs move; the stream-stream
+            # join's strict contract (schemas.positive_event_time,
+            # measured r14: the join's late-input filter tests
+            # ts <= watermark) DROPS it on both engines.
+            {"user_id": u, "event_type": "error", "ts": _EPOCH,
+             "value": 3.0},
+            {"user_id": u, "event_type": "view",
+             "ts": _dt.datetime(1970, 1, 1, 0, 10, 0), "value": 4.0},
+        ]
+    if len(eventless) > 5:
+        u = eventless[5]
+        rows += [
+            # JOIN SURVIVOR: first representable instant after epoch —
+            # the streaming interval join's output must gain this pair
+            {"user_id": u, "event_type": "error",
+             "ts": _dt.datetime(1970, 1, 1, 0, 0, 1), "value": 5.0},
+            {"user_id": u, "event_type": "view",
+             "ts": _dt.datetime(1970, 1, 1, 0, 10, 1), "value": 6.0},
+        ]
+    return rows
+
+
+def _eventless_customers(src: str) -> list[int]:
+    """Customer keys with no events — fresh group keys for engineered
+    shapes (shared by build_hostile and the class fixtures)."""
+    import pyarrow.parquet as pq
+
+    ev = pq.read_table(os.path.join(src, "events.parquet"),
+                       columns=["user_id"])
+    cust = pq.read_table(os.path.join(src, "customer.parquet"),
+                         columns=["c_custkey"])
+    ev_users = set(ev.column("user_id").to_pylist())
+    return sorted(
+        k for k in cust.column("c_custkey").to_pylist()
+        if k not in ev_users
+    )
+
+
+def _nonfinite_muts(table: str) -> list[dict]:
+    """The HOSTILE_MUTS rows for ``table`` carrying a NaN/±Inf float —
+    the nandec class's dropped shapes, derived from the single source
+    of truth instead of a copy that would rot."""
+    import math
+
+    return [
+        m for m in HOSTILE_MUTS[table][1]
+        if any(
+            isinstance(v, float) and (math.isnan(v) or math.isinf(v))
+            for v in m.values()
+        )
+    ]
+
+
+def build_boundary(cls: str) -> str:
+    """Incremental single-class fixture: clean sf0.001 plus ONLY the
+    given boundary class's rows, so a class target's output moving
+    under it attributes to THAT class (the full hostile fixture can't
+    attribute — every query is already touched by some other shape)."""
+    if cls == "epoch":
+        muts: dict[str, list[dict]] = {
+            "events": [
+                m for m in HOSTILE_MUTS["events"][1]
+                if any(isinstance(v, _dt.datetime) for v in m.values())
+            ] + _epoch_pair_rows(_eventless_customers(SRC)),
+        }
+    elif cls == "nandec":
+        placed = _derive_placements(SRC, _eventless_customers(SRC))
+        muts = {
+            # dropped shapes (non-finite measures) + survivors + the
+            # derived L-placements with their NaN twins (appended by
+            # _derive_placements itself)
+            "events": _nonfinite_muts("events")
+            + NANDEC_SURVIVORS["events"],
+            "lineitem": _nonfinite_muts("lineitem")
+            + NANDEC_SURVIVORS["lineitem"] + placed["lineitem"],
+            "orders": _nonfinite_muts("orders")
+            + NANDEC_SURVIVORS["orders"],
+            "customer": _nonfinite_muts("customer") + placed["customer"],
+            # CARRIER rows (documented attribution impurity): the
+            # derived lineitem survivors reference the injected unicode
+            # supplier (s_max+1), the geo suppliers (s_max+2/3) and the
+            # unicode part (p_max+2) — the same list order as hostile
+            # keeps those offsets valid, and without the carriers the
+            # survivors' joins dangle and the class audit reads
+            # NOT-REACHED for every join-dependent DECIMAL target
+            "supplier": list(HOSTILE_MUTS["supplier"][1])
+            + placed["supplier"],
+            "part": list(HOSTILE_MUTS["part"][1]),
+        }
+        # the derived events placements include epoch/zscore shapes;
+        # only the nandec-flavored interval pair belongs in this class
+        muts["events"] = muts["events"] + _nandec_event_pairs(SRC)
+    else:  # pragma: no cover — caller passes a literal
+        raise ValueError(cls)
+    out = f"{ROOT}/boundary_{cls}"
+    digest = _spec_digest(f"boundary-{cls}-v1", muts, SRC)
+    if _fresh_marker(out, digest):
+        return out
+    shutil.rmtree(out, ignore_errors=True)
+    os.makedirs(out, exist_ok=True)
+    for f in os.listdir(SRC):
+        if not f.endswith(".parquet"):
+            continue
+        table = f[: -len(".parquet")]
+        if table in muts and muts[table]:
+            _extend(SRC, out, table, HOSTILE_MUTS[table][0], muts[table])
+        else:
+            shutil.copy(os.path.join(SRC, f), os.path.join(out, f))
+    with open(f"{out}/.complete", "w") as fh:
+        fh.write(digest)
+    return out
+
+
+#: Epoch-class targets: the WATERMARKED declared queries — hand-listed
+#: because their fn() drains the stream and returns a batch read-back,
+#: so no plan introspection can see the watermark (each name is pinned
+#: to a declared query by tests/test_matrix_tooling.py). The nandec
+#: target list IS auto-derived (analyzed-plan scan for decimal casts)
+#: plus the same-reason hand adds in STREAM_DECIMAL_TARGETS.
+EPOCH_TARGETS: tuple[str, ...] = (
+    "streaming_window_agg",     # windowed_agg_final_state
+    "streaming_dedup_wm",       # dropDuplicatesWithinWatermark
+    "streaming_sessionize",     # session_window_stream
+    "streaming_interval_join",  # interval_join_pairs (r14 contract)
+)
+STREAM_DECIMAL_TARGETS: tuple[str, ...] = (
+    "streaming_enrich",         # enrich_against_dim_final decimal sum
+)
+
+
 #: r13 REACHABILITY placements (VERDICT r12 item 1). The first reach
 #: audit proved 32 of 128 queries were untouched by EVERY hostile
 #: shape — each one's filters (date windows, brand/segment/nation
@@ -765,15 +1027,10 @@ def _derive_placements(
             "user_id": u_c[0], "event_type": "purchase",
             "ts": dt.datetime(1969, 12, 31, 23, 30, 0), "value": 42.0,
         })
-    # interval joins (batch + streaming): an error 5 minutes before an
-    # existing same-user event, with a NaN value riding into the pairs
-    u_t = one("SELECT user_id, ts FROM events WHERE user_id IS NOT "
-              "NULL ORDER BY event_id LIMIT 1")
-    if u_t:
-        out["events"].append({
-            "user_id": u_t[0], "event_type": "error",
-            "ts": u_t[1] - dt.timedelta(minutes=5), "value": _NAN,
-        })
+    # interval joins (batch + streaming): errors shortly before an
+    # existing same-user event — NaN twin + extreme-finite survivor
+    # (r14: shared with the nandec class fixture)
+    out["events"].extend(_nandec_event_pairs(src))
     # zscore_anomaly: temperature derives from event_id arithmetic
     # (sensorize: temp = 10 + (event_id*7) % 41 on the else branch), so
     # the outlier is ENGINEERED via chosen event_ids on a fresh sensor:
@@ -791,6 +1048,18 @@ def _derive_placements(
                     "event_id": e, "user_id": zsensor,
                     "event_type": "sensor", "value": 1.0,
                 })
+    # r14 epoch-class pairs (dropped + inclusive-boundary survivor) —
+    # shared with build_boundary("epoch") so hostile stays a superset
+    out["events"].extend(_epoch_pair_rows(eventless))
+    # r14 nandec twins of every DERIVED lineitem survivor (L1-L13):
+    # same keys/dates/flags, non-finite price — each engineered filter
+    # lineage now carries both the row that flows and the row the
+    # finite guard must drop
+    out["lineitem"].extend([
+        {**r, "l_linenumber": r["l_linenumber"] + 400,
+         "l_extendedprice": _NAN}
+        for r in list(out["lineitem"])
+    ])
     return out
 
 
@@ -821,12 +1090,7 @@ def build_hostile() -> str:
     # the smallest REAL customer key with no events (so the group is
     # all-NaN by construction yet still joins the customer dim) and
     # give it three NaN-value events — deterministic per fixture.
-    ev = pq.read_table(os.path.join(SRC, "events.parquet"))
-    cust = pq.read_table(os.path.join(SRC, "customer.parquet"))
-    ev_users = set(ev.column("user_id").to_pylist())
-    eventless = sorted(
-        k for k in cust.column("c_custkey").to_pylist() if k not in ev_users
-    )
+    eventless = _eventless_customers(SRC)
     events_extra = list(HOSTILE_MUTS["events"][1])
     if eventless:
         events_extra += [
@@ -975,11 +1239,24 @@ def run_reach(rnd: int | None) -> int:
     report: dict[str, dict] = {}
     unreached: list[str] = []
     raising: list[str] = []
+    clean_keys: dict[str, str] = {}
+    decimal_planned: list[str] = []
     for name, fn in entrymod.queries().items():
         try:
             df_clean = fn(spark, SRC)
             tables = sorted(_tables_read(df_clean))
+            # nandec target auto-derivation: a decimal cast anywhere in
+            # the analyzed plan marks the query as an exact-DECIMAL
+            # consumer (drained streaming queries hide their plan — the
+            # hand list STREAM_DECIMAL_TARGETS covers those)
+            try:
+                plan = df_clean._jdf.queryExecution().analyzed().toString()
+                if re.search(r"cast\([^)]*as decimal", plan, re.I):
+                    decimal_planned.append(name)
+            except Exception:  # noqa: BLE001 — plan introspection only
+                pass
             key_clean = fingerprint(df_clean)
+            clean_keys[name] = key_clean
             key_host = fingerprint(fn(spark, hostile_dir))
         except Exception as e:  # noqa: BLE001
             raising.append(name)
@@ -1002,6 +1279,44 @@ def run_reach(rnd: int | None) -> int:
         print(f"{'ok   ' if status != 'UNREACHED' else 'FAIL '}{name}: "
               f"{status} (tables: {', '.join(tables) or '<unattributed>'})")
 
+    # ---- r14 boundary-class sub-audit (VERDICT r13 item 4) ----
+    # Per class: one incremental fixture (clean + ONLY that class's
+    # rows); every class target's output must MOVE under it — proof
+    # the class shapes reach the operator's guard rather than dying in
+    # its filters. Value-level parity on the same rows is the hostile
+    # oracle leg's job (hostile is a superset of both class fixtures
+    # by construction).
+    classes: dict[str, dict] = {}
+    boundary_unreached: list[str] = []
+    class_targets = {
+        "epoch": list(EPOCH_TARGETS),
+        "nandec": sorted(set(decimal_planned) | set(STREAM_DECIMAL_TARGETS)),
+    }
+    declared = entrymod.queries()
+    for cls, targets in class_targets.items():
+        fixture = build_boundary(cls)
+        cls_report: dict[str, str] = {}
+        for name in targets:
+            if name not in declared or name not in clean_keys:
+                cls_report[name] = "SKIP (not declared or clean run failed)"
+                continue
+            try:
+                moved = fingerprint(declared[name](spark, fixture)) \
+                    != clean_keys[name]
+            except Exception as e:  # noqa: BLE001
+                cls_report[name] = f"RAISE {type(e).__name__}: {e}"[:200]
+                boundary_unreached.append(f"{cls}:{name}")
+                print(f"FAIL boundary[{cls}] {name}: raised")
+                continue
+            cls_report[name] = "reached" if moved else "NOT-REACHED"
+            if not moved:
+                boundary_unreached.append(f"{cls}:{name}")
+            print(
+                f"{'ok   ' if moved else 'FAIL '}boundary[{cls}] {name}: "
+                f"{cls_report[name]}"
+            )
+        classes[cls] = {"fixture": fixture, "targets": cls_report}
+
     summary = {
         "n_queries": len(report),
         "touched": sum(1 for r in report.values() if r["status"] == "touched"),
@@ -1010,6 +1325,7 @@ def run_reach(rnd: int | None) -> int:
         ),
         "unreached": unreached,
         "raising": raising,
+        "boundary_unreached": boundary_unreached,
         "mutated_tables": sorted(mutated),
     }
     if rnd is not None:
@@ -1017,16 +1333,25 @@ def run_reach(rnd: int | None) -> int:
             os.path.dirname(here), f"REACH_AUDIT_r{rnd}.json"
         )
         with open(path, "w") as f:
-            json.dump({"summary": summary, "queries": report}, f, indent=1)
+            json.dump(
+                {"summary": summary, "queries": report,
+                 "boundary_classes": classes},
+                f, indent=1,
+            )
             f.write("\n")
         print(f"wrote {path}")
     print(
         f"\nreach audit: {summary['touched']} touched, "
         f"{summary['exempt']} exempt, {len(unreached)} UNREACHED, "
-        f"{len(raising)} raising"
+        f"{len(raising)} raising; boundary classes: "
+        + ", ".join(
+            f"{c} {sum(1 for v in d['targets'].values() if v == 'reached')}"
+            f"/{len(d['targets'])}" for c, d in classes.items()
+        )
         + (f"\nUNREACHED: {unreached}" if unreached else "")
+        + (f"\nBOUNDARY: {boundary_unreached}" if boundary_unreached else "")
     )
-    return 1 if unreached or raising else 0
+    return 1 if unreached or raising or boundary_unreached else 0
 
 
 def main() -> int:

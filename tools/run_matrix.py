@@ -161,6 +161,60 @@ def git_head() -> str | None:
         return None
 
 
+#: Generated round artifacts — excluded from the code digest so that a
+#: commit that only lands artifacts (MATRIX/BENCH/CORRECTNESS/probe
+#: JSONs, regenerated docs) preserves the digest the matrix attested.
+ARTIFACT_PREFIXES = (
+    "MATRIX_r", "BENCH_", "CORRECTNESS_r", "REACH_AUDIT_r",
+    "UNICODE_PROBE_r", "SCALE_PROBE_r", "COPYCHECK", "LEAKCHECK",
+    "PLANS.md", "VERDICT.md", "ADVICE.md",
+)
+
+
+def is_round_artifact(rel: str) -> bool:
+    """True for files the rounds GENERATE (graded artifacts, judge
+    docs) — the set excluded from code_digest()."""
+    base = os.path.basename(rel)
+    return any(base.startswith(p) for p in ARTIFACT_PREFIXES)
+
+
+def code_digest() -> str | None:
+    """SHA-256 over the WORKING-TREE content of every tracked file
+    that is not a generated round artifact — the state the matrix
+    actually ran, independent of which commit later ships the
+    artifacts (ADVICE r13: MATRIX_r13 recorded git_head 96bbea0 but
+    shipped in 9671c89, so the artifact could not attest the commit it
+    sat in). Binding convention: a matrix attests any commit whose
+    code_digest matches; artifact-only commits preserve it by
+    construction."""
+    import hashlib
+
+    try:
+        out = subprocess.run(
+            ["git", "-C", REPO, "ls-files", "-z"],
+            capture_output=True, text=True, timeout=10,
+        )
+        if out.returncode != 0:
+            return None
+        h = hashlib.sha256()
+        for rel in sorted(p for p in out.stdout.split("\0") if p):
+            if is_round_artifact(rel):
+                continue
+            path = os.path.join(REPO, rel)
+            try:
+                with open(path, "rb") as f:
+                    data = f.read()
+            except OSError:  # deleted-but-tracked
+                data = b""
+            h.update(rel.encode())
+            h.update(b"\0")
+            h.update(data)
+            h.update(b"\0")
+        return h.hexdigest()[:16]
+    except (OSError, subprocess.SubprocessError):
+        return None
+
+
 def main() -> int:
     args = sys.argv[1:]
     if not args or not args[0].isdigit():
@@ -184,6 +238,13 @@ def main() -> int:
     result: dict = {
         "round": rnd,
         "git_head": git_head(),
+        # The binding that survives artifact-only commits (ADVICE r13):
+        # sha256 over tracked non-artifact working-tree content. Verify
+        # a commit against this matrix with
+        #   git stash -u && git checkout <commit> &&
+        #   python -c "import sys; sys.path.insert(0,'tools');
+        #              import run_matrix; print(run_matrix.code_digest())"
+        "code_digest": code_digest(),
         "started_unix": int(time.time()),
         "legs": {},
     }
