@@ -84,6 +84,13 @@ FORCE_WINDOW: tuple[tuple[str, int], ...] = (
     # is ALSO strict (ts <= watermark dropped) — contract moved from
     # nonnegative_event_time to positive_event_time, oracle mirrored.
     ("streaming_dedup_wm", 14),
+    # r14 hostile-gate flake, fixed: the stateful quality monitor
+    # sorted each Arrow CHUNK by ts instead of the whole group (cross-
+    # chunk order = scheduling-dependent arrival order) and had no
+    # tie-break for duplicate timestamps — the same fixture graded
+    # max_run 1 or 2 across runs. Total order is now (ts, messageId)
+    # on both engines.
+    ("stateful_quality_monitor", 14),
     # r14 boundary audit follow-on: a single-valid-reading sensor
     # (n-1 = 0) made the ANSI double division THROW where DuckDB's
     # x/0.0 yields NULL and silently excludes the sensor — zscore now
@@ -2301,15 +2308,22 @@ def oracle_sql() -> dict[str, str]:
             extra_where=" AND ts >= TIMESTAMP '1970-01-01'",
         ),
         "stateful_quality_monitor": f"""
+            -- total order (ts, messageId): duplicate timestamps within
+            -- a sensor leave run lengths order-dependent without the
+            -- unique tie-break (r14 hostile gate: head-copied rows
+            -- share ts with their originals) — the engine's pandas
+            -- sort uses the same two keys
             WITH sensor AS ({cte}),
             flagged AS (
-              SELECT id, ts,
+              SELECT id, ts, "messageId",
                      CASE WHEN NOT ({VALID_SQL}) THEN 1 ELSE 0 END AS inv,
-                     row_number() OVER (PARTITION BY id ORDER BY ts) AS rn
+                     row_number() OVER (PARTITION BY id
+                                        ORDER BY ts, "messageId") AS rn
               FROM sensor),
             islands AS (
               SELECT id, inv,
-                     rn - row_number() OVER (PARTITION BY id, inv ORDER BY ts) AS grp
+                     rn - row_number() OVER (PARTITION BY id, inv
+                                             ORDER BY ts, "messageId") AS grp
               FROM flagged),
             runs AS (
               SELECT id, count(*) AS run_len
