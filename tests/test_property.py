@@ -1293,3 +1293,107 @@ def test_vocab_and_encode_match_bruteforce(spark, texts, min_count):
         ids = [expect_vocab.get(w, (0, 0))[1] for w in t.split(" ")]
         expect_enc[i] = (ids, len(ids), sum(1 for x in ids if x == 0))
     assert got_enc == expect_enc
+
+
+# --- stateful quality monitor vs brute-force gaps-and-islands ----------
+# No Spark session needed: _monitor is exercised as the pure kernel
+# applyInPandasWithState drives, across RANDOM chunk splits and
+# within-chunk row orders — exactly the degrees of freedom Spark's
+# scheduler owns. The r14 hostile-gate flake (max_run graded 1 or 2 on
+# the same fixture) was a per-chunk sort + missing duplicate-ts
+# tie-break; this property pins chunk/order invariance for good.
+
+monitor_events = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=5),      # ts offset (ties!)
+        st.integers(min_value=0, max_value=119),    # temperature
+        st.integers(min_value=0, max_value=149),    # humidity
+    ),
+    min_size=1,
+    max_size=24,
+)
+
+
+@given(
+    monitor_events,
+    st.randoms(use_true_random=False),
+    st.integers(min_value=1, max_value=4),          # number of chunks
+    st.integers(min_value=1, max_value=3),          # number of batches
+)
+@SLOW
+def test_quality_monitor_chunk_and_order_invariant(
+    rows, rng, n_chunks, n_batches
+):
+    import datetime as dt
+
+    import pandas as pd
+
+    from iotstream.streaming.stateful import _monitor
+
+    class FakeState:
+        def __init__(self):
+            self.exists = False
+            self.get = None
+
+        def update(self, v):
+            self.exists, self.get = True, v
+
+    data = [
+        {
+            "id": "s1",
+            "ts": dt.datetime(2024, 1, 1) + dt.timedelta(seconds=off),
+            "messageId": f"s1-{i:04d}",
+            "temperature": t,
+            "humidity": h,
+        }
+        for i, (off, t, h) in enumerate(rows)
+    ]
+
+    # brute force: totals + longest invalid run over the TOTAL order
+    # (ts, messageId) — the declared contract, same as the SQL oracle
+    expect_total, expect_inv, cur, expect_run = 0, 0, 0, 0
+    for r in sorted(data, key=lambda r: (r["ts"], r["messageId"])):
+        bad = (r["temperature"] == 0 and r["humidity"] == 0) or (
+            r["temperature"] >= 50 and r["humidity"] >= 100
+        )
+        expect_total += 1
+        if bad:
+            expect_inv += 1
+            cur += 1
+            expect_run = max(expect_run, cur)
+        else:
+            cur = 0
+
+    # adversarial delivery: shuffle rows, then split into batches and
+    # chunks — state carries across batches exactly as Spark replays.
+    # NOTE the one semantic boundary: ordering is per-BATCH, so the
+    # brute force must only equal the monitor when batches partition
+    # the timeline in order. Keep batches time-contiguous (split the
+    # sorted row list), but let chunk membership and within-chunk
+    # order be fully random — those are Spark's to scramble.
+    ordered = sorted(data, key=lambda r: (r["ts"], r["messageId"]))
+    cuts = sorted(rng.sample(range(1, len(ordered)), min(n_batches - 1, len(ordered) - 1))) if len(ordered) > 1 else []
+    batches, prev = [], 0
+    for c in cuts + [len(ordered)]:
+        batches.append(ordered[prev:c])
+        prev = c
+
+    state = FakeState()
+    for batch in batches:
+        if not batch:
+            continue
+        shuffled = list(batch)
+        rng.shuffle(shuffled)
+        k = min(n_chunks, len(shuffled))
+        chunk_lists = [shuffled[i::k] for i in range(k)]
+        chunks = (
+            pd.DataFrame(c) for c in chunk_lists if c
+        )
+        out = list(_monitor(("s1",), chunks, state))
+        assert len(out) == 1
+    n_total, n_invalid, _, max_run = state.get
+    assert (n_total, n_invalid, max_run) == (
+        expect_total,
+        expect_inv,
+        expect_run,
+    )
