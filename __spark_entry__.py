@@ -63,41 +63,23 @@ DRIVER_WINDOW = 50
 #: similarity.py-composed entries this round's recall-honesty/ADVICE
 #: fixes touch — all expire when their r9 grades land.
 FORCE_WINDOW: tuple[tuple[str, int], ...] = (
-    # The 3 r13 pins (interval_join, streaming_sessionize,
-    # pricing_summary — the reach-audit contract changes) expired when
-    # CORRECTNESS_r13.json landed with all three green at r13
-    # (committed in 5521264) and are pruned. The remaining 49 slots go
-    # to the age rotation, which pulls the entire remaining r11 grade
-    # cohort (29 queries) into the window — after r14 lands, nothing
-    # in the grade union should be older than r12.
+    # The 4 r14 pins (streaming_interval_join, streaming_dedup_wm,
+    # stateful_quality_monitor, zscore_anomaly — the r14 strict
+    # positive_event_time epoch contracts, the (ts, messageId) total
+    # order, and the try_divide ANSI fix) expired when
+    # CORRECTNESS_r14.json landed with all four green at r14
+    # (committed in 9338841) and are pruned. All 50 slots go to the
+    # age rotation, which pulls the entire r12 grade cohort (31
+    # queries) into the window — after r15 lands, nothing in the
+    # grade union should be older than r13.
     #
-    # r14 epoch-boundary generalization (VERDICT r13 item 4): the
-    # stream-stream interval join silently dropped pairs whose error
-    # event was pre-epoch (Spark's watermark initializes at epoch 0 —
-    # the same class as the r13 session_window fix, proven by a live
-    # probe, not code reading). interval_join_pairs now declares
-    # nonnegative_event_time on BOTH sides and the oracle mirrors the
-    # clause — contract change under a fresh r13 grade, so pin.
-    ("streaming_interval_join", 14),
-    # Same r14 epoch class, found by the hostile boundary shapes (1040
-    # vs 1041 rows): dropDuplicatesWithinWatermark's late-input filter
-    # is ALSO strict (ts <= watermark dropped) — contract moved from
-    # nonnegative_event_time to positive_event_time, oracle mirrored.
-    ("streaming_dedup_wm", 14),
-    # r14 hostile-gate flake, fixed: the stateful quality monitor
-    # sorted each Arrow CHUNK by ts instead of the whole group (cross-
-    # chunk order = scheduling-dependent arrival order) and had no
-    # tie-break for duplicate timestamps — the same fixture graded
-    # max_run 1 or 2 across runs. Total order is now (ts, messageId)
-    # on both engines.
-    ("stateful_quality_monitor", 14),
-    # r14 boundary audit follow-on: a single-valid-reading sensor
-    # (n-1 = 0) made the ANSI double division THROW where DuckDB's
-    # x/0.0 yields NULL and silently excludes the sensor — zscore now
-    # uses try_divide (exactly DuckDB's null-on-zero semantic) for the
-    # variance and z divisions. Engine fn changed under a fresh r13
-    # grade, so pin.
-    ("zscore_anomaly", 14),
+    # r15 zero-divisor sweep (VERDICT r14 item 5): revenue_share moved
+    # to try_divide — a zero-total region's decimal share division
+    # THROWS under ANSI where DuckDB yields NULL (the exact r14 zscore
+    # class). Engine expression changed under a fresh r12 grade; the
+    # rotation covers the whole r12 cohort this round anyway, but the
+    # pin makes the re-grade unconditional.
+    ("revenue_share", 15),
 )
 
 
@@ -1669,7 +1651,15 @@ def q_rolling_active_users(spark, sf_dir):
 def q_revenue_share(spark, sf_dir):
     """Percent-of-total: each nation's share of its region's revenue —
     partition-wide window aggregate over the already-aggregated
-    (region, nation) frame; exact decimal sums, one float division."""
+    (region, nation) frame; exact decimal sums, one float division.
+
+    Zero-divisor contract (r15 boundary sweep, same class as the r14
+    zscore fix): a region whose orders all total 0 (fully-comped
+    market — the zerodiv fixture's ZEROLAND chain) has an UNDEFINED
+    share, not a crash. Spark's ANSI decimal division THROWS on a zero
+    divisor where DuckDB yields NULL; try_divide is exactly DuckDB's
+    null-on-zero semantic, so both engines emit share=NULL for the
+    zero-total region."""
     from pyspark.sql.window import Window
 
     agg = xjoins.enrichment_join(spark, sf_dir)
@@ -1681,7 +1671,8 @@ def q_revenue_share(spark, sf_dir):
         "n_name",
         "revenue",
         F.round(
-            F.col("revenue").cast("decimal(18,4)") / region_total, 6
+            F.try_divide(F.col("revenue").cast("decimal(18,4)"), region_total),
+            6,
         )
         .cast("double")
         .alias("region_share"),

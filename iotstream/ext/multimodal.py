@@ -81,22 +81,30 @@ def decode_media(media: DataFrame, fake: bool = False) -> DataFrame:
                     "media codecs not available in this container; "
                     "plug PIL/ffmpeg here in a real deployment"
                 )
-            # NULL payloads (a failed upstream fetch/extract — routine
-            # at corpus scale) decode to NULL metadata, exactly what
-            # len()/NULL arithmetic yields SQL-side; nullable Int64
-            # keeps pd.NA through the % math and Arrow maps it to NULL
-            n = pdf["payload"].map(len, na_action="ignore").astype("Int64")
-            yield pd.DataFrame(
-                {
-                    "doc_id": pdf["doc_id"],
-                    "mime": pdf["mime"],
-                    "width": (n % 640) + 1,
-                    "height": (n % 480) + 1,
-                    "n_frames": (n % 24) + 1,
-                }
-            )
+            yield _decode_chunk(pdf)
 
     return media.mapInPandas(decode, schema=DECODED_SCHEMA)
+
+
+def _decode_chunk(pdf: pd.DataFrame) -> pd.DataFrame:
+    """The fake-decoder kernel for ONE Arrow chunk — module-level and
+    PURE PER ROW (no cross-row state), so the chunk/order-invariance
+    property (tests/test_property.py) can drive it directly across
+    adversarial chunk splits, the same way the quality monitor's
+    kernel is pinned. NULL payloads (a failed upstream fetch/extract —
+    routine at corpus scale) decode to NULL metadata, exactly what
+    len()/NULL arithmetic yields SQL-side; nullable Int64 keeps pd.NA
+    through the % math and Arrow maps it to NULL."""
+    n = pdf["payload"].map(len, na_action="ignore").astype("Int64")
+    return pd.DataFrame(
+        {
+            "doc_id": pdf["doc_id"],
+            "mime": pdf["mime"],
+            "width": (n % 640) + 1,
+            "height": (n % 480) + 1,
+            "n_frames": (n % 24) + 1,
+        }
+    )
 
 
 def sample_frames(decoded: DataFrame, every_nth: int = 4) -> DataFrame:
@@ -153,30 +161,37 @@ def extract_features(media: DataFrame, n_bins: int = 16) -> DataFrame:
     CLIP/encoder embedding pass would have, producing array<double>
     ready for the similarity operators. Vectorized with numpy over the
     whole batch (no per-row Python loop)."""
-    import numpy as np
-
     def feats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            rows = []
-            for payload in pdf["payload"]:
-                if payload is None:
-                    # failed upstream fetch/extract: no bytes, no
-                    # histogram — NULL features, same as the SQL twin's
-                    # NULL arithmetic (not a zero-vector, which would
-                    # claim "measured all-zero content")
-                    rows.append(None)
-                    continue
-                arr = np.frombuffer(payload, dtype=np.uint8)
-                shift = 8 - (n_bins - 1).bit_length()  # 16 bins → top 4 bits
-                hist = np.bincount(arr >> shift, minlength=n_bins)[:n_bins]
-                total = max(len(arr), 1)
-                # Half-UP rounding (floor(x*1e6 + 0.5)), not np.round's
-                # banker's: c/total ties at the 7th decimal exactly when
-                # total divides 2·10⁶ oddly (e.g. 128-byte payloads →
-                # …0625 fractions), and SQL engines round those half
-                # AWAY — half-up keeps the kernel oracle-portable.
-                feats_ = np.floor(hist / total * 1e6 + 0.5) / 1e6
-                rows.append(feats_.tolist())
-            yield pd.DataFrame({"doc_id": pdf["doc_id"], "features": rows})
+            yield _feats_chunk(pdf, n_bins)
 
     return media.mapInPandas(feats, schema=FEATURE_SCHEMA)
+
+
+def _feats_chunk(pdf: pd.DataFrame, n_bins: int) -> pd.DataFrame:
+    """The byte-histogram kernel for ONE Arrow chunk — module-level and
+    PURE PER ROW so the chunk/order-invariance property can drive it
+    directly (see _decode_chunk)."""
+    import numpy as np
+
+    rows = []
+    for payload in pdf["payload"]:
+        if payload is None:
+            # failed upstream fetch/extract: no bytes, no
+            # histogram — NULL features, same as the SQL twin's
+            # NULL arithmetic (not a zero-vector, which would
+            # claim "measured all-zero content")
+            rows.append(None)
+            continue
+        arr = np.frombuffer(payload, dtype=np.uint8)
+        shift = 8 - (n_bins - 1).bit_length()  # 16 bins → top 4 bits
+        hist = np.bincount(arr >> shift, minlength=n_bins)[:n_bins]
+        total = max(len(arr), 1)
+        # Half-UP rounding (floor(x*1e6 + 0.5)), not np.round's
+        # banker's: c/total ties at the 7th decimal exactly when
+        # total divides 2·10⁶ oddly (e.g. 128-byte payloads →
+        # …0625 fractions), and SQL engines round those half
+        # AWAY — half-up keeps the kernel oracle-portable.
+        feats_ = np.floor(hist / total * 1e6 + 0.5) / 1e6
+        rows.append(feats_.tolist())
+    return pd.DataFrame({"doc_id": pdf["doc_id"], "features": rows})

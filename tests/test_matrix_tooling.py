@@ -241,3 +241,168 @@ def test_hostile_doc_twins_shape():
     assert twins[0]["source"] == twins[1]["source"]
     diff = sum(1 for x, y in zip(a, b) if x != y)
     assert diff == 1  # single-character edit
+
+
+def _qwin(ratio: float, *, sec: float = 2.0, load1: float = 3.0,
+          hz: int = 100, ncpu: int = 32, t0: float = 10.0) -> dict:
+    """One per-query timing window with the given steal fraction."""
+    return {
+        "mono0": t0, "steal0": 1000,
+        "mono1": t0 + sec,
+        "steal1": 1000 + int(ratio * sec * hz * ncpu),
+        "load1": load1, "retries": 0,
+    }
+
+
+def test_splice_verdict_certifies_clean_windows_despite_session_steal():
+    """VERDICT r14 item 1: steal landing BETWEEN timing windows (warm
+    -ups, sampling gaps) inflates the session average without touching
+    any reported number — the exact false-contamination shape that ate
+    the r13/r14 bench legs. All-clean windows must certify even when
+    the session detector reads a steal band."""
+    import bench
+
+    start = {"loadavg": [0.2, 0.1, 0.1], "steal_jiffies": 0}
+    wins = {f"q{i}": _qwin(0.0005, t0=10.0 + 3 * i) for i in range(5)}
+    v = bench.splice_verdict(start, wins, 32, 32, 100)
+    assert v["causes"] == []
+    assert not v["contaminated"]
+    assert v["dirty"] == []
+
+
+def test_splice_verdict_flags_dirty_window():
+    """A single query window above the per-query gate dirties the
+    capture and names the query."""
+    import bench
+
+    start = {"loadavg": [0.2, 0.1, 0.1], "steal_jiffies": 0}
+    wins = {
+        "q_clean": _qwin(0.002),
+        "q_dirty": _qwin(0.08, t0=20.0),
+    }
+    v = bench.splice_verdict(start, wins, 32, 32, 100)
+    assert v["causes"] == ["steal_query_windows"]
+    assert v["dirty"] == ["q_dirty"]
+    assert v["window_ratios"]["q_dirty"] > bench.PER_QUERY_STEAL_GATE
+
+
+def test_splice_verdict_r13_band_ratio_is_dirty_per_window():
+    """The r13 band (1.2-3.2% steal, measured ~32-40% inflation) must
+    read dirty at the per-window level too — the per-query gate matches
+    the session gate (0.01), just above idle noise (0.0003-0.002)."""
+    import bench
+
+    start = {"loadavg": [0.2, 0.1, 0.1], "steal_jiffies": 0}
+    for ratio in (0.012, 0.032):
+        v = bench.splice_verdict(
+            start, {"q": _qwin(ratio, sec=5.0)}, 32, 32, 100
+        )
+        assert v["dirty"] == ["q"], ratio
+    for ratio in (0.0003, 0.002, 0.009):
+        v = bench.splice_verdict(
+            start, {"q": _qwin(ratio, sec=5.0)}, 32, 32, 100
+        )
+        assert v["dirty"] == [], ratio
+
+
+def test_splice_verdict_unknown_windows_surface_not_flag():
+    """Missing steal data (non-Linux, sub-50ms window) degrades to
+    'unknown', never a false flag or a crash."""
+    import bench
+
+    start = {"loadavg": [0.2, 0.1, 0.1], "steal_jiffies": -1}
+    wins = {
+        "q_nosteal": {"mono0": 1.0, "steal0": -1, "mono1": 3.0,
+                      "steal1": -1, "load1": 2.0, "retries": 0},
+        "q_tiny": _qwin(0.9, sec=0.01),
+    }
+    v = bench.splice_verdict(start, wins, 32, 32, 100)
+    assert not v["contaminated"]
+    assert sorted(v["unknown"]) == ["q_nosteal", "q_tiny"]
+
+
+def test_splice_verdict_keeps_load_causes():
+    """load_at_start and load_during_sweep still apply — per-window
+    steal certification must not weaken the co-tenant load detectors."""
+    import bench
+
+    busy_start = {"loadavg": [30.0, 10.0, 5.0], "steal_jiffies": 0}
+    v = bench.splice_verdict(busy_start, {"q": _qwin(0.0)}, 32, 32, 100)
+    assert "load_at_start" in v["causes"]
+    idle_start = {"loadavg": [0.2, 0.1, 0.1], "steal_jiffies": 0}
+    v = bench.splice_verdict(
+        idle_start, {"q": _qwin(0.0, load1=200.0)}, 32, 32, 100
+    )
+    assert "load_during_sweep" in v["causes"]
+
+
+def test_zerodiv_targets_are_declared_and_shapes_hold():
+    """r15 zero-divisor class (VERDICT r14 item 5): targets stay
+    pinned to declared queries; the derived shapes keep their
+    defining invariants — identical sensorize readings for the zero
+    -variance sensor, MAD=0-with-deviant for the MAD sensor, an
+    all-zero-total order chain wired region→nation→customer."""
+    import statistics
+
+    import __spark_entry__ as em
+
+    declared = set(em.queries().keys())
+    for name, expect in ds.ZERODIV_TARGETS.items():
+        assert name in declared, name
+        assert expect in ("moved", "survives"), name
+
+    zd = ds._zerodiv_muts(ds.SRC)
+    # ZEROLAND chain: referential keys line up, totals are all zero
+    (reg,), (nat,), (cust,) = zd["region"], zd["nation"], zd["customer"]
+    assert nat["n_regionkey"] == reg["r_regionkey"]
+    assert cust["c_nationkey"] == nat["n_nationkey"]
+    assert len(zd["orders"]) >= 2
+    for o in zd["orders"]:
+        assert o["o_custkey"] == cust["c_custkey"]
+        assert o["o_totalprice"] == 0.0
+
+    def temp(e: int) -> int:  # sensorize else-branch (valid band)
+        assert e % 100 != 0 and e % 10 != 0, e
+        return 10 + (e * 7) % 41
+
+    def hum(e: int) -> int:
+        return 50 + (e * 13) % 31
+
+    by_user: dict[int, list[int]] = {}
+    for r in zd["events"]:
+        by_user.setdefault(r["user_id"], []).append(r["event_id"])
+    zero_var = [u for u, es in by_user.items() if len(es) == 3]
+    mad_dev = [u for u, es in by_user.items() if len(es) == 5]
+    assert len(zero_var) == 1 and len(mad_dev) == 1
+    zv_temps = [temp(e) for e in by_user[zero_var[0]]]
+    zv_hums = [hum(e) for e in by_user[zero_var[0]]]
+    assert len(set(zv_temps)) == 1 and len(set(zv_hums)) == 1
+    md_temps = sorted(temp(e) for e in by_user[mad_dev[0]])
+    med = statistics.median(md_temps)
+    mad = statistics.median(sorted(abs(t - med) for t in md_temps))
+    assert mad == 0 and max(md_temps) > med  # MAD=0 with a real deviant
+    # all readings valid-band (pass the validity filter into zscore)
+    for u in by_user:
+        for e in by_user[u]:
+            assert 10 <= temp(e) <= 50 and 50 <= hum(e) <= 80, e
+
+
+def test_code_digest_strips_generated_readme_block():
+    """ADVICE r14: the README embeds a bench-trend table regenerated
+    from round artifacts — the digest must not move when ONLY the
+    marked generated block changes, and must move for real edits."""
+    body = (
+        b"# Title\nhand-written\n"
+        b"<!-- generated: tool -->\n| old table |\n"
+        b"<!-- end generated -->\ntail\n"
+    )
+    body2 = body.replace(b"| old table |", b"| new table row |")
+    assert rm.strip_generated_blocks(body) == rm.strip_generated_blocks(body2)
+    body3 = body.replace(b"hand-written", b"edited prose")
+    assert rm.strip_generated_blocks(body) != rm.strip_generated_blocks(body3)
+    # unterminated begin marker strips to EOF (half-regenerated table)
+    trunc = body.split(b"<!-- end generated -->")[0]
+    assert rm.strip_generated_blocks(trunc) == b"# Title\nhand-written\n"
+    # no markers → byte-identical passthrough
+    plain = b"no markers here\n"
+    assert rm.strip_generated_blocks(plain) == plain

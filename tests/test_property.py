@@ -1397,3 +1397,88 @@ def test_quality_monitor_chunk_and_order_invariant(
         expect_inv,
         expect_run,
     )
+
+
+# --- multimodal Arrow kernels: chunk/order invariance -------------------
+# Same exposure class as the r14 quality-monitor flake: mapInPandas
+# chunk membership and within-chunk order belong to Spark's scheduler.
+# These kernels are pure per row TODAY; the property pins that a future
+# edit cannot quietly introduce cross-row state (batch-level
+# normalization is the classic regression). Driven directly as pandas
+# kernels — no Spark session needed (VERDICT r14 item 6; ewma already
+# has a batch-size-varying Spark property above).
+
+media_payloads = st.lists(
+    st.one_of(
+        st.none(),
+        st.binary(min_size=0, max_size=300),
+    ),
+    min_size=1,
+    max_size=20,
+)
+
+
+@given(
+    media_payloads,
+    st.randoms(use_true_random=False),
+    st.integers(min_value=1, max_value=5),          # number of chunks
+    st.sampled_from([4, 16, 64]),                   # histogram bins
+)
+@SLOW
+def test_multimodal_kernels_chunk_and_order_invariant(
+    payloads, rng, n_chunks, n_bins
+):
+    import math
+
+    import pandas as pd
+
+    from iotstream.ext.multimodal import _decode_chunk, _feats_chunk
+
+    data = [
+        {"doc_id": i, "mime": f"m{i % 3}", "payload": p}
+        for i, p in enumerate(payloads)
+    ]
+
+    def run(kernel, rows):
+        """Apply the kernel across a random chunking of a random order,
+        reassemble by doc_id."""
+        shuffled = list(rows)
+        rng.shuffle(shuffled)
+        k = min(n_chunks, len(shuffled))
+        chunks = [shuffled[i::k] for i in range(k) if shuffled[i::k]]
+        out = pd.concat([kernel(pd.DataFrame(c)) for c in chunks])
+        return out.sort_values("doc_id").reset_index(drop=True)
+
+    whole_d = _decode_chunk(pd.DataFrame(data))
+    chunked_d = run(_decode_chunk, data)
+    pd.testing.assert_frame_equal(
+        whole_d.sort_values("doc_id").reset_index(drop=True), chunked_d
+    )
+    # ground truth: the declared fake-codec contract, recomputed row
+    # by row in plain Python
+    for row in chunked_d.itertuples():
+        p = data[row.doc_id]["payload"]
+        if p is None:
+            assert pd.isna(row.width) and pd.isna(row.n_frames)
+        else:
+            assert row.width == len(p) % 640 + 1
+            assert row.height == len(p) % 480 + 1
+            assert row.n_frames == len(p) % 24 + 1
+
+    whole_f = _feats_chunk(pd.DataFrame(data), n_bins)
+    chunked_f = run(lambda pdf: _feats_chunk(pdf, n_bins), data)
+    pd.testing.assert_frame_equal(
+        whole_f.sort_values("doc_id").reset_index(drop=True), chunked_f
+    )
+    shift = 8 - (n_bins - 1).bit_length()
+    for row in chunked_f.itertuples():
+        p = data[row.doc_id]["payload"]
+        if p is None:
+            assert row.features is None or row.features != row.features
+            continue
+        counts = [0] * n_bins
+        for b in p:
+            counts[b >> shift] += 1
+        total = max(len(p), 1)
+        expect = [math.floor(c / total * 1e6 + 0.5) / 1e6 for c in counts]
+        assert list(row.features) == expect, row.doc_id

@@ -386,6 +386,12 @@ HOSTILE_MUTS: dict[str, tuple[str | None, list[dict]]] = {
             {"p_name": "naïve widget 小部件"},
         ],
     ),
+    # region/nation rows come from _zerodiv_muts (fixture-derived keys,
+    # merged at build time like the r13 placements); the static entries
+    # exist so pk lookups and the reach audit's mutated-table set see
+    # these tables.
+    "region": ("r_regionkey", []),
+    "nation": ("n_nationkey", []),
 }
 
 #: r12 NaN-shape broadening (r11 verdict item 3): a single NaN row per
@@ -564,11 +570,13 @@ def _epoch_pair_rows(eventless: list[int]) -> list[dict]:
         u = eventless[4]
         rows += [
             # BOUNDARY DISTINGUISHER: error at EXACTLY epoch. The >=
-            # ops (window/session/dedup — eviction keys on window END)
-            # KEEP this row, so their outputs move; the stream-stream
-            # join's strict contract (schemas.positive_event_time,
-            # measured r14: the join's late-input filter tests
-            # ts <= watermark) DROPS it on both engines.
+            # ops (window/session aggs — eviction keys on window END)
+            # KEEP this row, so their outputs move; the strict ops
+            # (schemas.positive_event_time, measured r14) DROP it on
+            # both engines — the stream-stream join AND
+            # dropDuplicatesWithinWatermark share the same
+            # ts <= watermark late-input filter (pinned by
+            # test_dedup_within_watermark_drops_rows_at_or_before_epoch).
             {"user_id": u, "event_type": "error", "ts": _EPOCH,
              "value": 3.0},
             {"user_id": u, "event_type": "view",
@@ -618,6 +626,89 @@ def _nonfinite_muts(table: str) -> list[dict]:
     ]
 
 
+def _zerodiv_muts(src: str) -> dict[str, list[dict]]:
+    """Zero-divisor boundary shapes (VERDICT r14 item 5 — the ANSI
+    -throw vs DuckDB-NULL class the r14 zscore fix exposed). Swept
+    sites and why each shape exists:
+
+    - ZEROLAND chain (region → nation → customer → two 0.00-total
+      orders): revenue_share's per-region window SUM is a ZERO decimal
+      divisor — Spark ANSI decimal division throws, DuckDB yields
+      NULL. A fully-comped market region is a legal production shape.
+    - zero-variance sensor: three events whose event_ids share both
+      sensorize residues (≡ mod 41·31 = 1271, else-branch via
+      %10/%100) → identical VALID (temp, hum) readings → the Pearson
+      denominator in temp_humidity_corr is exactly 0 (nullif-guarded)
+      and zscore_anomaly's variance is 0 (try_divide-guarded). The
+      readings sit in the valid band (else-branch → temp 10-50), so
+      they provably pass the validity filter into zscore's lineage —
+      the corr movement proves the rows exist post-sensorize.
+    - MAD=0 deviant sensor: four identical + one deviant valid
+      readings → mad_outliers' k·MAD threshold is 0 with a real
+      outlier row (no division there — the boundary is the filter).
+
+    Sites swept and found already-safe (NOT in this class): funnel /
+    cohort_retention (no division), market_share (group key is o_year
+    inside a fixed populated window — a zero total is uninjectable),
+    rate_of_change (span>0 guard), text ratios (split(' ') size ≥ 1 on
+    both engines), gopher symbol_ratio (try_divide since r13),
+    multimodal dims/histogram (…%k+1 / max(len,1)), jaccard unions
+    (empty-shingle docs form no LSH bands, so no pair reaches the
+    division), percent_rank/ntile (N>1 / greatest guards).
+
+    Explicit pks sit far above the auto-bump range so hostile's
+    list-order never collides."""
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    def mx(table: str, col: str) -> int:
+        t = pq.read_table(
+            os.path.join(src, f"{table}.parquet"), columns=[col]
+        )
+        return pc.max(t.column(col)).as_py()
+
+    r_new = mx("region", "r_regionkey") + 7
+    n_new = mx("nation", "n_nationkey") + 7
+    c_new = mx("customer", "c_custkey") + 700
+    o_mx = mx("orders", "o_orderkey")
+    ev_mx = mx("events", "event_id")
+    out: dict[str, list[dict]] = {
+        "region": [{"r_regionkey": r_new, "r_name": "ZEROLAND"}],
+        "nation": [
+            {"n_nationkey": n_new, "n_name": "NULLMARK",
+             "n_regionkey": r_new}
+        ],
+        "customer": [{"c_custkey": c_new, "c_nationkey": n_new}],
+        "orders": [
+            {"o_orderkey": o_mx + 700 + i, "o_custkey": c_new,
+             "o_totalprice": 0.0}
+            for i in range(2)
+        ],
+        "events": [],
+    }
+    eventless = _eventless_customers(src)
+    # event_id ≡ e0 (mod 1271) preserves BOTH sensorize residues
+    # (temp: *7 % 41, hum: *13 % 31); chosen ids keep %10 ≠ 0 and
+    # %100 ≠ 0 (valid else-branch) and sit above every auto-bumped pk.
+    if len(eventless) > 6 and ev_mx + 200 < 3814:
+        u = eventless[6]
+        out["events"] += [
+            {"event_id": e, "user_id": u, "event_type": "sensor",
+             "value": 1.0}
+            for e in (3814, 5085, 6356)  # all (temp 17, hum 63)
+        ]
+    if len(eventless) > 7 and ev_mx + 200 < 5161:
+        u = eventless[7]
+        out["events"] += [
+            {"event_id": e, "user_id": u, "event_type": "sensor",
+             "value": 1.0}
+            # four at temp 16 + one deviant at temp 23 → median 16,
+            # MAD 0, |23-16| > 3·0 → outlier row
+            for e in (5161, 6432, 7703, 8974, 5162)
+        ]
+    return out
+
+
 def build_boundary(cls: str) -> str:
     """Incremental single-class fixture: clean sf0.001 plus ONLY the
     given boundary class's rows, so a class target's output moving
@@ -657,6 +748,10 @@ def build_boundary(cls: str) -> str:
         # the derived events placements include epoch/zscore shapes;
         # only the nandec-flavored interval pair belongs in this class
         muts["events"] = muts["events"] + _nandec_event_pairs(SRC)
+    elif cls == "zerodiv":
+        muts = {
+            t: rows for t, rows in _zerodiv_muts(SRC).items() if rows
+        }
     else:  # pragma: no cover — caller passes a literal
         raise ValueError(cls)
     out = f"{ROOT}/boundary_{cls}"
@@ -693,6 +788,23 @@ EPOCH_TARGETS: tuple[str, ...] = (
 STREAM_DECIMAL_TARGETS: tuple[str, ...] = (
     "streaming_enrich",         # enrich_against_dim_final decimal sum
 )
+
+#: r15 zero-divisor class targets (VERDICT r14 item 5) with their
+#: audit expectation: "moved" = output must change under the class
+#: fixture (the shape reaches the operator's guard); "survives" =
+#: no-raise is the contract — the guarded NULL is filtered out so the
+#: output CANNOT move, and lineage reach is proven by a sibling
+#: "moved" target sharing the same injected rows (zscore's zero-
+#: variance sensor is the same three rows that move
+#: temp_humidity_corr; the readings sit in the valid band by
+#: construction, so they pass the validity filter into zscore's
+#: window). A raise fails either way.
+ZERODIV_TARGETS: dict[str, str] = {
+    "revenue_share": "moved",       # ZEROLAND region → share NULL row
+    "temp_humidity_corr": "moved",  # zero-variance → corr_th NULL row
+    "mad_outliers": "moved",        # MAD=0 + deviant → outlier row
+    "zscore_anomaly": "survives",   # z = try_divide(0, 0) → filtered
+}
 
 
 #: r13 REACHABILITY placements (VERDICT r12 item 1). The first reach
@@ -1078,7 +1190,8 @@ def build_hostile() -> str:
 
     out = f"{ROOT}/hostile"
     digest = _spec_digest(
-        "hostile-v4", HOSTILE_MUTS, HOSTILE_DOCS, HOSTILE_DOC_ROWS, SRC
+        "hostile-v5-zerodiv", HOSTILE_MUTS, HOSTILE_DOCS,
+        HOSTILE_DOC_ROWS, SRC,
     )
     if _fresh_marker(out, digest):
         return out
@@ -1101,11 +1214,18 @@ def build_hostile() -> str:
     # the filter lineages the first reach audit proved untouched
     placed = _derive_placements(SRC, eventless)
     events_extra += placed["events"]
+    # r15 zero-divisor shapes — shared with build_boundary("zerodiv")
+    # so hostile stays a superset and the oracle leg owns value parity
+    zd = _zerodiv_muts(SRC)
+    events_extra += zd["events"]
     hostile_muts = dict(HOSTILE_MUTS)
     hostile_muts["events"] = (HOSTILE_MUTS["events"][0], events_extra)
     for t in ("lineitem", "customer", "supplier"):
         pk, muts = hostile_muts[t]
         hostile_muts[t] = (pk, list(muts) + placed[t])
+    for t in ("region", "nation", "customer", "orders"):
+        pk, muts = hostile_muts[t]
+        hostile_muts[t] = (pk, list(muts) + zd[t])
 
     special = {"documents.parquet", "embeddings.parquet"}
     for f in os.listdir(SRC):
@@ -1288,15 +1408,21 @@ def run_reach(rnd: int | None) -> int:
     # by construction).
     classes: dict[str, dict] = {}
     boundary_unreached: list[str] = []
-    class_targets = {
-        "epoch": list(EPOCH_TARGETS),
-        "nandec": sorted(set(decimal_planned) | set(STREAM_DECIMAL_TARGETS)),
+    class_targets: dict[str, dict[str, str]] = {
+        "epoch": {n: "moved" for n in EPOCH_TARGETS},
+        "nandec": {
+            n: "moved"
+            for n in sorted(
+                set(decimal_planned) | set(STREAM_DECIMAL_TARGETS)
+            )
+        },
+        "zerodiv": dict(ZERODIV_TARGETS),
     }
     declared = entrymod.queries()
     for cls, targets in class_targets.items():
         fixture = build_boundary(cls)
         cls_report: dict[str, str] = {}
-        for name in targets:
+        for name, expect in targets.items():
             if name not in declared or name not in clean_keys:
                 cls_report[name] = "SKIP (not declared or clean run failed)"
                 continue
@@ -1308,11 +1434,18 @@ def run_reach(rnd: int | None) -> int:
                 boundary_unreached.append(f"{cls}:{name}")
                 print(f"FAIL boundary[{cls}] {name}: raised")
                 continue
-            cls_report[name] = "reached" if moved else "NOT-REACHED"
-            if not moved:
+            # "survives": the guarded NULL is filtered, so movement is
+            # impossible by design — not raising IS the pass (see
+            # ZERODIV_TARGETS for why lineage reach still holds).
+            ok = moved if expect == "moved" else True
+            cls_report[name] = (
+                ("reached" if expect == "moved" else "survives (no-raise)")
+                if ok else "NOT-REACHED"
+            )
+            if not ok:
                 boundary_unreached.append(f"{cls}:{name}")
             print(
-                f"{'ok   ' if moved else 'FAIL '}boundary[{cls}] {name}: "
+                f"{'ok   ' if ok else 'FAIL '}boundary[{cls}] {name}: "
                 f"{cls_report[name]}"
             )
         classes[cls] = {"fixture": fixture, "targets": cls_report}
@@ -1345,7 +1478,8 @@ def run_reach(rnd: int | None) -> int:
         f"{summary['exempt']} exempt, {len(unreached)} UNREACHED, "
         f"{len(raising)} raising; boundary classes: "
         + ", ".join(
-            f"{c} {sum(1 for v in d['targets'].values() if v == 'reached')}"
+            f"{c} "
+            f"{sum(1 for v in d['targets'].values() if v.startswith(('reached', 'survives')))}"
             f"/{len(d['targets'])}" for c, d in classes.items()
         )
         + (f"\nUNREACHED: {unreached}" if unreached else "")
