@@ -28,6 +28,19 @@ it couples the gate to a committed reference total that changes with
 every engine/query-set edit, while the steal counter is
 code-independent.
 
+r15 adds PER-QUERY steal certification (VERDICT r14 item 1 — the
+band ate two rounds' bench legs): every reported number carries its
+own timing window (pre/post steal samples around _time_one); queries
+whose window exceeds PER_QUERY_STEAL_GATE are re-timed after the
+sweep inside clean gaps (wait_clean_window) and the clean capture is
+SPLICED in. The headline `contaminated` flag is now splice_verdict()
+— clean iff start-load clean, no co-tenant sweep load, and every
+final window certified — while the raw session detector rides
+alongside as `session_contaminated`/`session_causes`. `--wait-clean`
+(or SPARK_GRAFT_WAIT_CLEAN=1) additionally delays the sweep start
+into a steal-free gap, budget SPARK_GRAFT_WAIT_CLEAN_SEC (900 s
+default); re-time budget SPARK_GRAFT_RETIME_SEC (600 s default).
+
 Env: SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1),
      SPARK_GRAFT_CPUS   (default 32).
 
@@ -126,6 +139,132 @@ def _load_sample() -> dict:
         "loadavg": [round(l1, 2), round(l5, 2), round(l15, 2)],
         "steal_jiffies": steal,
     }
+
+
+#: Per-query window steal gate (VERDICT r14 item 1): a query's number
+#: is CERTIFIED clean when the steal inside its own timing window
+#: (pre-sample → post-sample, spanning warm-up + GC + both timed runs)
+#: stays at or under this fraction of machine cycles. Matches the
+#: session threshold (0.01): r13 forensics showed even 1-3% session
+#: steal correlates with 30-40% inflation (the counter under-reports
+#: co-tenant throttling), while idle noise sits at 0.0003-0.002 — so
+#: the gate sits just above idle, with ~5× margin both ways.
+PER_QUERY_STEAL_GATE = 0.01
+
+#: Minimum window length (monotonic seconds) for a meaningful per-
+#: window steal ratio: below this the /proc read skew dominates the
+#: jiffy delta. Shorter windows report -1.0 (unknown → not retried,
+#: surfaced as "unknown" in the certification map).
+MIN_WINDOW_SEC = 0.05
+
+
+def window_steal_ratio(
+    w: dict, hz: float, ncpu: int
+) -> float:
+    """Steal fraction of the machine's cycles inside ONE timing window
+    ``{"mono0","steal0","mono1","steal1"}``. -1.0 when the window is
+    unmeasurable (missing steal data or sub-MIN_WINDOW_SEC span)."""
+    m0, m1 = w.get("mono0", -1.0), w.get("mono1", -1.0)
+    s0, s1 = w.get("steal0", -1), w.get("steal1", -1)
+    if m0 < 0 or m1 < 0 or s0 < 0 or s1 < 0 or m1 - m0 < MIN_WINDOW_SEC:
+        return -1.0
+    return (s1 - s0) / ((m1 - m0) * hz * ncpu)
+
+
+def splice_verdict(
+    load_start: dict,
+    query_windows: dict[str, dict],
+    ncpu: int,
+    bench_threads: int,
+    tick_hz: float | None = None,
+) -> dict:
+    """Per-query-certified contamination verdict (VERDICT r14 item 1)
+    — pure (no /proc reads) so tests can replay recorded windows.
+
+    ``query_windows`` holds each reported number's FINAL timing window
+    (post-splice: a re-timed query carries its clean re-run's window,
+    not the original dirty one). The capture is clean iff the machine
+    was idle at start, no co-tenant load arrived during the sweep, and
+    EVERY reported number was taken inside a window whose steal stayed
+    at or under PER_QUERY_STEAL_GATE. This is deliberately stricter
+    per-number and looser per-session than contamination_verdict():
+    steal that lands BETWEEN timing windows (warm-ups, sampling gaps)
+    inflates the session average without touching any reported number,
+    which is exactly the false-contamination shape that ate the r13
+    and r14 bench legs."""
+    hz = tick_hz if tick_hz is not None else _tick_hz()
+    ratios = {
+        n: round(r, 4) if (r := window_steal_ratio(w, hz, ncpu)) >= 0 else -1.0
+        for n, w in query_windows.items()
+    }
+    dirty = sorted(n for n, r in ratios.items() if r > PER_QUERY_STEAL_GATE)
+    unknown = sorted(n for n, r in ratios.items() if r < 0)
+    loads = [
+        w["load1"] for w in query_windows.values()
+        if w.get("load1", -1) >= 0
+    ]
+    thresholds = {
+        "load_at_start": load_at_start_threshold(ncpu),
+        "steal_query_window": PER_QUERY_STEAL_GATE,
+        "load_during_sweep": round(1.5 * max(bench_threads, ncpu), 1),
+    }
+    causes = []
+    if load_start["loadavg"][0] > thresholds["load_at_start"]:
+        causes.append("load_at_start")
+    if dirty:
+        causes.append("steal_query_windows")
+    if loads and max(loads) > thresholds["load_during_sweep"]:
+        causes.append("load_during_sweep")
+    return {
+        "contaminated": bool(causes),
+        "causes": causes,
+        "dirty": dirty,
+        "unknown": unknown,
+        "window_ratios": ratios,
+        "thresholds": thresholds,
+        "tick_hz": hz,
+    }
+
+
+def wait_clean_window(
+    budget_sec: float,
+    probe_sec: float = 3.0,
+    gate: float = PER_QUERY_STEAL_GATE / 2,
+) -> dict:
+    """Block until one ``probe_sec`` steal window reads at or under
+    ``gate`` (half the per-query gate — start with margin), or the
+    budget runs out. The r13/r14 steal band is bursty with idle gaps;
+    starting the sweep inside a gap is cheaper than re-timing half the
+    queries after it. Returns a record for the artifact."""
+    hz = _tick_hz()
+    ncpu = _proc_cpus()
+    t0 = time.perf_counter()
+    probes = 0
+    last = -1.0
+    while True:
+        a = _load_sample()
+        time.sleep(probe_sec)
+        b = _load_sample()
+        probes += 1
+        last = window_steal_ratio(
+            {"mono0": a["mono"], "steal0": a["steal_jiffies"],
+             "mono1": b["mono"], "steal1": b["steal_jiffies"]},
+            hz, ncpu,
+        )
+        waited = time.perf_counter() - t0
+        if last < 0 or last <= gate or waited >= budget_sec:
+            return {
+                "waited_sec": round(waited, 1),
+                "probes": probes,
+                "final_ratio": round(last, 4) if last >= 0 else -1.0,
+                "gate": gate,
+                "clean": bool(0 <= last <= gate) or last < 0,
+            }
+        print(
+            f"bench wait-clean: steal {last:.4f} > {gate}, waiting "
+            f"({waited:.0f}/{budget_sec:.0f}s)",
+            file=sys.stderr,
+        )
 
 
 def contamination_verdict(
@@ -330,6 +469,23 @@ def main() -> int:
     m = re.search(r"sf([0-9.]+)", sf_dir)
     sf = float(m.group(1)) if m else -1.0
 
+    # --wait-clean (VERDICT r14 item 1): delay the sweep start into a
+    # steal-free gap instead of launching into the band and re-timing
+    # half the queries afterwards. Opt-in (flag or env) so ad-hoc runs
+    # stay instant; the matrix bench leg passes the flag.
+    wait_info: dict | None = None
+    if "--wait-clean" in sys.argv or os.environ.get(
+        "SPARK_GRAFT_WAIT_CLEAN"
+    ) == "1":
+        budget = float(os.environ.get("SPARK_GRAFT_WAIT_CLEAN_SEC", "900"))
+        wait_info = wait_clean_window(budget)
+        if not wait_info["clean"]:
+            print(
+                f"bench wait-clean: budget spent, starting anyway "
+                f"(last steal {wait_info['final_ratio']})",
+                file=sys.stderr,
+            )
+
     # Load self-diagnosis (VERDICT r8 item 3): the r8 driver capture
     # read 116.6 s vs an 86.4 s idle re-run, and nothing in the
     # artifact could tell a reader the machine was busy — a full judge
@@ -384,9 +540,17 @@ def main() -> int:
     # queries' garbage to this one (A/B: the same query times 0.9 s
     # early-session and 6.8 s late-session without this, flat with
     # it). The reported number is the query's own steady-state cost.
+    # Each query's reported number carries its own TIMING WINDOW
+    # (pre-sample → post-sample around _time_one) so it can be
+    # individually steal-certified; dirty windows are re-timed after
+    # the sweep and the clean capture spliced in (VERDICT r14 item 1 —
+    # the band ate two rounds' bench legs; a session-average verdict
+    # cannot say WHICH numbers a burst hit).
     timings: dict[str, float] = {}
     errors: dict[str, str] = {}
+    query_windows: dict[str, dict] = {}
     for name, fn in bench_queries.items():
+        s0 = _load_sample()
         try:
             timings[name] = round(_time_one(spark, fn, sf_dir), 3)
         except Exception as e:  # noqa: BLE001
@@ -400,6 +564,66 @@ def main() -> int:
             "load1": s["loadavg"][0],
             "steal_jiffies": s["steal_jiffies"],
         }
+        query_windows[name] = {
+            "mono0": s0["mono"], "steal0": s0["steal_jiffies"],
+            "mono1": s["mono"], "steal1": s["steal_jiffies"],
+            "load1": s["loadavg"][0], "retries": 0,
+        }
+
+    # Post-sweep splice pass: re-time every query whose window read
+    # dirty, waiting for a clean gap between attempts (the band is
+    # bursty). Budget-bounded; a query that never gets a clean window
+    # keeps its last measurement and stays on the dirty list — the
+    # verdict reports it, never hides it.
+    hz = _tick_hz()
+    ncpu = _proc_cpus()
+    retime_budget = float(os.environ.get("SPARK_GRAFT_RETIME_SEC", "600"))
+    requeried: dict[str, dict] = {}
+    t_retime0 = time.perf_counter()
+    dirty0 = sorted(
+        n for n, w in query_windows.items()
+        if timings.get(n, -1.0) >= 0
+        and window_steal_ratio(w, hz, ncpu) > PER_QUERY_STEAL_GATE
+    )
+    for name in dirty0:
+        rec = {"original_sec": timings[name], "attempts": 0,
+               "certified": False}
+        requeried[name] = rec
+        for _attempt in range(3):
+            remaining = retime_budget - (time.perf_counter() - t_retime0)
+            if remaining <= 0:
+                break
+            wait_clean_window(min(60.0, remaining), probe_sec=2.0)
+            s0 = _load_sample()
+            try:
+                sec = _time_one(spark, bench_queries[name], sf_dir)
+            except Exception as e:  # noqa: BLE001 — keep original number
+                print(
+                    f"bench retime error in {name}: {e}", file=sys.stderr
+                )
+                break
+            s1 = _load_sample()
+            w = {
+                "mono0": s0["mono"], "steal0": s0["steal_jiffies"],
+                "mono1": s1["mono"], "steal1": s1["steal_jiffies"],
+                "load1": s1["loadavg"][0],
+                "retries": query_windows[name]["retries"] + 1,
+            }
+            query_windows[name]["retries"] = w["retries"]
+            rec["attempts"] += 1
+            ratio = window_steal_ratio(w, hz, ncpu)
+            if ratio <= PER_QUERY_STEAL_GATE:
+                timings[name] = round(sec, 3)
+                query_windows[name] = w
+                rec["certified"] = True
+                break
+    if dirty0:
+        print(
+            f"bench splice: re-timed {len(dirty0)} dirty-window queries, "
+            f"certified {sum(1 for r in requeried.values() if r['certified'])}"
+            f" in {time.perf_counter() - t_retime0:.0f}s",
+            file=sys.stderr,
+        )
 
     ok = {k: v for k, v in timings.items() if v >= 0}
     # Mid-point sample: end of the QUERY sweep. The final sample (and
@@ -465,13 +689,47 @@ def main() -> int:
         # drain, a forced collection, then best-of-2 reports
         # steady-state throughput — the number that amortizes at
         # production scale, same rationale as the query min-of-2.
+        # Each timed drain carries its own steal window; if neither of
+        # the first two is clean, up to two more attempts wait for a
+        # clean gap — the reported number is the best CLEAN drain,
+        # falling back to best-of-all (flagged dirty) only when the
+        # band never lifts.
         drain("w")
         best = None
-        for tag in ("a", "b"):
+        best_w: dict | None = None
+        for i, tag in enumerate(("a", "b", "c", "d")):
+            if i >= 2:
+                if best_w is not None and window_steal_ratio(
+                    best_w, hz, ncpu
+                ) <= PER_QUERY_STEAL_GATE:
+                    break
+                wait_clean_window(60.0, probe_sec=2.0)
             spark._jvm.System.gc()
+            s0 = _load_sample()
             dt = drain(tag)
-            best = dt if best is None else min(best, dt)
+            s1 = _load_sample()
+            w = {
+                "mono0": s0["mono"], "steal0": s0["steal_jiffies"],
+                "mono1": s1["mono"], "steal1": s1["steal_jiffies"],
+                "load1": s1["loadavg"][0], "retries": max(0, i - 1),
+            }
+            clean = (
+                window_steal_ratio(w, hz, ncpu) <= PER_QUERY_STEAL_GATE
+            )
+            best_clean = best_w is not None and window_steal_ratio(
+                best_w, hz, ncpu
+            ) <= PER_QUERY_STEAL_GATE
+            # A clean drain always beats a dirty one; among equals,
+            # faster wins (min-of-N).
+            if (
+                best is None
+                or (clean and not best_clean)
+                or (clean == best_clean and dt < best)
+            ):
+                best, best_w = dt, w
         out["streaming_ingest_events_per_sec"] = round(n / best)
+        if best_w is not None:
+            query_windows["__ingest__"] = best_w
         shutil.rmtree(tmp, ignore_errors=True)
     except Exception as e:  # noqa: BLE001
         print(f"bench ingest error: {type(e).__name__}: {e}", file=sys.stderr)
@@ -497,12 +755,21 @@ def main() -> int:
         bench_threads = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     except ValueError:
         bench_threads = 32
-    # Cause-coded contamination verdict (VERDICT r9 item 3 / r13 item
-    # 2) — computed by the pure contamination_verdict() so the
-    # thresholds that certify a capture are the same ones the tests
-    # replay recorded steal bands against.
+    # Two verdicts, one headline (VERDICT r14 item 1):
+    #   - contamination_verdict() — the SESSION detector (average +
+    #     burst over the whole artifact), kept raw for transparency
+    #     and for re-certifying historical captures;
+    #   - splice_verdict() — the PER-NUMBER certification: every
+    #     reported timing's own (post-splice) window must be clean.
+    # The headline `contaminated` flag is the splice verdict: steal
+    # landing between timing windows inflates the session average
+    # without touching any reported number — the exact false-positive
+    # shape that ate the r13/r14 bench legs.
     verdict = contamination_verdict(
         load_start, load_end, per_query_load, wall_sec, ncpu, bench_threads
+    )
+    spliced = splice_verdict(
+        load_start, query_windows, ncpu, bench_threads
     )
     loads = verdict["loads"]
     steal_delta = verdict["steal_delta"]
@@ -528,11 +795,22 @@ def main() -> int:
         ),
         "steal_ratio": steal_ratio,
         "steal_ratio_window_max": verdict["steal_ratio_window_max"],
-        # Headline verdict + WHY it tripped + the thresholds used, so a
-        # clean capture reads false and a dirty one names its cause.
-        "contaminated": bool(causes),
-        "contamination_causes": causes,
-        "contamination_thresholds": thresholds,
+        # Headline verdict = per-number splice certification; the raw
+        # session detector rides alongside so a reader sees BOTH (a
+        # spliced-clean capture on a steal-band machine reads
+        # contaminated:false + session_contaminated:true — every
+        # number certified, machine busy between windows).
+        "contaminated": spliced["contaminated"],
+        "contamination_causes": spliced["causes"],
+        "contamination_thresholds": {
+            **thresholds, **spliced["thresholds"],
+        },
+        "session_contaminated": bool(causes),
+        "session_causes": causes,
+        "dirty_queries": spliced["dirty"],
+        "requeried": {
+            n: r["attempts"] for n, r in requeried.items()
+        },
         "ncpu": ncpu,
         "bench_threads": bench_threads,
         "tick_hz": verdict["tick_hz"],
@@ -543,7 +821,15 @@ def main() -> int:
         "end": load_end,
         "summary": load_summary,
         "per_query": per_query_load,
+        # Final (post-splice) timing windows + their steal ratios so a
+        # judge can audit every number's certification, plus the full
+        # re-time record.
+        "query_windows": query_windows,
+        "window_ratios": spliced["window_ratios"],
+        "requeried": requeried,
     }
+    if wait_info is not None:
+        out["load"]["wait_clean"] = wait_info
 
     # The driver captures only the TAIL (~2000 chars) of stdout: a
     # 127-entry "queries" map made every prior round's line unparseable
@@ -573,6 +859,12 @@ def main() -> int:
         "n_errors": len(errors),
         "sub_second": sum(1 for v in ok.values() if v < 1.0),
         "loadavg": load_summary,
+        "certified": {
+            "all_clean": not spliced["dirty"],
+            "dirty": spliced["dirty"][:5],
+            "requeried": len(requeried),
+            "gate": PER_QUERY_STEAL_GATE,
+        },
         "full": "BENCH_FULL.json",
     }
     if "streaming_ingest_events_per_sec" in out:

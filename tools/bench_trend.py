@@ -58,11 +58,16 @@ def _capture_summary(path: str) -> dict | None:
     if not isinstance(data, dict) or "value" not in data:
         return None
     load = data.get("loadavg") or {}
+    cert = data.get("certified") or {}
     return {
         "total": data.get("value"),
         "n_queries": data.get("n_queries"),
         "steal_ratio": load.get("steal_ratio"),
         "contaminated": load.get("contaminated"),
+        # r15 per-query certification: every reported number's own
+        # timing window read clean (dirty ones re-timed + spliced) —
+        # present only in r15+ captures
+        "certified_clean": cert.get("all_clean"),
     }
 
 
@@ -111,9 +116,15 @@ def totals(markdown: bool) -> int:
             "no-steal-data" if steal is None
             else ("steal-band" if steal > thresh else "clean")
         )
+        # r15+: a capture whose every per-query window was certified
+        # clean (dirty ones re-timed into clean gaps and spliced) is
+        # idle-equivalent even when the SESSION average sat in a band —
+        # the steal landed between timing windows, not inside them.
+        if current_gate == "steal-band" and cap.get("certified_clean"):
+            current_gate = "spliced-clean"
         if idle and idle["total"] is not None:
             idle_eq = idle["total"]
-        elif current_gate == "clean":
+        elif current_gate in ("clean", "spliced-clean"):
             idle_eq = cap["total"]
         else:
             idle_eq = None

@@ -77,7 +77,10 @@ def build_legs(rnd: int) -> list[tuple[str, list[str]]]:
         ("hostile", [PY, "tools/degenerate_sweep.py", "hostile"]),
         ("unicode", [PY, "tools/unicode_probe.py", str(rnd)]),
         ("reach", [PY, "tools/degenerate_sweep.py", "reach", str(rnd)]),
-        ("bench", [PY, "bench.py"]),
+        # --wait-clean: delay the sweep start into a steal-free gap
+        # (r15 — the hypervisor band ate the r13/r14 bench legs; the
+        # bench also re-times any query whose own window read dirty)
+        ("bench", [PY, "bench.py", "--wait-clean"]),
     ]
 
 #: Bench-leg contamination discipline (VERDICT r11 item 5): the r11
@@ -178,6 +181,85 @@ def is_round_artifact(rel: str) -> bool:
     return any(base.startswith(p) for p in ARTIFACT_PREFIXES)
 
 
+#: Markers bounding generated-from-artifacts blocks inside otherwise
+#: hand-written tracked files (the README bench-trend table). Content
+#: between the markers is stripped before digesting so an artifact
+#: commit that also refreshes the table preserves the attested digest
+#: (ADVICE r14: README.md is in the digest but embeds a table
+#: regenerated from BENCH_r*.json each round).
+GENERATED_BEGIN = b"<!-- generated:"
+GENERATED_END = b"<!-- end generated -->"
+
+
+def strip_generated_blocks(data: bytes) -> bytes:
+    """Drop every GENERATED_BEGIN..GENERATED_END span (markers
+    inclusive). An unterminated begin marker strips to EOF — safer
+    than digesting a half-regenerated table."""
+    out = []
+    pos = 0
+    while True:
+        b = data.find(GENERATED_BEGIN, pos)
+        if b < 0:
+            out.append(data[pos:])
+            return b"".join(out)
+        out.append(data[pos:b])
+        e = data.find(GENERATED_END, b)
+        if e < 0:
+            return b"".join(out)
+        pos = e + len(GENERATED_END)
+
+
+def untracked_artifacts() -> list[str]:
+    """Round artifacts (per is_round_artifact) that exist in the
+    working tree but are untracked or modified-unstaged — the exact
+    shape that shipped broken in r13 and r14. The matrix fails loud on
+    a non-empty result."""
+    try:
+        out = subprocess.run(
+            ["git", "-C", REPO, "status", "--porcelain"],
+            capture_output=True, text=True, timeout=10,
+        )
+        if out.returncode != 0:
+            return []
+    except (OSError, subprocess.SubprocessError):
+        return []
+    loose = []
+    for line in out.stdout.splitlines():
+        if len(line) < 4:
+            continue
+        rel = line[3:].strip().strip('"')
+        if is_round_artifact(rel):
+            loose.append(rel)
+    return sorted(loose)
+
+
+def commit_artifacts(rnd: int, loose: list[str]) -> bool:
+    """Stage and commit ONLY the given round artifacts. Returns True
+    on success (or nothing to do after staging)."""
+    try:
+        add = subprocess.run(
+            ["git", "-C", REPO, "add", "--"] + loose,
+            capture_output=True, text=True, timeout=30,
+        )
+        if add.returncode != 0:
+            print(add.stderr.strip())
+            return False
+        commit = subprocess.run(
+            ["git", "-C", REPO, "commit",
+             "-m", f"round {rnd}: matrix/bench artifacts",
+             "--only", "--"] + loose,
+            capture_output=True, text=True, timeout=30,
+        )
+        if commit.returncode != 0:
+            print(commit.stdout.strip(), commit.stderr.strip())
+            return False
+        print(f"committed round artifacts: {loose}")
+        return True
+    except (OSError, subprocess.SubprocessError) as exc:
+        print(f"artifact commit failed: {exc}")
+        return False
+
+
 def code_digest() -> str | None:
     """SHA-256 over the WORKING-TREE content of every tracked file
     that is not a generated round artifact — the state the matrix
@@ -206,6 +288,8 @@ def code_digest() -> str | None:
                     data = f.read()
             except OSError:  # deleted-but-tracked
                 data = b""
+            if GENERATED_BEGIN in data:
+                data = strip_generated_blocks(data)
             h.update(rel.encode())
             h.update(b"\0")
             h.update(data)
@@ -346,6 +430,23 @@ def main() -> int:
         json.dump(result, f, indent=1)
         f.write("\n")
     print(f"\nwrote {path}  all_pass={result['all_pass']}")
+    # Untracked-artifact auto-commit (VERDICT r14 item 2, after two
+    # rounds of BENCH/CORRECTNESS JSONs shipping untracked): the
+    # matrix run is the round's last tooling gate, so it lands every
+    # loose round artifact — including the MATRIX file it just wrote —
+    # in an artifact-only commit. Safe by construction: artifacts are
+    # excluded from code_digest(), so this commit cannot break the
+    # attestation the matrix recorded. Fails LOUD if the commit
+    # cannot be made.
+    loose = untracked_artifacts()
+    if loose:
+        ok = commit_artifacts(rnd, loose)
+        if not ok:
+            print(
+                "\nFAIL could not auto-commit round artifacts — commit "
+                f"them by hand: {loose}"
+            )
+            any_fail = True
     return 1 if any_fail else 0
 
 
