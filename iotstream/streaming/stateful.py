@@ -58,6 +58,14 @@ def _monitor(
     # hostile head-copied rows share ts with their originals) need the
     # unique messageId tie-break or "consecutive" is undefined — the
     # oracle's row_number mirrors the same two-key ORDER BY.
+    #
+    # Memory contract: the concat materializes O(rows per key per
+    # micro-batch) on one executor — the price of the total order. A
+    # key's micro-batch slice is bounded by trigger interval × that
+    # sensor's event rate, not by table size, so this holds at 100 TB
+    # unless a single sensor floods one trigger; if hot keys become
+    # real, swap to a heap k-way merge over the pre-sorted chunks
+    # (ADVICE r14).
     chunks = list(pdfs)
     if chunks:
         pdf = pd.concat(chunks).sort_values(["ts", "messageId"])
