@@ -267,6 +267,82 @@ def wait_clean_window(
         )
 
 
+def splice_dirty(
+    timings: dict[str, float],
+    query_windows: dict[str, dict],
+    time_fn,
+    hz: float,
+    ncpu: int,
+    *,
+    budget_sec: float,
+    max_attempts: int = 3,
+    wait_fn=None,
+    sample_fn=None,
+    clock=None,
+) -> dict[str, dict]:
+    """Re-time every query whose timing window read dirty and splice
+    clean captures into ``timings``/``query_windows`` IN PLACE.
+
+    ``time_fn(name) -> sec`` runs one measured repeat of the named
+    query; wait/sample/clock hooks default to the real machinery and
+    exist so tests can drive the loop against scripted steal bands
+    (the same injectability pattern as the pure verdicts). Returns the
+    re-time record {name: {original_sec, attempts, certified}}.
+    A query that never gets a clean window inside the budget keeps its
+    LAST dirty measurement and stays on splice_verdict's dirty list —
+    reported, never hidden."""
+    wait_fn = wait_fn if wait_fn is not None else wait_clean_window
+    sample_fn = sample_fn if sample_fn is not None else _load_sample
+    clock = clock if clock is not None else time.perf_counter
+    requeried: dict[str, dict] = {}
+    t0 = clock()
+    dirty0 = sorted(
+        n for n, w in query_windows.items()
+        if timings.get(n, -1.0) >= 0
+        and window_steal_ratio(w, hz, ncpu) > PER_QUERY_STEAL_GATE
+    )
+    for name in dirty0:
+        rec = {"original_sec": timings[name], "attempts": 0,
+               "certified": False}
+        requeried[name] = rec
+        for _attempt in range(max_attempts):
+            remaining = budget_sec - (clock() - t0)
+            if remaining <= 0:
+                break
+            wait_fn(min(60.0, remaining), probe_sec=2.0)
+            s0 = sample_fn()
+            try:
+                sec = time_fn(name)
+            except Exception as e:  # noqa: BLE001 — keep original number
+                print(
+                    f"bench retime error in {name}: {e}", file=sys.stderr
+                )
+                break
+            s1 = sample_fn()
+            w = {
+                "mono0": s0["mono"], "steal0": s0["steal_jiffies"],
+                "mono1": s1["mono"], "steal1": s1["steal_jiffies"],
+                "load1": s1["loadavg"][0],
+                "retries": query_windows[name]["retries"] + 1,
+            }
+            query_windows[name]["retries"] = w["retries"]
+            rec["attempts"] += 1
+            ratio = window_steal_ratio(w, hz, ncpu)
+            if 0 <= ratio <= PER_QUERY_STEAL_GATE:
+                timings[name] = round(sec, 3)
+                query_windows[name] = w
+                rec["certified"] = True
+                break
+    if dirty0:
+        print(
+            f"bench splice: re-timed {len(dirty0)} dirty-window queries, "
+            f"certified {sum(1 for r in requeried.values() if r['certified'])}"
+            f" in {clock() - t0:.0f}s",
+            file=sys.stderr,
+        )
+    return requeried
+
+
 def contamination_verdict(
     load_start: dict,
     load_end: dict,
@@ -407,7 +483,9 @@ def _time_one(spark, fn, sf_dir: str) -> float:
 
 def one_query(name: str) -> int:
     """Subprocess entry: time ONE query in a pristine JVM and print a
-    single JSON line — the isolated series' measurement unit."""
+    single JSON line — the isolated series' measurement unit. The line
+    carries the timing window's own steal ratio so the isolated series
+    is certifiable per number like the session sweep (r15)."""
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     spark = _session(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
@@ -418,8 +496,19 @@ def one_query(name: str) -> int:
         print(json.dumps({"query": name, "error": "unknown"}))
         return 2
     try:
+        s0 = _load_sample()
         sec = _time_one(spark, qs[name], sf_dir)
-        print(json.dumps({"query": name, "sec": round(sec, 3)}))
+        s1 = _load_sample()
+        ratio = window_steal_ratio(
+            {"mono0": s0["mono"], "steal0": s0["steal_jiffies"],
+             "mono1": s1["mono"], "steal1": s1["steal_jiffies"]},
+            _tick_hz(), _proc_cpus(),
+        )
+        print(json.dumps({
+            "query": name,
+            "sec": round(sec, 3),
+            "steal_ratio": round(ratio, 4) if ratio >= 0 else -1.0,
+        }))
         return 0
     except Exception as e:  # noqa: BLE001
         print(json.dumps({"query": name, "error": f"{type(e).__name__}: {e}"[:200]}))
@@ -428,16 +517,20 @@ def one_query(name: str) -> int:
 
 def isolated_series(
     names: list[str], budget_sec: float = 360.0
-) -> dict[str, float]:
+) -> tuple[dict[str, float], dict[str, float]]:
     """Fresh-subprocess min-of-2 per query. ~20 s JVM+warm-up cost per
     entry, so callers pass a small set (the slowest in-session ones).
     ``budget_sec`` caps the WHOLE series — per-query timeouts alone
     would let 10 pathological entries cost 30 min of driver bench
     time; when the budget runs out the remaining queries are skipped
-    (the series is advisory, the session sweep is the record)."""
+    (the series is advisory, the session sweep is the record).
+    Returns (timings, per-query window steal ratios) — the second map
+    lets a reader certify each isolated number like the session sweep;
+    a dirty isolated window is reported, not retried (advisory)."""
     import subprocess
 
     out: dict[str, float] = {}
+    steal: dict[str, float] = {}
     t_start = time.perf_counter()
     for name in names:
         remaining = budget_sec - (time.perf_counter() - t_start)
@@ -458,9 +551,11 @@ def isolated_series(
             rec = json.loads(line)
             if "sec" in rec:
                 out[name] = rec["sec"]
+                if "steal_ratio" in rec:
+                    steal[name] = rec["steal_ratio"]
         except Exception as e:  # noqa: BLE001 — isolated series is advisory
             print(f"bench isolated error in {name}: {e}", file=sys.stderr)
-    return out
+    return out, steal
 
 
 def main() -> int:
@@ -577,53 +672,14 @@ def main() -> int:
     # verdict reports it, never hides it.
     hz = _tick_hz()
     ncpu = _proc_cpus()
-    retime_budget = float(os.environ.get("SPARK_GRAFT_RETIME_SEC", "600"))
-    requeried: dict[str, dict] = {}
-    t_retime0 = time.perf_counter()
-    dirty0 = sorted(
-        n for n, w in query_windows.items()
-        if timings.get(n, -1.0) >= 0
-        and window_steal_ratio(w, hz, ncpu) > PER_QUERY_STEAL_GATE
+    requeried = splice_dirty(
+        timings,
+        query_windows,
+        lambda name: _time_one(spark, bench_queries[name], sf_dir),
+        hz,
+        ncpu,
+        budget_sec=float(os.environ.get("SPARK_GRAFT_RETIME_SEC", "600")),
     )
-    for name in dirty0:
-        rec = {"original_sec": timings[name], "attempts": 0,
-               "certified": False}
-        requeried[name] = rec
-        for _attempt in range(3):
-            remaining = retime_budget - (time.perf_counter() - t_retime0)
-            if remaining <= 0:
-                break
-            wait_clean_window(min(60.0, remaining), probe_sec=2.0)
-            s0 = _load_sample()
-            try:
-                sec = _time_one(spark, bench_queries[name], sf_dir)
-            except Exception as e:  # noqa: BLE001 — keep original number
-                print(
-                    f"bench retime error in {name}: {e}", file=sys.stderr
-                )
-                break
-            s1 = _load_sample()
-            w = {
-                "mono0": s0["mono"], "steal0": s0["steal_jiffies"],
-                "mono1": s1["mono"], "steal1": s1["steal_jiffies"],
-                "load1": s1["loadavg"][0],
-                "retries": query_windows[name]["retries"] + 1,
-            }
-            query_windows[name]["retries"] = w["retries"]
-            rec["attempts"] += 1
-            ratio = window_steal_ratio(w, hz, ncpu)
-            if ratio <= PER_QUERY_STEAL_GATE:
-                timings[name] = round(sec, 3)
-                query_windows[name] = w
-                rec["certified"] = True
-                break
-    if dirty0:
-        print(
-            f"bench splice: re-timed {len(dirty0)} dirty-window queries, "
-            f"certified {sum(1 for r in requeried.values() if r['certified'])}"
-            f" in {time.perf_counter() - t_retime0:.0f}s",
-            file=sys.stderr,
-        )
 
     ok = {k: v for k, v in timings.items() if v >= 0}
     # Mid-point sample: end of the QUERY sweep. The final sample (and
@@ -646,7 +702,7 @@ def main() -> int:
     # queries re-timed in pristine single-query JVMs — the artifact
     # that separates session noise from real plan regressions.
     if os.environ.get("SPARK_GRAFT_NO_ISOLATED") != "1":
-        out["isolated"] = isolated_series(
+        out["isolated"], out["isolated_steal"] = isolated_series(
             sorted(ok, key=ok.get, reverse=True)[:10]
         )
 
@@ -873,6 +929,7 @@ def main() -> int:
         ]
     if out.get("isolated"):
         compact["isolated"] = out["isolated"]
+        compact["isolated_steal"] = out.get("isolated_steal", {})
     if errors:
         compact["errors"] = {
             k: v[:80] for k, v in list(errors.items())[:3]
