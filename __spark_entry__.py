@@ -63,23 +63,13 @@ DRIVER_WINDOW = 50
 #: similarity.py-composed entries this round's recall-honesty/ADVICE
 #: fixes touch — all expire when their r9 grades land.
 FORCE_WINDOW: tuple[tuple[str, int], ...] = (
-    # The 4 r14 pins (streaming_interval_join, streaming_dedup_wm,
-    # stateful_quality_monitor, zscore_anomaly — the r14 strict
-    # positive_event_time epoch contracts, the (ts, messageId) total
-    # order, and the try_divide ANSI fix) expired when
-    # CORRECTNESS_r14.json landed with all four green at r14
-    # (committed in 9338841) and are pruned. All 50 slots go to the
-    # age rotation, which pulls the entire r12 grade cohort (31
-    # queries) into the window — after r15 lands, nothing in the
-    # grade union should be older than r13.
-    #
-    # r15 zero-divisor sweep (VERDICT r14 item 5): revenue_share moved
-    # to try_divide — a zero-total region's decimal share division
-    # THROWS under ANSI where DuckDB yields NULL (the exact r14 zscore
-    # class). Engine expression changed under a fresh r12 grade; the
-    # rotation covers the whole r12 cohort this round anyway, but the
-    # pin makes the re-grade unconditional.
-    ("revenue_share", 15),
+    # The r15 pin (revenue_share@15 — the zero-divisor try_divide fix
+    # re-graded unconditionally) expired when CORRECTNESS_r15.json
+    # landed green at r15 (committed in eac9490) and is pruned. All 50
+    # slots go to the age rotation, which drains the entire r13 grade
+    # cohort (28 queries) plus the 22 oldest r14 grades this round —
+    # after r16 lands, nothing in the grade union should be older
+    # than r14.
 )
 
 

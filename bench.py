@@ -171,12 +171,23 @@ def window_steal_ratio(
     return (s1 - s0) / ((m1 - m0) * hz * ncpu)
 
 
+def window_clean(w: dict, hz: float, ncpu: int) -> bool:
+    """True iff the window's steal was MEASURED at or under the gate.
+    An unmeasurable window (ratio -1.0) is NOT clean — `ratio <= gate`
+    alone would let an unknown drain displace a certified one and trip
+    the best-of early break (ADVICE r15); mirrors splice_dirty's
+    in-loop check."""
+    ratio = window_steal_ratio(w, hz, ncpu)
+    return 0 <= ratio <= PER_QUERY_STEAL_GATE
+
+
 def splice_verdict(
     load_start: dict,
     query_windows: dict[str, dict],
     ncpu: int,
     bench_threads: int,
     tick_hz: float | None = None,
+    timings: dict[str, float] | None = None,
 ) -> dict:
     """Per-query-certified contamination verdict (VERDICT r14 item 1)
     — pure (no /proc reads) so tests can replay recorded windows.
@@ -185,20 +196,35 @@ def splice_verdict(
     (post-splice: a re-timed query carries its clean re-run's window,
     not the original dirty one). The capture is clean iff the machine
     was idle at start, no co-tenant load arrived during the sweep, and
-    EVERY reported number was taken inside a window whose steal stayed
-    at or under PER_QUERY_STEAL_GATE. This is deliberately stricter
-    per-number and looser per-session than contamination_verdict():
-    steal that lands BETWEEN timing windows (warm-ups, sampling gaps)
-    inflates the session average without touching any reported number,
-    which is exactly the false-contamination shape that ate the r13
-    and r14 bench legs."""
+    every MEASURED timing window's steal stayed at or under
+    PER_QUERY_STEAL_GATE. Windows too short to measure (ratio -1.0)
+    are NOT certified — they are surfaced in ``unknown`` and callers
+    must not read all-clean from a capture with unknowns (ADVICE r15).
+    When ``timings`` is given, queries that ERRORED (timing < 0,
+    reported as -1.0 / no number) are excluded from ``dirty`` — they
+    contribute no reported number to certify and can never be re-timed
+    clean, so a steal burst during a failing query must not
+    permanently flip the headline flag (ADVICE r15); their ratios stay
+    in ``window_ratios`` for transparency. This is deliberately
+    stricter per-number and looser per-session than
+    contamination_verdict(): steal that lands BETWEEN timing windows
+    (warm-ups, sampling gaps) inflates the session average without
+    touching any reported number, which is exactly the
+    false-contamination shape that ate the r13 and r14 bench legs."""
     hz = tick_hz if tick_hz is not None else _tick_hz()
     ratios = {
         n: round(r, 4) if (r := window_steal_ratio(w, hz, ncpu)) >= 0 else -1.0
         for n, w in query_windows.items()
     }
-    dirty = sorted(n for n, r in ratios.items() if r > PER_QUERY_STEAL_GATE)
-    unknown = sorted(n for n, r in ratios.items() if r < 0)
+    reported = (
+        ratios
+        if timings is None
+        else {n: r for n, r in ratios.items() if timings.get(n, 0.0) >= 0}
+    )
+    dirty = sorted(
+        n for n, r in reported.items() if r > PER_QUERY_STEAL_GATE
+    )
+    unknown = sorted(n for n, r in reported.items() if r < 0)
     loads = [
         w["load1"] for w in query_windows.values()
         if w.get("load1", -1) >= 0
@@ -289,8 +315,9 @@ def splice_dirty(
     (the same injectability pattern as the pure verdicts). Returns the
     re-time record {name: {original_sec, attempts, certified}}.
     A query that never gets a clean window inside the budget keeps its
-    LAST dirty measurement and stays on splice_verdict's dirty list —
-    reported, never hidden."""
+    ORIGINAL measurement (dirty re-run timings are never spliced — the
+    first number is the one whose window the verdict already saw) and
+    stays on splice_verdict's dirty list — reported, never hidden."""
     wait_fn = wait_fn if wait_fn is not None else wait_clean_window
     sample_fn = sample_fn if sample_fn is not None else _load_sample
     clock = clock if clock is not None else time.perf_counter
@@ -341,6 +368,59 @@ def splice_dirty(
             file=sys.stderr,
         )
     return requeried
+
+
+#: Hard cap for the ONE compact stdout line. The driver records only
+#: the TAIL (~2000 chars) of stdout, so the line must fit with margin;
+#: everything shed here survives in full in BENCH_FULL.json.
+COMPACT_LINE_BUDGET = 1800
+
+
+def _fit_compact(compact: dict) -> dict:
+    """Guarantee the compact stdout line fits COMPACT_LINE_BUDGET by
+    shedding optional blocks in a FIXED order (r15 regression: the full
+    load summary + isolated maps pushed the line to 2349 chars and the
+    driver capture truncated → "parsed": null → the round lost its
+    trend row). Sheds least-essential first; the metric/value/queries/
+    certified/loadavg core is never dropped. A "trimmed" list records
+    what was shed so a reader knows to open BENCH_FULL.json."""
+    def _size() -> int:
+        return len(json.dumps(compact))
+
+    if _size() <= COMPACT_LINE_BUDGET:
+        return compact
+
+    def _drop(key: str) -> None:
+        compact.pop(key, None)
+
+    def _trim_queries(n: int) -> None:
+        q = compact.get("queries") or {}
+        keep = sorted(
+            (k for k in q if k != "flagship"), key=q.get, reverse=True
+        )[:n]
+        if "flagship" in q:
+            keep.append("flagship")
+        compact["queries"] = {k: q[k] for k in keep}
+
+    steps: list[tuple[str, object]] = [
+        ("isolated", lambda: _drop("isolated")),
+        ("isolated_steal", lambda: _drop("isolated_steal")),
+        ("errors", lambda: _drop("errors")),
+        ("queries>10", lambda: _trim_queries(10)),
+        ("queries>5", lambda: _trim_queries(5)),
+        ("causes", lambda: (
+            compact.get("loadavg", {}).pop("contamination_causes", None),
+            compact.get("loadavg", {}).pop("session_causes", None),
+        )),
+    ]
+    trimmed: list[str] = []
+    for name, action in steps:
+        action()
+        trimmed.append(name)
+        compact["trimmed"] = trimmed
+        if _size() <= COMPACT_LINE_BUDGET:
+            break
+    return compact
 
 
 def contamination_verdict(
@@ -525,9 +605,29 @@ def isolated_series(
     time; when the budget runs out the remaining queries are skipped
     (the series is advisory, the session sweep is the record).
     Returns (timings, per-query window steal ratios) — the second map
-    lets a reader certify each isolated number like the session sweep;
-    a dirty isolated window is reported, not retried (advisory)."""
+    lets a reader certify each isolated number like the session sweep.
+    A DIRTY isolated window gets ONE retry into a clean gap (budget
+    permitting), mirroring the session sweep's splice: the r15 idle
+    twin recorded dedup_report at 11.99 s isolated vs 2.13 s
+    in-session — same code, a steal burst landing on the one
+    subprocess — and without the per-run ratio (not recorded pre-r15)
+    the number read as a 4× plan regression (VERDICT r15 item 5). The
+    cleaner of the two runs is kept; a still-dirty number stays
+    reported with its ratio, never hidden."""
     import subprocess
+
+    def _run_one(name: str, remaining: float) -> dict:
+        proc = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--one", name],
+            capture_output=True,
+            text=True,
+            timeout=min(180, max(30, remaining)),
+        )
+        line = (
+            proc.stdout.strip().splitlines()[-1]
+            if proc.stdout.strip() else "{}"
+        )
+        return json.loads(line)
 
     out: dict[str, float] = {}
     steal: dict[str, float] = {}
@@ -541,14 +641,32 @@ def isolated_series(
             )
             break
         try:
-            proc = subprocess.run(
-                [sys.executable, os.path.abspath(__file__), "--one", name],
-                capture_output=True,
-                text=True,
-                timeout=min(180, max(30, remaining)),
-            )
-            line = proc.stdout.strip().splitlines()[-1] if proc.stdout.strip() else "{}"
-            rec = json.loads(line)
+            rec = _run_one(name, remaining)
+            ratio = rec.get("steal_ratio", -1.0)
+            remaining = budget_sec - (time.perf_counter() - t_start)
+            if (
+                "sec" in rec
+                and ratio > PER_QUERY_STEAL_GATE
+                and remaining > 45
+            ):
+                print(
+                    f"bench isolated: {name} window steal {ratio:.4f} > "
+                    f"{PER_QUERY_STEAL_GATE}, retrying in a clean gap",
+                    file=sys.stderr,
+                )
+                wait_clean_window(min(60.0, remaining), probe_sec=2.0)
+                retry = _run_one(
+                    name, budget_sec - (time.perf_counter() - t_start)
+                )
+                # Keep the certified-cleaner run: a clean retry
+                # replaces; a dirty retry only replaces if faster
+                # (min-of-N under equal dirt).
+                r2 = retry.get("steal_ratio", -1.0)
+                if "sec" in retry and (
+                    0 <= r2 <= PER_QUERY_STEAL_GATE
+                    or retry["sec"] < rec["sec"]
+                ):
+                    rec = retry
             if "sec" in rec:
                 out[name] = rec["sec"]
                 if "steal_ratio" in rec:
@@ -755,9 +873,7 @@ def main() -> int:
         best_w: dict | None = None
         for i, tag in enumerate(("a", "b", "c", "d")):
             if i >= 2:
-                if best_w is not None and window_steal_ratio(
-                    best_w, hz, ncpu
-                ) <= PER_QUERY_STEAL_GATE:
+                if best_w is not None and window_clean(best_w, hz, ncpu):
                     break
                 wait_clean_window(60.0, probe_sec=2.0)
             spark._jvm.System.gc()
@@ -769,12 +885,10 @@ def main() -> int:
                 "mono1": s1["mono"], "steal1": s1["steal_jiffies"],
                 "load1": s1["loadavg"][0], "retries": max(0, i - 1),
             }
-            clean = (
-                window_steal_ratio(w, hz, ncpu) <= PER_QUERY_STEAL_GATE
-            )
-            best_clean = best_w is not None and window_steal_ratio(
+            clean = window_clean(w, hz, ncpu)
+            best_clean = best_w is not None and window_clean(
                 best_w, hz, ncpu
-            ) <= PER_QUERY_STEAL_GATE
+            )
             # A clean drain always beats a dirty one; among equals,
             # faster wins (min-of-N).
             if (
@@ -825,7 +939,7 @@ def main() -> int:
         load_start, load_end, per_query_load, wall_sec, ncpu, bench_threads
     )
     spliced = splice_verdict(
-        load_start, query_windows, ncpu, bench_threads
+        load_start, query_windows, ncpu, bench_threads, timings=timings
     )
     loads = verdict["loads"]
     steal_delta = verdict["steal_delta"]
@@ -889,11 +1003,15 @@ def main() -> int:
 
     # The driver captures only the TAIL (~2000 chars) of stdout: a
     # 127-entry "queries" map made every prior round's line unparseable
-    # ("parsed": null in BENCH_r1-r3). The complete per-query map is
-    # written to BENCH_FULL.json at the repo root; stdout carries ONE
-    # compact JSON line that always fits the capture window — same
-    # metric/value/unit/sf contract, "queries" trimmed to the flagship
-    # plus the slowest entries, plus distribution stats.
+    # ("parsed": null in BENCH_r1-r3), and the r15 line regressed the
+    # same way when the full load summary + isolated maps pushed it to
+    # 2349 chars ("parsed": null in BENCH_r15 — the round's trend row
+    # was lost). The complete per-query map is written to
+    # BENCH_FULL.json at the repo root; stdout carries ONE compact JSON
+    # line that is HARD-CAPPED below the capture window (see
+    # _fit_compact): "queries" trimmed to the flagship plus the slowest
+    # entries, the load story cut to the fields the trend/verdict read,
+    # and overflow shed in a fixed order with a "trimmed" marker.
     try:
         repo_root = os.path.dirname(os.path.abspath(__file__))
         with open(os.path.join(repo_root, "BENCH_FULL.json"), "w") as f:
@@ -905,6 +1023,20 @@ def main() -> int:
     head = {n: timings[n] for n in slowest}
     if "flagship" in timings:
         head["flagship"] = timings["flagship"]
+    # Stdout load story: ONLY the fields bench_trend/_capture_summary
+    # and the verdict read. The full summary (per-query requeried map,
+    # thresholds, jiffy splits — 850+ chars) lives in BENCH_FULL.json;
+    # inlining it is what truncated the r15 driver capture.
+    load_compact = {
+        "start": load_summary["start"],
+        "max": load_summary["max"],
+        "wall_sec": load_summary["wall_sec"],
+        "steal_ratio": load_summary["steal_ratio"],
+        "contaminated": load_summary["contaminated"],
+        "contamination_causes": load_summary["contamination_causes"],
+        "session_contaminated": load_summary["session_contaminated"],
+        "session_causes": load_summary["session_causes"],
+    }
     compact = {
         "metric": out["metric"],
         "value": out["value"],
@@ -914,10 +1046,16 @@ def main() -> int:
         "n_queries": len(timings),
         "n_errors": len(errors),
         "sub_second": sum(1 for v in ok.values() if v < 1.0),
-        "loadavg": load_summary,
+        "loadavg": load_compact,
         "certified": {
-            "all_clean": not spliced["dirty"],
+            # all_clean requires every reported window MEASURED clean:
+            # an unmeasurable window (ratio -1.0) is not a certificate,
+            # so unknowns block the flag (ADVICE r15) — surfaced as a
+            # count so bench_trend's spliced-clean promotion can't ride
+            # on unmeasured windows.
+            "all_clean": not spliced["dirty"] and not spliced["unknown"],
             "dirty": spliced["dirty"][:5],
+            "unknown": len(spliced["unknown"]),
             "requeried": len(requeried),
             "gate": PER_QUERY_STEAL_GATE,
         },
@@ -929,11 +1067,23 @@ def main() -> int:
         ]
     if out.get("isolated"):
         compact["isolated"] = out["isolated"]
-        compact["isolated_steal"] = out.get("isolated_steal", {})
+        iso_steal = out.get("isolated_steal", {})
+        # Per-run isolated steal stays in BENCH_FULL; stdout carries
+        # the max and the dirty names — enough to certify the series.
+        measured = [r for r in iso_steal.values() if r >= 0]
+        compact["isolated_steal"] = {
+            "max": max(measured) if measured else -1.0,
+            "dirty": sorted(
+                n for n, r in iso_steal.items()
+                if r > PER_QUERY_STEAL_GATE
+            ),
+            "unknown": sum(1 for r in iso_steal.values() if r < 0),
+        }
     if errors:
         compact["errors"] = {
             k: v[:80] for k, v in list(errors.items())[:3]
         }
+    compact = _fit_compact(compact)
 
     # Always rc:0 with parseable JSON — a broken query is reported in
     # "errors"/-1.0 timings, never by failing the whole harness (the

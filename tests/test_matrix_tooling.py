@@ -336,6 +336,132 @@ def test_splice_verdict_keeps_load_causes():
     assert "load_during_sweep" in v["causes"]
 
 
+def test_splice_verdict_errored_query_excluded_from_dirty():
+    """ADVICE r15: a query that ERRORS during a steal burst reports no
+    number (timing -1.0) and can never be re-timed clean — its dirty
+    window must not permanently flip the headline flag. Its ratio stays
+    in window_ratios for transparency; without `timings` the old
+    (stricter) behavior is preserved."""
+    import bench
+
+    start = {"loadavg": [0.2, 0.1, 0.1], "steal_jiffies": 0}
+    wins = {
+        "q_ok": _qwin(0.002),
+        "q_err": _qwin(0.08, t0=20.0),
+        "q_err_unknown": _qwin(0.9, sec=0.01, t0=30.0),
+    }
+    timings = {"q_ok": 2.0, "q_err": -1.0, "q_err_unknown": -1.0}
+    v = bench.splice_verdict(start, wins, 32, 32, 100, timings=timings)
+    assert not v["contaminated"]
+    assert v["dirty"] == []
+    assert v["unknown"] == []  # errored queries report no number at all
+    assert v["window_ratios"]["q_err"] > bench.PER_QUERY_STEAL_GATE
+    # Without timings the verdict stays strict (pure-window behavior).
+    v2 = bench.splice_verdict(start, wins, 32, 32, 100)
+    assert v2["dirty"] == ["q_err"]
+    # A REPORTED dirty number still flags even when another errored.
+    timings3 = {"q_ok": 2.0, "q_err": 3.0, "q_err_unknown": -1.0}
+    v3 = bench.splice_verdict(start, wins, 32, 32, 100, timings=timings3)
+    assert v3["dirty"] == ["q_err"]
+    assert v3["contaminated"]
+
+
+def test_stray_process_guard_detects_matching_process():
+    """VERDICT r15 item 6: a prior session's bench/chaser process alive
+    at matrix time must be surfaced. The guard sees a live process
+    whose cmdline matches STRAY_PATTERNS, never lists itself/ancestors
+    (this pytest's own chain), and stops reporting once it exits."""
+    import subprocess
+    import time as _time
+
+    # Two commands so bash can't tail-call exec into sleep (which
+    # would replace the cmdline and drop the marker).
+    proc = subprocess.Popen(
+        ["bash", "-c", "sleep 30; true # bench_idle_chaser marker"],
+        stdout=subprocess.DEVNULL,
+        stderr=subprocess.DEVNULL,
+    )
+    try:
+        found = None
+        for _ in range(20):  # /proc visibility is immediate; retry anyway
+            found = {s["pid"]: s for s in rm.stray_processes()}
+            if proc.pid in found:
+                break
+            _time.sleep(0.1)
+        assert proc.pid in found
+        assert "bench_idle_chaser" in found[proc.pid]["cmd"]
+        assert os.getpid() not in found
+    finally:
+        proc.kill()
+        proc.wait()
+    # The marker process is gone; other (real) strays on a busy dev
+    # machine may legitimately remain — assert only about ours.
+    assert proc.pid not in {s["pid"] for s in rm.stray_processes()}
+
+
+def test_fit_compact_caps_stdout_line():
+    """r15 regression: the compact stdout line grew to 2349 chars and
+    the driver's ~2000-char tail capture truncated it ("parsed": null
+    → the round lost its trend row). _fit_compact must shed optional
+    blocks in the fixed order until the line fits, never dropping the
+    metric/value/queries/certified core, and must leave an
+    already-small line untouched."""
+    import json
+
+    import bench
+
+    small = {"metric": "m", "value": 1.0, "unit": "sec",
+             "queries": {"flagship": 0.5}, "sf": 0.1,
+             "certified": {"all_clean": True}}
+    assert bench._fit_compact(dict(small)) == small  # no-op, no marker
+
+    big = {
+        "metric": "total_query_seconds_sf0.1", "value": 88.0,
+        "unit": "sec",
+        "queries": {f"query_{i:02d}": 1.0 + i for i in range(20)},
+        "sf": 0.1, "n_queries": 128, "n_errors": 0, "sub_second": 90,
+        "loadavg": {"start": 0.2, "max": 10.0, "steal_ratio": 0.02,
+                    "contaminated": False,
+                    "contamination_causes": ["x" * 40],
+                    "session_contaminated": True,
+                    "session_causes": ["y" * 40]},
+        "certified": {"all_clean": True, "dirty": [], "unknown": 0,
+                      "requeried": 14, "gate": 0.01},
+        "isolated": {f"iso_query_name_{i:02d}": 3.0 for i in range(10)},
+        "isolated_steal": {"max": 0.05, "dirty": ["a" * 30] * 10,
+                           "unknown": 0},
+        "errors": {f"err_{i}": "boom " * 16 for i in range(3)},
+        "full": "BENCH_FULL.json",
+    }
+    big["queries"]["flagship"] = 0.4
+    assert len(json.dumps(big)) > bench.COMPACT_LINE_BUDGET
+    fitted = bench._fit_compact(big)
+    line = json.dumps(fitted)
+    assert len(line) <= bench.COMPACT_LINE_BUDGET
+    assert fitted["trimmed"]  # sheds are declared
+    for core in ("metric", "value", "unit", "queries", "sf",
+                 "certified", "loadavg"):
+        assert core in fitted, core
+    assert "flagship" in fitted["queries"]  # never trimmed away
+    # Shed order: isolated goes before queries are narrowed.
+    assert fitted["trimmed"][0] == "isolated"
+
+
+def test_window_clean_requires_measured_ratio():
+    """ADVICE r15: the ingest best-of loop must treat an unmeasurable
+    window (-1.0) as NOT clean — `ratio <= gate` alone would let an
+    unknown drain displace a certified one and trip the early break."""
+    import bench
+
+    assert bench.window_clean(_qwin(0.002), 100, 32)
+    assert not bench.window_clean(_qwin(0.08), 100, 32)
+    # sub-MIN_WINDOW_SEC span → ratio -1.0 → not clean
+    assert not bench.window_clean(_qwin(0.0, sec=0.01), 100, 32)
+    # missing steal data → ratio -1.0 → not clean
+    nosteal = {"mono0": 1.0, "steal0": -1, "mono1": 3.0, "steal1": -1}
+    assert not bench.window_clean(nosteal, 100, 32)
+
+
 def test_zerodiv_targets_are_declared_and_shapes_hold():
     """r15 zero-divisor class (VERDICT r14 item 5): targets stay
     pinned to declared queries; the derived shapes keep their

@@ -58,7 +58,11 @@ def build_legs(rnd: int) -> list[tuple[str, list[str]]]:
     """Leg list for round ``rnd`` — a function because the unicode and
     reach legs stamp their committed artifacts with the round number."""
     return [
-        ("pytest", [PY, "-m", "pytest", "tests/", "-q"]),
+        # -rs: print skip REASONS in the summary so the two permanent
+        # environment gates (protobuf TWS, Kafka live broker) are
+        # re-asserted in every leg tail instead of rotting as a bare
+        # "2 skipped" count (VERDICT r15 item 8).
+        ("pytest", [PY, "-m", "pytest", "tests/", "-q", "-rs"]),
         ("walker", [PY, "tools/window_plan.py"]),
         ("oracle_sf0001",
          [PY, "tools/check_oracle.py", "/root/testdata/sf0.001"]),
@@ -132,6 +136,90 @@ def _settle_for_bench() -> float:
         )
         time.sleep(BENCH_SETTLE_POLL)
     return round(time.monotonic() - t0, 1)
+
+
+#: cmdline substrings that mark a process able to contaminate a leg or
+#: clobber round artifacts: another bench/matrix run, a leftover
+#: idle-chaser shell loop (the r15 incident: a PRIOR session's
+#: /tmp/bench_idle_chaser.sh was still alive and launched a solo sf0.1
+#: bench mid-matrix — it would have written r15-code numbers into an
+#: r14-named artifact), or a leaked Spark JVM from an earlier leg.
+STRAY_PATTERNS = (
+    "bench.py",
+    "bench_idle_chaser",
+    "run_matrix.py",
+    "org.apache.spark",
+)
+
+
+def stray_processes() -> list[dict]:
+    """Processes OUTSIDE this run's own ancestry whose cmdline matches
+    STRAY_PATTERNS (VERDICT r15 item 6). Self and ancestors are
+    excluded (the shell/agent that launched us legitimately mentions
+    run_matrix.py); descendants are NOT — the guard runs between legs,
+    when no leg subprocess should be alive, so a surviving child IS a
+    leak worth flagging. Read-only: the guard records and warns, it
+    never kills (a co-tenant's process is not ours to reap)."""
+    me = os.getpid()
+    excluded = {me}
+    pid = me
+    for _ in range(64):  # ancestor walk, bounded
+        try:
+            with open(f"/proc/{pid}/status") as f:
+                ppid = next(
+                    int(ln.split()[1]) for ln in f
+                    if ln.startswith("PPid:")
+                )
+        except (OSError, StopIteration, ValueError):
+            break
+        if ppid <= 1 or ppid in excluded:
+            break
+        excluded.add(ppid)
+        pid = ppid
+    strays: list[dict] = []
+    try:
+        pids = [d for d in os.listdir("/proc") if d.isdigit()]
+    except OSError:  # pragma: no cover — non-Linux
+        return strays
+    for d in pids:
+        p = int(d)
+        if p in excluded:
+            continue
+        try:
+            with open(f"/proc/{d}/cmdline", "rb") as f:
+                cmd = f.read().replace(b"\0", b" ").decode(
+                    errors="replace"
+                ).strip()
+        except OSError:
+            continue
+        if any(pat in cmd for pat in STRAY_PATTERNS):
+            strays.append({"pid": p, "cmd": cmd[:160]})
+    return strays
+
+
+def _guard_strays(where: str, wait_sec: float = 0.0) -> list[dict]:
+    """Report stray processes, optionally waiting for them to exit
+    (polling; bench legs get a grace window — a prior leg's JVM may
+    still be tearing down). Returns whatever is STILL alive."""
+    t0 = time.monotonic()
+    strays = stray_processes()
+    while strays and time.monotonic() - t0 < wait_sec:
+        print(
+            f"STRAY {where}: {len(strays)} matching process(es) alive, "
+            f"waiting for exit: "
+            + "; ".join(f"pid {s['pid']}: {s['cmd'][:80]}" for s in strays),
+            flush=True,
+        )
+        time.sleep(5.0)
+        strays = stray_processes()
+    for s in strays:
+        print(
+            f"STRAY {where}: pid {s['pid']} still alive — leg verdicts "
+            f"may be contaminated and round artifacts may be clobbered: "
+            f"{s['cmd'][:120]}",
+            flush=True,
+        )
+    return strays
 
 
 def _bench_contaminated(out: str) -> bool | None:
@@ -332,6 +420,13 @@ def main() -> int:
         "started_unix": int(time.time()),
         "legs": {},
     }
+    # Stray-process guard (VERDICT r15 item 6): a prior session's
+    # bench/chaser/Spark process running NOW will contaminate leg
+    # verdicts and can clobber round artifacts — surface it up front
+    # and stamp it into the artifact so a dirty matrix is attributable.
+    strays0 = _guard_strays("at matrix start")
+    if strays0:
+        result["strays_at_start"] = strays0
     any_fail = False
     for name, cmd in legs:
         if name in skip or (only is not None and name not in only):
@@ -350,6 +445,12 @@ def main() -> int:
                 # must not start until load1 has actually decayed.
                 waited = _settle_for_bench()
                 bench_meta.setdefault("settle_seconds", []).append(waited)
+                # The bench leg is the steal-sensitive one: give a
+                # leftover process a short grace to exit, then record
+                # whatever is still alive next to the attempt.
+                strays = _guard_strays("before bench", wait_sec=120.0)
+                if strays:
+                    bench_meta.setdefault("strays", []).append(strays)
             a0 = time.monotonic()
             try:
                 proc = subprocess.run(
