@@ -532,6 +532,22 @@ def _session(cpus: str):
         .config("spark.sql.shuffle.partitions", cpus)
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        # r17 (guide §3.1/§9): allow the planner to pick shuffled-hash
+        # over sort-merge when its size conditions hold — skips both
+        # sides' sorts in the fact/dim equi-joins that dominate the
+        # tail. Scale-portable (the planner still requires the build
+        # side to fit per partition; SMJ remains the fallback) and
+        # env-overridable for A/B.
+        .config(
+            "spark.sql.join.preferSortMergeJoin",
+            os.environ.get("SPARK_GRAFT_PREFER_SMJ", "false"),
+        )
+        # r17 (guide §6): Arrow for driver transfers — the similarity
+        # kernels collect their fixed query set via toPandas(); the
+        # row-pickle path pays per-row conversion for array<double>
+        # columns. Orders-of-magnitude cheaper at any scale; A/B at
+        # sf0.1 measured ~6% off the similarity family.
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.ui.enabled", "false")
         # local-mode driver == all executors: size the heap so the

@@ -67,28 +67,49 @@ def connected_components(
         edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
         .union(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
         .distinct()
+        # Pre-partition on the per-round join key (r17, guide §2.4):
+        # distinct() leaves the cache hash-partitioned on (a, b), which
+        # satisfies NO downstream requirement — every round would
+        # re-exchange the cached adjacency on `a` before joining it to
+        # the label table. One explicit repartition at build time moves
+        # that shuffle out of the loop: rounds now read co-partitioned
+        # cached partitions directly ("pre-partition both on node", as
+        # the module header always claimed).
+        .repartition(F.col("a"))
         .persist()
     )
     labels = nodes.select(F.col(node).alias("node"), F.col(node).alias("label"))
+    label_t = nodes.schema[node].dataType
     converged = False
     try:
         for _ in range(max_iter):
-            nbr = (
-                adj.join(labels, adj["a"] == labels["node"])
-                .groupBy("b")
-                .agg(F.min("label").alias("nbr_label"))
+            # ONE shuffle per round (r17; was three node-keyed
+            # exchanges: groupBy(b) on the neighbor table, labels into
+            # the left join, join output). The neighbor-candidate rows
+            # and the current labels are unioned and min-aggregated in
+            # a single groupBy: new = min(old, min over neighbors) —
+            # the exact update rule of the old join+coalesce+least
+            # formulation. `_old` rides along as min(old-side label)
+            # (exactly one labels row per node; min ignores the NULL
+            # the candidate rows carry), so convergence detection needs
+            # no old-vs-new join either. Candidate rows whose endpoint
+            # is outside `nodes` surface with _old NULL and are dropped
+            # — identical to the old left join keeping only label rows.
+            cand = adj.join(labels, adj["a"] == labels["node"]).select(
+                F.col("b").alias("node"),
+                "label",
+                F.lit(None).cast(label_t).alias("_old"),
             )
-            # The convergence flag rides along in the propagation select
-            # (labels only ever DECREASE, so changed ⟺ new < old) and is
-            # counted off the already-materialized checkpoint — no extra
-            # old-vs-new join per round.
-            prop = labels.join(nbr, labels["node"] == nbr["b"], "left").select(
-                labels["node"],
-                labels["label"].alias("_old"),
-                F.least(
-                    labels["label"],
-                    F.coalesce(F.col("nbr_label"), labels["label"]),
-                ).alias("label"),
+            merged = cand.union(
+                labels.select("node", "label", F.col("label").alias("_old"))
+            )
+            prop = (
+                merged.groupBy("node")
+                .agg(
+                    F.min("label").alias("label"),
+                    F.min("_old").alias("_old"),
+                )
+                .filter(F.col("_old").isNotNull())
             )
             if shortcut:
                 # Pointer doubling: adopt label(label). The label table
