@@ -63,13 +63,13 @@ DRIVER_WINDOW = 50
 #: similarity.py-composed entries this round's recall-honesty/ADVICE
 #: fixes touch — all expire when their r9 grades land.
 FORCE_WINDOW: tuple[tuple[str, int], ...] = (
-    # The r15 pin (revenue_share@15 — the zero-divisor try_divide fix
-    # re-graded unconditionally) expired when CORRECTNESS_r15.json
-    # landed green at r15 (committed in eac9490) and is pruned. All 50
-    # slots go to the age rotation, which drains the entire r13 grade
-    # cohort (28 queries) plus the 22 oldest r14 grades this round —
-    # after r16 lands, nothing in the grade union should be older
-    # than r14.
+    # r17 pins: the optimization round restructures kernels under
+    # fresh green grades (walker-flagged OUT-of-window churn); each
+    # pin expires when its r17 re-grade lands green.
+    #   - connected_components (iotstream/ext/graph.py) rewritten to
+    #     the one-exchange-per-round union+groupBy form.
+    ("dedup_clusters", 17),
+    ("dedup_clusters_lsh", 17),
 )
 
 

@@ -290,21 +290,46 @@ def lsh_candidate_pairs(
     )
 
 
-def _jaccard(pairs: DataFrame, shingled: DataFrame) -> DataFrame:
-    """Exact shingle-Jaccard for given candidate (doc_a, doc_b) pairs."""
-    sets_ = shingled.select("doc_id", "shingles")
+def _jaccard(pairs: DataFrame, docs: DataFrame, n: int = SHINGLE_WIDTH) -> DataFrame:
+    """Exact shingle-Jaccard for given candidate (doc_a, doc_b) pairs.
+
+    Takes raw ``docs`` and derives each endpoint's shingle ARRAY in a
+    projection ABOVE its candidate join (r17): the old shape computed
+    ``with_shingles`` below the join, i.e. built the array for every
+    document in the corpus and then kept only candidate endpoints —
+    at 100 TB that is a full-corpus split+transform whose output is
+    discarded for all but the sparse candidate set. Here the join
+    matches on doc_id alone and the shingle expression runs on
+    survivors only (same expression, same values). Candidate pairs
+    are sparse by construction (LSH-banded), so per-pair recomputation
+    for a doc in several pairs costs less than the corpus-wide pass."""
+    def shingle_expr(col: str) -> str:
+        lam = " ".join(
+            ["concat_ws(' ',"]
+            + [f"element_at({col}, i + {k})," for k in range(n - 1)]
+            + [f"element_at({col}, i + {n - 1}))"]
+        )
+        return (
+            f"if(size({col}) >= {n}, "
+            f"array_distinct(transform(sequence(1, size({col}) - {n - 1}), "
+            f"i -> {lam})), array())"
+        )
+
+    body = docs.select("doc_id", F.split("text", " ").alias("w"))
     return (
         pairs.join(
-            sets_.select(
-                F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sh_a")
-            ),
+            body.select(F.col("doc_id").alias("doc_a"), F.col("w").alias("_wa")),
             "doc_a",
         )
         .join(
-            sets_.select(
-                F.col("doc_id").alias("doc_b"), F.col("shingles").alias("sh_b")
-            ),
+            body.select(F.col("doc_id").alias("doc_b"), F.col("w").alias("_wb")),
             "doc_b",
+        )
+        .select(
+            "doc_a",
+            "doc_b",
+            F.expr(shingle_expr("_wa")).alias("sh_a"),
+            F.expr(shingle_expr("_wb")).alias("sh_b"),
         )
         .select(
             "doc_a",
@@ -354,7 +379,7 @@ def neardup_minhash(
         max_bucket=max_bucket,
         guard_stats=guard_stats,
     )
-    j = _jaccard(cands, with_shingles(fanned))
+    j = _jaccard(cands, fanned)
     return j.filter(F.col("jaccard") >= threshold).select(
         "doc_a", "doc_b", F.round("jaccard", 6).alias("jaccard")
     )
@@ -382,6 +407,12 @@ def neardup_jaccard_exact(docs: DataFrame, threshold: float = 0.5) -> DataFrame:
         (F.col("a.n") >= F.lit(threshold) * F.col("b.n"))
         & (F.col("b.n") >= F.lit(threshold) * F.col("a.n"))
     )
+    # Set sizes ride the pair aggregation (r17): n is functionally
+    # dependent on its doc_id, so min() recovers it per group and the
+    # two post-aggregation join-backs to sz (two more joins + two
+    # exchanges + a third evaluation of the sz lineage) disappear —
+    # guide §2.4, "remove shuffles outright". Values are unchanged:
+    # same i, same na/nb, same jaccard arithmetic.
     inter = (
         a.join(
             b,
@@ -390,22 +421,14 @@ def neardup_jaccard_exact(docs: DataFrame, threshold: float = 0.5) -> DataFrame:
             & ratio_ok,
         )
         .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .agg(F.count(F.lit(1)).alias("i"))
+        .agg(
+            F.count(F.lit(1)).alias("i"),
+            F.min(F.col("a.n")).alias("na"),
+            F.min(F.col("b.n")).alias("nb"),
+        )
     )
     return (
-        inter.join(
-            sz.select(
-                F.col("doc_id").alias("doc_a"), F.col("n").alias("na")
-            ).hint("shuffle_hash"),
-            "doc_a",
-        )
-        .join(
-            sz.select(
-                F.col("doc_id").alias("doc_b"), F.col("n").alias("nb")
-            ).hint("shuffle_hash"),
-            "doc_b",
-        )
-        .withColumn(
+        inter.withColumn(
             "jaccard",
             F.col("i").cast("double") / (F.col("na") + F.col("nb") - F.col("i")),
         )

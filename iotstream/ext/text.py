@@ -10,7 +10,6 @@ groupBy, with map-side partial aggregation).
 
 from __future__ import annotations
 
-import math
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
@@ -258,7 +257,14 @@ def remove_high_df_tokens(
     doc — order restored via position-sorted collect. The C4-style
     cleaning pass, fully engine-portable (no UDF).
     """
-    n_docs = docs.select(F.count(F.lit(1))).first()[0]
+    # The corpus count is a 1-row aggregate broadcast into the DF
+    # threshold IN-PLAN (r17): the old driver-side
+    # ``docs.select(count).first()`` was a separate blocking action —
+    # one extra full corpus pass per invocation at any scale — for a
+    # scalar the plan can carry itself (the dormant_customers pattern).
+    # ceil() parity with the oracle's ``ceil(count(*) * frac)`` holds:
+    # both engines evaluate the same double product.
+    nd = docs.agg(F.count(F.lit(1)).alias("_nd"))
     toks = docs.select("doc_id", tokens().alias("w"))
     pos = toks.select(
         "doc_id",
@@ -270,7 +276,8 @@ def remove_high_df_tokens(
         .distinct()
         .groupBy("tok")
         .agg(F.count(F.lit(1)).alias("df"))
-        .filter(F.col("df") >= math.ceil(n_docs * min_doc_frac))
+        .crossJoin(F.broadcast(nd))
+        .filter(F.col("df") >= F.ceil(F.col("_nd") * F.lit(min_doc_frac)))
         .select("tok")
     )
     kept = pos.join(F.broadcast(df_counts), "tok", "left_anti")
@@ -459,7 +466,16 @@ def lm_bigram_xent(docs: DataFrame, col: str = "text") -> DataFrame:
         "doc_id", "ngram", F.substring_index("ngram", " ", 1).alias("ctx")
     )
     c2 = big.groupBy("ngram").agg(F.count(F.lit(1)).alias("c2"))
-    c1 = big.groupBy("ctx").agg(F.count(F.lit(1)).alias("c1"))
+    # c(w1 ·) = Σ_w2 c(w1 w2): the context count re-aggregates the
+    # VOCABULARY-sized bigram table, not the corpus-sized bigram
+    # stream (r17) — the old groupBy("ctx") over ``big`` was a second
+    # full corpus pass + shuffle for numbers c2 already contains.
+    # Exact integer equality, same add-one smoothing inputs.
+    c1 = (
+        c2.select(F.substring_index("ngram", " ", 1).alias("ctx"), "c2")
+        .groupBy("ctx")
+        .agg(F.sum("c2").alias("c1"))
+    )
     vocab = docs.select(F.explode(tokens(col)).alias("w")).agg(
         F.count_distinct("w").alias("v")
     )
