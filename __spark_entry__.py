@@ -67,9 +67,19 @@ FORCE_WINDOW: tuple[tuple[str, int], ...] = (
     # fresh green grades (walker-flagged OUT-of-window churn); each
     # pin expires when its r17 re-grade lands green.
     #   - connected_components (iotstream/ext/graph.py) rewritten to
-    #     the one-exchange-per-round union+groupBy form.
+    #     the one-exchange-per-round union+groupBy form;
+    #   - neardup_jaccard_exact / _jaccard (iotstream/ext/dedup.py)
+    #     dropped the size join-backs and moved shingle arrays above
+    #     the candidate join;
+    #   - remove_high_df_tokens / lm_bigram_xent (iotstream/ext/text.py)
+    #     in-plan corpus count, c1-from-c2 context counts.
     ("dedup_clusters", 17),
     ("dedup_clusters_lsh", 17),
+    ("dedup_report", 17),
+    ("df_token_filter", 17),
+    ("lm_bigram_xent", 17),
+    ("neardup_jaccard", 17),
+    ("neardup_minhash", 17),
 )
 
 
