@@ -420,6 +420,31 @@ def _fit_compact(compact: dict) -> dict:
         compact["trimmed"] = trimmed
         if _size() <= COMPACT_LINE_BUDGET:
             break
+    if _size() > COMPACT_LINE_BUDGET:
+        # Last-resort shed (ADVICE r16): the six steps can exhaust
+        # without fitting (e.g. many long dirty-query names in
+        # certified.dirty) and the docstring's guarantee — the r15
+        # 'parsed: null' truncation fix — must hold regardless. Trim
+        # queries to the flagship alone and cap the dirty list; if
+        # even that overflows, say so on stderr so the oversize is
+        # attributable instead of silently reproducing the bug.
+        q = compact.get("queries") or {}
+        compact["queries"] = (
+            {"flagship": q["flagship"]} if "flagship" in q else {}
+        )
+        cert = compact.get("certified")
+        if isinstance(cert, dict) and isinstance(cert.get("dirty"), list):
+            dirty = cert["dirty"]
+            if len(dirty) > 5:
+                cert["dirty"] = dirty[:5] + [f"+{len(dirty) - 5} more"]
+        trimmed.append("last_resort")
+        compact["trimmed"] = trimmed
+        if _size() > COMPACT_LINE_BUDGET:
+            print(
+                f"bench: compact line still {_size()} chars after "
+                f"last-resort shed (budget {COMPACT_LINE_BUDGET})",
+                file=sys.stderr,
+            )
     return compact
 
 
@@ -671,16 +696,31 @@ def isolated_series(
                     file=sys.stderr,
                 )
                 wait_clean_window(min(60.0, remaining), probe_sec=2.0)
-                retry = _run_one(
-                    name, budget_sec - (time.perf_counter() - t_start)
-                )
+                # The retry gets its OWN failure domain (ADVICE r16):
+                # a TimeoutExpired/JSON error on the retry must fall
+                # back to the first run's valid (dirty) record, never
+                # discard it — 'a still-dirty number stays reported'.
+                try:
+                    retry = _run_one(
+                        name, budget_sec - (time.perf_counter() - t_start)
+                    )
+                except Exception as e:  # noqa: BLE001 — advisory series
+                    print(
+                        f"bench isolated: retry failed for {name}: {e}; "
+                        "keeping first run",
+                        file=sys.stderr,
+                    )
+                    retry = {}
                 # Keep the certified-cleaner run: a clean retry
-                # replaces; a dirty retry only replaces if faster
-                # (min-of-N under equal dirt).
+                # replaces; a dirty retry only replaces if faster AND
+                # its window steal was MEASURED (ADVICE r16: an
+                # unmeasurable -1.0 retry silently downgraded a named
+                # dirty record to 'unknown' — min-of-N only holds
+                # under equal dirt).
                 r2 = retry.get("steal_ratio", -1.0)
                 if "sec" in retry and (
                     0 <= r2 <= PER_QUERY_STEAL_GATE
-                    or retry["sec"] < rec["sec"]
+                    or (r2 >= 0 and retry["sec"] < rec["sec"])
                 ):
                     rec = retry
             if "sec" in rec:

@@ -651,3 +651,67 @@ def test_splice_dirty_errored_query_keeps_original():
     )
     assert timings["q"] == 5.0
     assert rec["q"]["attempts"] == 0 and not rec["q"]["certified"]
+
+
+def test_fit_compact_last_resort_shed_fits_pathological_core():
+    """ADVICE r16: after the six ordered sheds the line could STILL
+    exceed the budget (e.g. dozens of long dirty-query names inside
+    certified.dirty — a core field the ordered steps never touch) and
+    _fit_compact returned it oversized silently, re-arming the r15
+    'parsed: null' truncation. The last-resort shed must trim queries
+    to the flagship, cap the dirty list, and declare itself."""
+    import json
+
+    import bench
+
+    big = {
+        "metric": "total_query_seconds_sf0.1", "value": 88.0,
+        "unit": "sec",
+        "queries": {f"query_name_padded_{i:03d}": 1.0 + i for i in range(60)},
+        "sf": 0.1,
+        "loadavg": {"contaminated": True,
+                    "contamination_causes": ["steal_query_windows"]},
+        "certified": {"all_clean": False,
+                      "dirty": [f"very_long_dirty_query_name_{i:03d}"
+                                for i in range(50)],
+                      "unknown": 0, "requeried": 50, "gate": 0.01},
+        "isolated": {f"iso_{i}": 3.0 for i in range(10)},
+        "isolated_steal": {"max": 0.05, "dirty": [], "unknown": 0},
+        "errors": {},
+        "full": "BENCH_FULL.json",
+    }
+    big["queries"]["flagship"] = 0.4
+    fitted = bench._fit_compact(big)
+    line = json.dumps(fitted)
+    assert len(line) <= bench.COMPACT_LINE_BUDGET, len(line)
+    assert "last_resort" in fitted["trimmed"]
+    assert fitted["queries"] == {"flagship": 0.4}
+    dirty = fitted["certified"]["dirty"]
+    assert len(dirty) == 6 and dirty[-1] == "+45 more"
+    for core in ("metric", "value", "unit", "sf", "certified", "loadavg"):
+        assert core in fitted, core
+
+
+def test_stray_guard_ignores_mentions_and_flags_real_runs():
+    """ADVICE r16: substring matching flagged any process whose
+    cmdline merely MENTIONS bench.py (editor, tail -f, grep). The
+    anchored matcher must ignore mentions and still flag genuine
+    bench/matrix/chaser/Spark invocations."""
+    from tools.run_matrix import _is_stray_cmd
+
+    # mentions — must NOT flag
+    assert not _is_stray_cmd(["vim", "bench.py"])
+    assert not _is_stray_cmd(["tail", "-f", "bench.py.log"])
+    assert not _is_stray_cmd(["grep", "-n", "bench.py", "notes.md"])
+    assert not _is_stray_cmd(["less", "tools/run_matrix.py"])
+    assert not _is_stray_cmd(["bash", "-c", "grep bench.py history.txt"])
+    # genuine runs — must flag
+    assert _is_stray_cmd(["python", "bench.py"])
+    assert _is_stray_cmd(["python3", "/root/repo/bench.py", "--one", "flagship"])
+    assert _is_stray_cmd(["python", "tools/run_matrix.py"])
+    assert _is_stray_cmd(["bash", "-c", "python bench.py > /tmp/x"])
+    assert _is_stray_cmd(["bash", "/tmp/bench_idle_chaser.sh"])
+    assert _is_stray_cmd(["bash", "-c", "sleep 30; true # bench_idle_chaser"])
+    assert _is_stray_cmd(
+        ["/usr/lib/jvm/bin/java", "-cp", "x", "org.apache.spark.deploy.SparkSubmit"]
+    )

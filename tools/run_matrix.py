@@ -152,6 +152,37 @@ STRAY_PATTERNS = (
 )
 
 
+def _is_stray_cmd(argv: list[str]) -> bool:
+    """True when an argv genuinely RUNS one of the guarded surfaces —
+    not when it merely mentions a filename (ADVICE r16: plain
+    substring matching flagged editors, `tail -f`, `grep bench.py`,
+    shell history, causing spurious 120 s waits and false 'strays'
+    stamps). Anchoring: a Spark JVM is a java executable whose argv
+    mentions org.apache.spark; a bench/matrix run is a python
+    interpreter whose script argument IS bench.py/run_matrix.py; a
+    chaser is a shell (or the script itself) mentioning
+    bench_idle_chaser, or a shell -c body that pipes python into
+    bench.py/run_matrix.py."""
+    if not argv:
+        return False
+    exe = os.path.basename(argv[0])
+    if "java" in exe:
+        return any("org.apache.spark" in t for t in argv[1:])
+    if exe.startswith("python"):
+        return any(
+            t == p or t.endswith("/" + p)
+            for t in argv[1:]
+            for p in ("bench.py", "run_matrix.py")
+        )
+    if exe in ("bash", "sh", "dash", "zsh", "ksh") or "bench_idle_chaser" in exe:
+        return any(
+            "bench_idle_chaser" in t
+            or ("python" in t and ("bench.py" in t or "run_matrix.py" in t))
+            for t in argv
+        )
+    return False
+
+
 def stray_processes() -> list[dict]:
     """Processes OUTSIDE this run's own ancestry whose cmdline matches
     STRAY_PATTERNS (VERDICT r15 item 6). Self and ancestors are
@@ -187,13 +218,16 @@ def stray_processes() -> list[dict]:
             continue
         try:
             with open(f"/proc/{d}/cmdline", "rb") as f:
-                cmd = f.read().replace(b"\0", b" ").decode(
-                    errors="replace"
-                ).strip()
+                raw = f.read()
         except OSError:
             continue
-        if any(pat in cmd for pat in STRAY_PATTERNS):
-            strays.append({"pid": p, "cmd": cmd[:160]})
+        argv = [
+            t.decode(errors="replace")
+            for t in raw.split(b"\0")
+            if t
+        ]
+        if _is_stray_cmd(argv):
+            strays.append({"pid": p, "cmd": " ".join(argv)[:160]})
     return strays
 
 
