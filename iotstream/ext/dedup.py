@@ -290,46 +290,33 @@ def lsh_candidate_pairs(
     )
 
 
-def _jaccard(pairs: DataFrame, docs: DataFrame, n: int = SHINGLE_WIDTH) -> DataFrame:
+def _jaccard(pairs: DataFrame, shingled: DataFrame) -> DataFrame:
     """Exact shingle-Jaccard for given candidate (doc_a, doc_b) pairs.
 
-    Takes raw ``docs`` and derives each endpoint's shingle ARRAY in a
-    projection ABOVE its candidate join (r17): the old shape computed
-    ``with_shingles`` below the join, i.e. built the array for every
-    document in the corpus and then kept only candidate endpoints —
-    at 100 TB that is a full-corpus split+transform whose output is
-    discarded for all but the sparse candidate set. Here the join
-    matches on doc_id alone and the shingle expression runs on
-    survivors only (same expression, same values). Candidate pairs
-    are sparse by construction (LSH-banded), so per-pair recomputation
-    for a doc in several pairs costs less than the corpus-wide pass."""
-    def shingle_expr(col: str) -> str:
-        lam = " ".join(
-            ["concat_ws(' ',"]
-            + [f"element_at({col}, i + {k})," for k in range(n - 1)]
-            + [f"element_at({col}, i + {n - 1}))"]
-        )
-        return (
-            f"if(size({col}) >= {n}, "
-            f"array_distinct(transform(sequence(1, size({col}) - {n - 1}), "
-            f"i -> {lam})), array())"
-        )
-
-    body = docs.select("doc_id", F.split("text", " ").alias("w"))
+    The shingle ARRAY is built once per document BELOW the candidate
+    joins (one narrow corpus pass), then replicated per pair by the
+    join. An r17 experiment moved the array build ABOVE the joins
+    (survivors only, no corpus-wide pass); the x16 scale probe
+    rejected it — on a dup-dense corpus candidate pairs outnumber
+    documents (every exact-dup group of size g collides in all bands,
+    g^2/2 pairs), so per-pair recomputation turned the verify stage
+    from O(corpus + pairs*intersect) into O(pairs*(build+intersect)):
+    neardup_minhash x16 went 3.2 s -> 15.3 s. The corpus pass is the
+    cheaper side of that trade at every density the LSH path is
+    designed for; keep it."""
+    sets_ = shingled.select("doc_id", "shingles")
     return (
         pairs.join(
-            body.select(F.col("doc_id").alias("doc_a"), F.col("w").alias("_wa")),
+            sets_.select(
+                F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sh_a")
+            ),
             "doc_a",
         )
         .join(
-            body.select(F.col("doc_id").alias("doc_b"), F.col("w").alias("_wb")),
+            sets_.select(
+                F.col("doc_id").alias("doc_b"), F.col("shingles").alias("sh_b")
+            ),
             "doc_b",
-        )
-        .select(
-            "doc_a",
-            "doc_b",
-            F.expr(shingle_expr("_wa")).alias("sh_a"),
-            F.expr(shingle_expr("_wb")).alias("sh_b"),
         )
         .select(
             "doc_a",
@@ -379,7 +366,7 @@ def neardup_minhash(
         max_bucket=max_bucket,
         guard_stats=guard_stats,
     )
-    j = _jaccard(cands, fanned)
+    j = _jaccard(cands, with_shingles(fanned))
     return j.filter(F.col("jaccard") >= threshold).select(
         "doc_a", "doc_b", F.round("jaccard", 6).alias("jaccard")
     )
