@@ -44,6 +44,8 @@ NLJ_OK = {
     "lm_bigram_xent",  # 1-row |V| scalar broadcast cross join
     "user_value_deciles",  # 1-row scalar-total broadcast (ranks.py)
     "rfm_segments",  # same
+    "df_token_filter",  # 1-row corpus-count broadcast (r17: the DF
+    # threshold moved in-plan; the cross join side is a single row)
 }
 
 # Queries whose plan legitimately contains a Window over an Exchange
