@@ -58,29 +58,15 @@ DRIVER_WINDOW = 50
 #: (a never-expiring pin would reintroduce the exact manual-cleanup
 #: discipline the rotation removes). The chronic lever (grades aging
 #: out) needs no bookkeeping at all: queries() auto-rotates the
-#: stalest grades into the window (see _rotate_window). r9 pins: the
-#: 4 walker-flagged stale greens from the r8 churn plus the 4
-#: similarity.py-composed entries this round's recall-honesty/ADVICE
-#: fixes touch — all expire when their r9 grades land.
-FORCE_WINDOW: tuple[tuple[str, int], ...] = (
-    # r17 pins: the optimization round restructures kernels under
-    # fresh green grades (walker-flagged OUT-of-window churn); each
-    # pin expires when its r17 re-grade lands green.
-    #   - connected_components (iotstream/ext/graph.py) rewritten to
-    #     the one-exchange-per-round union+groupBy form;
-    #   - neardup_jaccard_exact / _jaccard (iotstream/ext/dedup.py)
-    #     dropped the size join-backs and moved shingle arrays above
-    #     the candidate join;
-    #   - remove_high_df_tokens / lm_bigram_xent (iotstream/ext/text.py)
-    #     in-plan corpus count, c1-from-c2 context counts.
-    ("dedup_clusters", 17),
-    ("dedup_clusters_lsh", 17),
-    ("dedup_report", 17),
-    ("df_token_filter", 17),
-    ("lm_bigram_xent", 17),
-    ("neardup_jaccard", 17),
-    ("neardup_minhash", 17),
-)
+#: stalest grades into the window (see _rotate_window). The r17 pins
+#: (7 kernel-restructured queries) all landed green in
+#: CORRECTNESS_r17.json and were pruned here — expired pins carry no
+#: behavior, but a live list must describe only live pins (VERDICT
+#: r17 item 2 / ADVICE r17). r18 pins below follow the same rule:
+#: each names a query whose kernel this optimization round
+#: restructures under a fresh green grade, and expires when its r18
+#: re-grade lands.
+FORCE_WINDOW: tuple[tuple[str, int], ...] = ()
 
 
 #: Per-process memo for _grade_ages — the rotation is computed once and

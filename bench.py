@@ -434,9 +434,16 @@ def _fit_compact(compact: dict) -> dict:
         )
         cert = compact.get("certified")
         if isinstance(cert, dict) and isinstance(cert.get("dirty"), list):
+            # The production caller pre-caps the list at 5 names, so a
+            # count cap alone was dead code there (ADVICE r17): the
+            # REACHABLE overflow shape is 5 *long* names — truncate
+            # each name too. The count cap stays for direct callers.
             dirty = cert["dirty"]
             if len(dirty) > 5:
-                cert["dirty"] = dirty[:5] + [f"+{len(dirty) - 5} more"]
+                dirty = dirty[:5] + [f"+{len(dirty) - 5} more"]
+            cert["dirty"] = [
+                n if len(n) <= 24 else n[:21] + "..." for n in dirty
+            ]
         trimmed.append("last_resort")
         compact["trimmed"] = trimmed
         if _size() > COMPACT_LINE_BUDGET:
@@ -548,12 +555,29 @@ def contamination_verdict(
     }
 
 
-def _session(cpus: str):
+def _env_bool(var: str, default: str) -> str:
+    """Normalize a boolean env override to the literal 'true'/'false'
+    Spark requires — '1'/'yes'/'on' would otherwise fail session init
+    instead of toggling the A/B override (ADVICE r17)."""
+    raw = os.environ.get(var, default).strip().lower()
+    if raw in ("1", "true", "yes", "on"):
+        return "true"
+    if raw in ("0", "false", "no", "off", ""):
+        return "false"
+    raise ValueError(f"{var}: expected a boolean (true/false/1/0/yes/no), got {raw!r}")
+
+
+def _session(cpus: str, extra_conf: dict | None = None, app: str = "iotstream-bench"):
+    """The record session. ``extra_conf`` lets tools/ab_bench.py reuse
+    this EXACT builder (same baseline configs, incl. the r17
+    preferSortMergeJoin/Arrow settings) with per-experiment overrides —
+    an A/B harness with its own builder silently measures a different
+    baseline than the record sweep (ADVICE r17)."""
     from pyspark.sql import SparkSession
 
-    spark = (
+    builder = (
         SparkSession.builder.master(f"local[{cpus}]")
-        .appName("iotstream-bench")
+        .appName(app)
         .config("spark.sql.shuffle.partitions", cpus)
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
@@ -565,7 +589,7 @@ def _session(cpus: str):
         # env-overridable for A/B.
         .config(
             "spark.sql.join.preferSortMergeJoin",
-            os.environ.get("SPARK_GRAFT_PREFER_SMJ", "false"),
+            _env_bool("SPARK_GRAFT_PREFER_SMJ", "false"),
         )
         # r17 (guide §6): Arrow for driver transfers — the similarity
         # kernels collect their fixed query set via toPandas(); the
@@ -579,8 +603,10 @@ def _session(cpus: str):
         # interpreted-HOF queries (zip_with/aggregate allocate per row)
         # don't turn the tail of the 40-query session into a GC bench.
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "48g"))
-        .getOrCreate()
     )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     return spark
 

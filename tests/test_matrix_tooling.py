@@ -369,7 +369,7 @@ def test_splice_verdict_errored_query_excluded_from_dirty():
 def test_stray_process_guard_detects_matching_process():
     """VERDICT r15 item 6: a prior session's bench/chaser process alive
     at matrix time must be surfaced. The guard sees a live process
-    whose cmdline matches STRAY_PATTERNS, never lists itself/ancestors
+    that _is_stray_cmd recognizes, never lists itself/ancestors
     (this pytest's own chain), and stops reporting once it exits."""
     import subprocess
     import time as _time
@@ -687,7 +687,10 @@ def test_fit_compact_last_resort_shed_fits_pathological_core():
     assert "last_resort" in fitted["trimmed"]
     assert fitted["queries"] == {"flagship": 0.4}
     dirty = fitted["certified"]["dirty"]
+    # ADVICE r17: long names are also truncated (the reachable overflow
+    # shape in the production caller is 5 long names, already count-capped)
     assert len(dirty) == 6 and dirty[-1] == "+45 more"
+    assert all(len(n) <= 24 for n in dirty)
     for core in ("metric", "value", "unit", "sf", "certified", "loadavg"):
         assert core in fitted, core
 
@@ -715,3 +718,36 @@ def test_stray_guard_ignores_mentions_and_flags_real_runs():
     assert _is_stray_cmd(
         ["/usr/lib/jvm/bin/java", "-cp", "x", "org.apache.spark.deploy.SparkSubmit"]
     )
+
+
+def test_env_bool_normalizes_and_rejects(monkeypatch):
+    """ADVICE r17: SPARK_GRAFT_PREFER_SMJ='1'/'yes' must toggle the
+    boolean conf instead of failing Spark session init; junk raises
+    loudly at parse time rather than deep inside the JVM."""
+    import pytest as _pytest
+
+    import bench
+
+    for raw, want in [
+        ("1", "true"), ("true", "true"), ("YES", "true"), ("on", "true"),
+        ("0", "false"), ("False", "false"), ("no", "false"), ("", "false"),
+    ]:
+        monkeypatch.setenv("X_BOOL", raw)
+        assert bench._env_bool("X_BOOL", "false") == want, raw
+    monkeypatch.delenv("X_BOOL", raising=False)
+    assert bench._env_bool("X_BOOL", "true") == "true"
+    monkeypatch.setenv("X_BOOL", "maybe")
+    with _pytest.raises(ValueError):
+        bench._env_bool("X_BOOL", "false")
+
+
+def test_stray_guard_flags_python_dash_m_invocations():
+    """ADVICE r17: `python -m`-style invocations of the guarded
+    scripts are strays too; module paths that merely END in the name
+    of an unguarded module stay ignored."""
+    from tools.run_matrix import _is_stray_cmd
+
+    assert _is_stray_cmd(["python", "-m", "bench"])
+    assert _is_stray_cmd(["python3.11", "-m", "tools.run_matrix"])
+    assert not _is_stray_cmd(["python", "-m", "pytest", "tests/"])
+    assert not _is_stray_cmd(["python", "-m"])

@@ -39,23 +39,11 @@ def main() -> int:
         else:
             names.append(a)
 
-    from pyspark.sql import SparkSession
-
+    # Reuse bench._session so the A-side baseline is the RECORD
+    # session, r17 configs included (ADVICE r17) — overrides ride on
+    # top for the B side.
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
-    builder = (
-        SparkSession.builder.master(f"local[{cpus}]")
-        .appName("iotstream-ab")
-        .config("spark.sql.shuffle.partitions", cpus)
-        .config("spark.sql.adaptive.enabled", "true")
-        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
-        .config("spark.sql.session.timeZone", "UTC")
-        .config("spark.ui.enabled", "false")
-        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "48g"))
-    )
-    for k, v in confs.items():
-        builder = builder.config(k, v)
-    spark = builder.getOrCreate()
-    spark.sparkContext.setLogLevel("ERROR")
+    spark = bench._session(cpus, extra_conf=confs, app="iotstream-ab")
 
     import __spark_entry__ as entrymod
 

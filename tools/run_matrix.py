@@ -138,28 +138,18 @@ def _settle_for_bench() -> float:
     return round(time.monotonic() - t0, 1)
 
 
-#: cmdline substrings that mark a process able to contaminate a leg or
-#: clobber round artifacts: another bench/matrix run, a leftover
-#: idle-chaser shell loop (the r15 incident: a PRIOR session's
-#: /tmp/bench_idle_chaser.sh was still alive and launched a solo sf0.1
-#: bench mid-matrix — it would have written r15-code numbers into an
-#: r14-named artifact), or a leaked Spark JVM from an earlier leg.
-STRAY_PATTERNS = (
-    "bench.py",
-    "bench_idle_chaser",
-    "run_matrix.py",
-    "org.apache.spark",
-)
-
-
 def _is_stray_cmd(argv: list[str]) -> bool:
     """True when an argv genuinely RUNS one of the guarded surfaces —
-    not when it merely mentions a filename (ADVICE r16: plain
-    substring matching flagged editors, `tail -f`, `grep bench.py`,
-    shell history, causing spurious 120 s waits and false 'strays'
-    stamps). Anchoring: a Spark JVM is a java executable whose argv
-    mentions org.apache.spark; a bench/matrix run is a python
-    interpreter whose script argument IS bench.py/run_matrix.py; a
+    a bench/matrix run, an idle-chaser shell loop (the r15 incident: a
+    PRIOR session's /tmp/bench_idle_chaser.sh was still alive and
+    launched a solo sf0.1 bench mid-matrix), or a Spark JVM from an
+    earlier leg — not when it merely mentions a filename (ADVICE r16:
+    plain substring matching flagged editors, `tail -f`,
+    `grep bench.py`, shell history, causing spurious 120 s waits and
+    false 'strays' stamps). Anchoring: a Spark JVM is a java
+    executable whose argv mentions org.apache.spark; a bench/matrix
+    run is a python interpreter whose script argument IS
+    bench.py/run_matrix.py (positionally or via `python -m bench`); a
     chaser is a shell (or the script itself) mentioning
     bench_idle_chaser, or a shell -c body that pipes python into
     bench.py/run_matrix.py."""
@@ -169,11 +159,21 @@ def _is_stray_cmd(argv: list[str]) -> bool:
     if "java" in exe:
         return any("org.apache.spark" in t for t in argv[1:])
     if exe.startswith("python"):
-        return any(
+        rest = argv[1:]
+        if any(
             t == p or t.endswith("/" + p)
-            for t in argv[1:]
+            for t in rest
             for p in ("bench.py", "run_matrix.py")
-        )
+        ):
+            return True
+        # `python -m bench` / `python -m tools.run_matrix` (ADVICE r17)
+        for i, t in enumerate(rest[:-1]):
+            if t == "-m" and rest[i + 1].rsplit(".", 1)[-1] in (
+                "bench",
+                "run_matrix",
+            ):
+                return True
+        return False
     if exe in ("bash", "sh", "dash", "zsh", "ksh") or "bench_idle_chaser" in exe:
         return any(
             "bench_idle_chaser" in t
@@ -184,8 +184,9 @@ def _is_stray_cmd(argv: list[str]) -> bool:
 
 
 def stray_processes() -> list[dict]:
-    """Processes OUTSIDE this run's own ancestry whose cmdline matches
-    STRAY_PATTERNS (VERDICT r15 item 6). Self and ancestors are
+    """Processes OUTSIDE this run's own ancestry that _is_stray_cmd
+    recognizes as running a guarded surface (VERDICT r15 item 6;
+    ADVICE r17 retired the old STRAY_PATTERNS list). Self and ancestors are
     excluded (the shell/agent that launched us legitimately mentions
     run_matrix.py); descendants are NOT — the guard runs between legs,
     when no leg subprocess should be alive, so a surviving child IS a
