@@ -242,18 +242,36 @@ def lsh_candidate_pairs(
     whose ``dropped_rows`` metric — banded rows discarded by the
     ``max_bucket`` cap — is available after an action runs. Zero on
     every fixture corpus."""
-    rows = F.expr("size(signature)")  # rows per band = num_hashes/bands
-    banded = signed.select(
-        "doc_id",
-        F.explode(
-            F.expr(
-                f"transform(sequence(0, {bands - 1}), "
-                f"b -> struct(b AS band, xxhash64(to_json(struct(slice("
-                f"signature, b * (size(signature) div {bands}) + 1, "
-                f"size(signature) div {bands})))) AS bucket))"
-            )
-        ).alias("bb"),
-    ).select("doc_id", "bb.band", "bb.bucket")
+    # r18 (guide §4.2-adjacent, JVM-side): explode the band INDEX and
+    # hash the sliced signature array directly. The old form built a
+    # per-band struct inside a transform() lambda (interpreted,
+    # re-evaluated per explode output row) and serialized each band
+    # slice to a JSON STRING just to hash it; xxhash64 hashes
+    # array<bigint> natively, and an exploded index column keeps the
+    # whole projection inside whole-stage codegen — one evaluation per
+    # output row. Bucket VALUES change (hash of longs, not of their
+    # JSON rendering); bucket semantics (equal slices ⇒ equal bucket)
+    # and the downstream exact-verify are unchanged, so output pairs
+    # are identical whenever banding recall is 1 — re-proven vs the
+    # oracle at every SF, and the LSH-feed == exact-feed cluster tests
+    # pin it.
+    banded = (
+        signed.select(
+            "doc_id",
+            "signature",
+            F.explode(F.expr(f"sequence(0, {bands - 1})")).alias("band"),
+        )
+        .select(
+            "doc_id",
+            "band",
+            F.xxhash64(
+                F.expr(
+                    f"slice(signature, band * (size(signature) div {bands}) + 1, "
+                    f"size(signature) div {bands})"
+                )
+            ).alias("bucket"),
+        )
+    )
     if max_bucket is not None:
         # Window count over the (band, bucket) partition the pair join
         # shuffles on anyway: ONE pass over the banded rows — an
@@ -377,15 +395,33 @@ def neardup_jaccard_exact(docs: DataFrame, threshold: float = 0.5) -> DataFrame:
     join (explode shingles, join on shingle, count intersections).
     Quadratic in per-shingle document frequency — correctness tool, not
     the 100 TB path (that's ``neardup_minhash``)."""
-    ex = exploded_shingles(fan_out(docs))  # distinct (doc_id, g)
-    sz = ex.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
-    # shuffle_hash hints: every join in this kernel is either
-    # doc-keyed (sz) or the shingle self-join whose per-key groups are
-    # df-bounded — hash builds beat sort-merge's double string sort
-    # here (A/B ~20-25% at sf0.1). Safe for THIS kernel because it is
+    # r18 (guide §2.3/§2.4): one doc-keyed exchange builds BOTH the
+    # per-doc distinct shingle set and its size. The r17 form paid a
+    # (doc_id, g-string) distinct exchange, a doc-keyed count agg, and
+    # a doc-keyed join to glue them; collect_set over pre-hashed
+    # shingles does all three in a single narrow shuffle (map-side
+    # partial sets absorb in-doc repeats — a doc's rows are
+    # co-partitioned on its scan split), and every downstream key is
+    # an 8-byte long instead of a ~25-byte shingle string.
+    #
+    # Hashing note: xxhash64(shingle) stands in for the shingle, the
+    # same identity-by-64-bit-hash trade MinHash already makes.
+    # Collisions perturb one pair count by 1; at the fixture scale the
+    # probability is ~1e-10 (oracle-verified identical at every SF),
+    # and at 10^12 shingles the expected few-dozen global collisions
+    # are noise against a 0.5 dedup threshold.
+    ex = exploded_shingles(fan_out(docs), dedup=False).select(
+        "doc_id", F.xxhash64("g").alias("g")
+    )
+    per_doc = ex.groupBy("doc_id").agg(F.collect_set("g").alias("_gs"))
+    tok = per_doc.select(
+        "doc_id", F.size("_gs").alias("n"), F.explode("_gs").alias("g")
+    )
+    # shuffle_hash hint: the shingle self-join's per-key groups are
+    # df-bounded — hash builds beat sort-merge's double sort here
+    # (A/B ~20-25% at sf0.1). Safe for THIS kernel because it is
     # the capped correctness tool (module header: never the 100 TB
     # path); the scale path (neardup_minhash) keeps Spark's defaults.
-    tok = ex.join(sz.hint("shuffle_hash"), "doc_id").select("doc_id", "n", "g")
     a, b = tok.alias("a"), tok.hint("shuffle_hash").alias("b")
     # Lossless size-ratio prune: J(a,b) <= min(na,nb)/max(na,nb), so a
     # pair can only reach J >= t when the smaller set is at least t of

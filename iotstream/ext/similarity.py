@@ -530,9 +530,26 @@ def neardup_embedding_lsh(
     spark = emb.sparkSession
     emb = drop_null_vectors(emb)
     n_vecs = None
+    dim0 = None
+    # r18 (guide §1/§5): one sizing pass instead of two driver jobs.
+    # Auto-sizing needs the corpus COUNT and hyperplane construction
+    # needs the DIMENSION; the old flow paid a count() job and then a
+    # separate head() job for dim. One aggregate returns both — and
+    # only runs when n is actually needed (auto params or auto
+    # regime); a fully pinned call keeps the short-circuiting head()
+    # probe so a 100 TB ship-regime caller never pays a full corpus
+    # pass just to learn dim.
+    if nbits is None or tables is None or vectors == "auto":
+        _row = emb.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.first(F.size("embedding")).alias("dim"),
+        ).first()
+        n_vecs, dim0 = _row["n"], _row["dim"]
+    else:
+        _first = emb.select(F.size("embedding")).head()
+        dim0 = _first[0] if _first is not None else None
     sizing: dict = {}
     if nbits is None or tables is None:
-        n_vecs = emb.count()
         nbits, tables = lsh_auto_params(
             n_vecs,
             threshold,
@@ -558,8 +575,7 @@ def neardup_embedding_lsh(
     # Hyperplanes from one seeded RNG stream (deterministic, no state
     # to ship); bucket assignment always computes in float64 so the
     # assignment is bit-identical across releases and regimes.
-    first = emb.select("embedding").head()
-    if first is None:
+    if dim0 is None:
         # empty corpus: no dim to size hyperplanes from, and both
         # regimes' kernels assume >=1 vector — the 100 TB
         # empty-partition shape must yield an empty pair frame
@@ -567,7 +583,7 @@ def neardup_embedding_lsh(
             guard_stats["regime"] = "empty"
             guard_stats["dropped_rows"] = 0
         return spark.createDataFrame([], "id_a bigint, id_b bigint, cosine double")
-    dim = len(first[0])
+    dim = int(dim0)
     planes = np.random.default_rng(20240101).standard_normal(
         (tables * nbits, dim)
     )
@@ -583,10 +599,7 @@ def neardup_embedding_lsh(
     )
     use_broadcast = vectors == "broadcast"
     if vectors == "auto":
-        # auto-sizing already counted the corpus; count here only when
-        # params were pinned
-        if n_vecs is None:
-            n_vecs = emb.count()
+        # the combined sizing pass above always ran for auto mode
         use_broadcast = n_vecs * dim * elem_bytes <= vec_broadcast_bytes
     if use_broadcast and tables * (1 << nbits) > (1 << 28):
         # The broadcast regime's cap/ownership bookkeeping is dense in
