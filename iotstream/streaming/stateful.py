@@ -68,19 +68,28 @@ def _monitor(
     # (ADVICE r14).
     chunks = list(pdfs)
     if chunks:
+        import numpy as np
+
         pdf = pd.concat(chunks).sort_values(["ts", "messageId"])
         invalid = (
             (pdf["temperature"].eq(0) & pdf["humidity"].eq(0))
             | (pdf["temperature"].ge(50) & pdf["humidity"].ge(100))
         ).to_numpy()
-        for bad in invalid:
-            n_total += 1
-            if bad:
-                n_invalid += 1
-                cur_run += 1
-                max_run = max(max_run, cur_run)
-            else:
-                cur_run = 0
+        # r18 (guide §4.2): vectorized run-length scan instead of a
+        # per-row Python loop. For each position i, the invalid run
+        # ending at i is i - (index of the most recent valid row ≤ i);
+        # rows before the first valid row extend the carried-in
+        # cur_run. Valid positions evaluate to run 0, so a single
+        # max() over the array equals the loop's running max.
+        n = invalid.size
+        if n:
+            idx = np.arange(n)
+            last_valid = np.maximum.accumulate(np.where(~invalid, idx, -1))
+            runs = np.where(last_valid < 0, idx + 1 + cur_run, idx - last_valid)
+            n_total += n
+            n_invalid += int(invalid.sum())
+            max_run = max(max_run, int(runs.max()))
+            cur_run = int(runs[-1]) if invalid[-1] else 0
     state.update((int(n_total), int(n_invalid), int(cur_run), int(max_run)))
     yield pd.DataFrame(
         {
