@@ -66,7 +66,23 @@ DRIVER_WINDOW = 50
 #: each names a query whose kernel this optimization round
 #: restructures under a fresh green grade, and expires when its r18
 #: re-grade lands.
-FORCE_WINDOW: tuple[tuple[str, int], ...] = ()
+FORCE_WINDOW: tuple[tuple[str, int], ...] = (
+    # r18 pins (walker-flagged stale greens after this optimization
+    # round's kernel restructurings; each expires when its r18
+    # re-grade lands):
+    #   - neardup_jaccard_exact (iotstream/ext/dedup.py): collect_set
+    #     over pre-hashed shingles replaces distinct+count+join;
+    #   - lsh_candidate_pairs banding (same file): direct array hash
+    #     replaces the transform()+to_json lambda;
+    #   - neardup_embedding_lsh (iotstream/ext/similarity.py): one
+    #     combined count+dim sizing aggregate.
+    ("dedup_clusters", 18),
+    ("dedup_clusters_lsh", 18),
+    ("dedup_report", 18),
+    ("neardup_embedding_lsh", 18),
+    ("neardup_jaccard", 18),
+    ("neardup_minhash", 18),
+)
 
 
 #: Per-process memo for _grade_ages — the rotation is computed once and
