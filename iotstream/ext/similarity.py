@@ -221,6 +221,26 @@ def neardup_embedding(
     ids = pdf["vec_id"].to_numpy()
     mat = np.stack(pdf["embedding"].to_numpy()).astype("float64")
     nrm = np.sqrt((mat * mat).sum(axis=1))
+    if len(pdf) <= 4096:
+        # r18 (guide §1.2/§5): the corpus is ALREADY on the driver —
+        # for small n the distributed pass re-scanned the table and
+        # paid a Python-worker round trip just to redo the matmul the
+        # driver can run in milliseconds (n²·dim ≤ 4096²·dim flops,
+        # cos matrix ≤ 134 MB). Same expression per pair (row·row
+        # float64 dot, identical regardless of batching), same
+        # ordering predicate, same round(6) — bit-identical output to
+        # the mapInPandas path, which remains the shape for corpora
+        # between this bound and max_broadcast_rows.
+        cos = (mat @ mat.T) / np.outer(nrm, nrm)
+        ia, ib = np.nonzero((cos >= threshold) & (ids[:, None] < ids[None, :]))
+        out = pd.DataFrame(
+            {
+                "id_a": ids[ia],
+                "id_b": ids[ib],
+                "cosine": np.round(cos[ia, ib], 6),
+            }
+        )
+        return spark.createDataFrame(out, schema="id_a bigint, id_b bigint, cosine double")
     b = spark.sparkContext.broadcast((ids, mat, nrm))
 
     def block(batches):
